@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.queries.Num.{r => rnd}
+
+/** Text-analysis operators for a training-data pipeline (north-star ops):
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting — every formula built from codegen'd higher-order array
+  * functions (no UDFs), with arithmetic chosen to be expressible
+  * identically in DuckDB SQL for the oracle (integer polynomial hashes mod
+  * a 31-bit prime; explicit cast-to-double divisions; fixed rounding).
+  *
+  * Scale: all per-row narrow transforms — no shuffle, no explode; a 100 TB
+  * corpus maps straight through whole-stage codegen.
+  */
+object TextStats {
+
+  /** Polynomial rolling-hash prime (fits products in a Long: p*131+127 < 2^63). */
+  val P = 1000000007L
+
+  /** Whitespace tokens, empties dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Per-token polynomial char hash: fold(31*acc + ascii(char)) mod P. */
+  def tokenCodes(toks: Column): Column =
+    transform(toks, t =>
+      aggregate(
+        transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % P))
+
+  /** Document fingerprint: rolling hash over token codes in order —
+    * fold(131*acc + code) mod P. Identical text => identical fingerprint;
+    * order-sensitive (the reference has no equivalent; this is the
+    * training-pipeline extension op).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokenCodes(tokens(text)), lit(0L), (acc, c) => (acc * 131 + c) % P)
+
+  /** Stopword marker lists per language for the n-gram/marker language-ID
+    * heuristic. Deterministic, tiny, embedded in the plan.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit", "ist", "zu"),
+    "es" -> Seq("el", "la", "los", "que", "de", "y", "es", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "zai", "ta"))
+
+  /** Count of tokens present in a marker list. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language: argmax of marker counts, ties broken by the
+    * declaration order of [[langMarkers]] (greater-than comparison).
+    */
+  def langId(toks: Column): Column = {
+    val counts = langMarkers.map { case (lang, markers) =>
+      (lang, markerCount(toks, markers))
+    }
+    counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
+      case ((bestLang, bestCnt), (lang, cnt)) =>
+        (when(cnt > bestCnt, lit(lang)).otherwise(bestLang),
+         when(cnt > bestCnt, cnt).otherwise(bestCnt))
+    }._1
+  }
+
+  /** English stopwords used by the quality score. */
+  val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is",
+    "for", "on", "with")
+
+  /** Quality heuristics bundle; every double rounded for oracle parity. */
+  def statsColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val totalTokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val stopCnt = markerCount(toks, stopwords).cast("long")
+    Seq(
+      length(text).cast("long").as("n_chars_calc"),
+      nTok.as("n_tokens"),
+      rnd(totalTokChars.cast("double") / nTok.cast("double"), 4).as("avg_token_len"),
+      stopCnt.as("n_stopwords"),
+      rnd(stopCnt.cast("double") / nTok.cast("double"), 4).as("stopword_ratio"),
+      rnd(
+        least(lit(1.0), nTok.cast("double") / lit(50.0)) * 0.5 +
+          (lit(1.0) - abs(stopCnt.cast("double") / nTok.cast("double") - lit(0.4))) * 0.5,
+        4).as("quality_score"))
+  }
+}

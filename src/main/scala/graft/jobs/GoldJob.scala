@@ -1,0 +1,97 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ais.AisDecoder
+import graft.operators.AsofJoin
+import graft.ops.{Geo, Reassembly}
+
+/** The reference's batch "gold table" pipeline (SURVEY §3.1,
+  * ais_analysis.py:308-498 / ais_analysis_polars.py): raw datalog lines ->
+  * fragment parse + reassembly -> cheap type peek -> decode -> position &
+  * static silver projections -> as-of join (gold) -> TSS zone count.
+  *
+  * Spark-first shape: everything is one declarative plan; the only
+  * hand-written rewrite is the payload-first-char pre-filter before the
+  * decode UDF (Catalyst cannot push through an opaque UDF — SURVEY §4).
+  *
+  * Scale: reassembly shuffles once on session id (tiny groups), decode is
+  * a narrow map, the as-of join shuffles once on mmsi, and the zone count
+  * is a codegen'd predicate + partial/final agg. Partition the gold output
+  * by date(ts) for downstream pruning.
+  */
+object GoldJob {
+
+  /** Tag-block event time: 3rd comma field, chars after a 2-char prefix up
+    * to '*' are epoch seconds (ais_analysis.py:383-388).
+    */
+  private def tagTs(tag: org.apache.spark.sql.Column) =
+    to_timestamp(from_unixtime(
+      regexp_extract(element_at(split(tag, ","), 3), "^.{2}([^*]*)", 1).cast("long")))
+
+  /** Decode a datalog of raw lines (column `value`) into ts + union struct.
+    *
+    * `peekChars` is the hand-written pushdown from the reference
+    * (ais_analysis.py:339-340): the first armored payload char IS the 6-bit
+    * message type, so filtering on it skips the expensive decode UDF for
+    * unwanted types — Catalyst can't derive this through an opaque UDF.
+    */
+  def decode(lines: DataFrame, peekChars: Seq[String] = Nil): DataFrame = {
+    val assembled = Reassembly.assembleBatch(Reassembly.parseFragments(lines))
+    val peek = substring(element_at(split(element_at(col("sentences"), 1), ","), 6), 1, 1)
+    val filtered =
+      if (peekChars.nonEmpty) assembled.filter(peek.isin(peekChars: _*))
+      else assembled
+    filtered
+      .withColumn("ts", tagTs(col("tagblock")))
+      .withColumn("d", AisDecoder.ais_decode(col("sentences")))
+      .filter(col("d").isNotNull)
+  }
+
+  /** Position silver projection (types 1/2/3; ais_analysis_polars.py:391-403). */
+  def positions(decoded: DataFrame): DataFrame =
+    decoded.filter(col("d.messageType").isin(1, 2, 3)).select(
+      col("ts"), col("d.messageType").as("messageType"), col("d.mmsi").as("mmsi"),
+      col("d.position.sog").as("sog"), col("d.position.cog").as("cog"),
+      col("d.position.rot").as("rot"),
+      col("d.position.trueHeading").as("trueHeading"),
+      col("d.position.latitude").as("latitude"),
+      col("d.position.longitude").as("longitude"))
+
+  /** Static silver projection (type 5; ais_analysis_polars.py:361-376). */
+  def statics(decoded: DataFrame): DataFrame =
+    decoded.filter(col("d.messageType") === 5).select(
+      col("ts").as("static_ts"), col("d.mmsi").as("mmsi"),
+      col("d.staticVoyage.imo").as("imo"),
+      col("d.staticVoyage.callsign").as("callsign"),
+      col("d.staticVoyage.shipName").as("shipName"),
+      col("d.staticVoyage.shipType").as("shipType"),
+      col("d.staticVoyage.destination").as("destination"))
+
+  /** The gold table: positions as-of joined with the latest static row per
+    * mmsi (ais_analysis.py:476).
+    */
+  def gold(decoded: DataFrame): DataFrame = {
+    val pos = positions(decoded)
+    val stat = statics(decoded)
+      .withColumnRenamed("static_ts", "ts")
+    AsofJoin.asofJoin(pos, stat, on = "ts", by = Seq("mmsi"),
+      rightCols = Seq("imo", "callsign", "shipName", "shipType", "destination"))
+  }
+
+  /** Flagship slice: distinct vessels inside TSS-Northbound. */
+  def zoneCount(goldDf: DataFrame): DataFrame =
+    goldDf
+      .filter(Geo.inTssNorthbound(col("longitude"), col("latitude")))
+      .agg(countDistinct(col("mmsi")).as("n_vessels"))
+
+  /** End-to-end: datalog path -> gold parquet + zone count. */
+  def run(spark: SparkSession, datalogPath: String, goldOut: String): Long = {
+    // peek pushdown: types 1/2/3 + 5 only (the gold table's inputs)
+    val decoded = decode(spark.read.text(datalogPath), Seq("1", "2", "3", "5"))
+    val g = gold(decoded)
+    g.write.mode("overwrite").parquet(goldOut)
+    zoneCount(spark.read.parquet(goldOut)).head().getLong(0)
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.queries.Num.{r => rnd}
+
+/** Training-data pipeline queries (north-star ops): text analysis, dedup,
+  * similarity search, multimodal plumbing — each mirrored by a DuckDB
+  * oracle built from the SAME constants (hash params, marker lists,
+  * polygon of thresholds) so arithmetic matches bit-for-bit.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = TextStats.P
+
+  val queries: Map[String, Q] = Map(
+    // Text quality / token statistics (narrow, codegen'd, no shuffle).
+    "q17_doc_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        Seq($"doc_id") ++ TextStats.statsColumns($"text"): _*)
+    }),
+
+    // Marker-based language ID vs the labeled lang column.
+    "q18_lang_id" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id", $"lang",
+        TextStats.langId(TextStats.tokens($"text")).as("lang_pred"))
+    }),
+
+    // Rolling-hash fingerprint + 16-bit SimHash signature.
+    "q19_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        TextStats.fingerprint($"text").as("fingerprint"),
+        Dedup.simhash16(Dedup.tokenSet($"text")).as("simhash16"))
+    }),
+
+    // Exact dedup: hash groupBy on text.
+    "q20_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d))),
+
+    // MinHash + LSH banding + Jaccard verification.
+    "q21_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.2)),
+
+    // Word-bigram Jaccard near-dup over first-bigram buckets.
+    "q22_bigram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(
+        $"doc_id",
+        Dedup.bigramCodes($"text").as("bg"),
+        TextStats.tokenCodes(TextStats.tokens($"text")).as("codes"))
+        .withColumn("bucket",
+          (element_at($"codes", 1) * 131 + element_at($"codes", 2)) % P)
+      val l = docs.select($"bucket", $"doc_id".as("doc1"), $"bg".as("b1"))
+      val r = docs.select($"bucket", $"doc_id".as("doc2"), $"bg".as("b2"))
+      l.join(r, Seq("bucket"))
+        .filter($"doc1" < $"doc2")
+        .select($"doc1", $"doc2",
+          rnd(size(array_intersect($"b1", $"b2")).cast("double") /
+            size(array_distinct(concat($"b1", $"b2"))).cast("double"), 4).as("jaccard"))
+        .filter($"jaccard" >= 0.1)
+    }),
+
+    // Brute-force cosine top-10 around vec_id 0.
+    "q23_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+
+    // Sign-bucketed ANN top-5 (the scale path).
+    "q24_ann_bucketed" -> ((s, d) =>
+      Similarity.bucketedTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 5)),
+
+    // Embedding near-duplicate pairs within sign buckets.
+    "q25_embedding_near_dup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.6)),
+
+    // Multimodal plumbing: binary payloads -> partition-batched features
+    // (decode step stubbed; see graft.ext.Multimodal).
+    "q26_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d))
+          .as[Multimodal.MediaRecord]).toDF()
+    }),
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Shared CTE fragments (DuckDB list lambdas mirroring the Spark
+    * higher-order functions).
+    */
+  private val toksExpr = "list_filter(string_split(text, ' '), t -> t != '')"
+  private def codesExpr(toks: String) =
+    s"""list_transform($toks, t -> list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % $P))"""
+
+  private val stopList =
+    TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def markerCnt(markers: Seq[String]) =
+    s"len(list_filter(toks, t -> list_contains(${markers.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
+
+  private val simhashTerms: String = (0 until 16).map { k =>
+    s"(CASE WHEN list_sum(list_transform(tset, c -> (c >> $k) & 1)) * 2 >= len(tset) THEN ${1L << k} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val minhashCols: String = (0 until Dedup.K).map { i =>
+    s"list_min(list_transform(tset, c -> (${Dedup.A(i)} * c + ${Dedup.B(i)}) % $P)) AS m$i"
+  }.mkString(", ")
+
+  private val bandKeyCase: String = (0 until Dedup.Bands).map { b =>
+    val ms = (0 until Dedup.Rows).map(r => s"CAST(m${b * Dedup.Rows + r} AS VARCHAR)")
+    s"WHEN band = $b THEN ${ms.mkString(" || ':' || ")}"
+  }.mkString("CASE ", " ", " END")
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  private def cosSql(a: String, b: String) =
+    Num.rSql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
+
+  private val bucketSql: String = (0 until 8).map { dd =>
+    s"(CASE WHEN embedding[${dd + 1}] > 0 THEN ${1L << dd} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_doc_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, length(text) AS nch FROM documents)
+          SELECT doc_id,
+            CAST(nch AS BIGINT) AS n_chars_calc,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS avg_token_len,
+            CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,
+            floor((CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS stopword_ratio,
+            floor((least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 +
+              (1.0 - abs(CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) - 0.4)) * 0.5) * 10000 + 0.5) / 10000 AS quality_score
+          FROM t""",
+    "q18_lang_id" -> {
+      val cnts = TextStats.langMarkers.map { case (lang, m) =>
+        s"${markerCnt(m)} AS c_$lang"
+      }.mkString(", ")
+      val langs = TextStats.langMarkers.map(_._1)
+      val folds = langs.tail.zipWithIndex.map { case (lang, i) =>
+        s"""s${i + 1} AS (SELECT *, CASE WHEN c_$lang > bc$i THEN '$lang' ELSE bl$i END AS bl${i + 1},
+            greatest(c_$lang, bc$i) AS bc${i + 1} FROM s$i)"""
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS toks FROM documents),
+          c AS (SELECT doc_id, lang, $cnts FROM t),
+          s0 AS (SELECT *, '${langs.head}' AS bl0, c_${langs.head} AS bc0 FROM c),
+          $folds
+          SELECT doc_id, lang, bl${langs.size - 1} AS lang_pred FROM s${langs.size - 1}"""
+    },
+    "q19_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          t2 AS (SELECT doc_id, codes, list_distinct(codes) AS tset FROM t)
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+              (a, c) -> (a * 131 + c) % $P) AS fingerprint,
+            CAST($simhashTerms AS BIGINT) AS simhash16
+          FROM t2""",
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+         FROM documents GROUP BY text""",
+    "q21_minhash_pairs" ->
+      s"""SELECT * FROM (WITH t AS (SELECT doc_id, list_distinct(${codesExpr(toksExpr)}) AS tset FROM documents),
+          sig AS (SELECT doc_id, tset, $minhashCols FROM t),
+          bands AS (
+            SELECT doc_id, tset, band, $bandKeyCase AS key
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.tset AS t1, r.tset AS t2
+            FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+            WHERE l.doc_id < r.doc_id)
+          SELECT doc1, doc2,
+            floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+          FROM cand) WHERE jaccard >= 0.2""",
+    "q22_bigram_jaccard" ->
+      s"""SELECT * FROM (WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          t2 AS (SELECT doc_id,
+            (codes[1] * 131 + codes[2]) % $P AS bucket,
+            list_distinct(CASE WHEN len(codes) >= 2
+              THEN list_transform(generate_series(1, len(codes) - 1),
+                     i -> (codes[i] * 131 + codes[i + 1]) % $P)
+              ELSE [] END) AS bg
+          FROM t)
+          SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+            floor((CAST(len(list_intersect(l.bg, r.bg)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(l.bg, r.bg))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+          FROM t2 l JOIN t2 r ON l.bucket = r.bucket
+          WHERE l.doc_id < r.doc_id) WHERE jaccard >= 0.1""",
+    "q23_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, label, ${cosSql("embedding", "qvec")} AS cos
+          FROM embeddings, q
+          WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "q24_ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+          q AS (SELECT embedding AS qvec, bucket FROM b WHERE vec_id = 0)
+          SELECT b.vec_id, b.bucket, ${cosSql("b.embedding", "q.qvec")} AS cos
+          FROM b JOIN q ON b.bucket = q.bucket
+          WHERE b.vec_id != 0
+          ORDER BY cos DESC, b.vec_id ASC LIMIT 5""",
+    "q25_embedding_near_dup" ->
+      s"""SELECT * FROM (WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+          SELECT l.vec_id AS vec1, r.vec_id AS vec2,
+            ${cosSql("l.embedding", "r.embedding")} AS cos
+          FROM b l JOIN b r ON l.bucket = r.bucket
+          WHERE l.vec_id < r.vec_id) WHERE cos >= 0.6""",
+    "q26_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS head_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65536 AS BIGINT) AS byte_sum_mod,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS feat_width,
+           CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS feat_height
+         FROM documents""",
+  )
+}

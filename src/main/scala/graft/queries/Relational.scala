@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.queries.Num.{r => rnd}
 import graft.operators.AsofJoin.asofJoin
 
 /** Relational / dataflow operator coverage (SURVEY.md §2.3 R1–R15), each
@@ -12,7 +13,7 @@ import graft.operators.AsofJoin.asofJoin
   * with a DuckDB oracle in [[oracleSql]].
   *
   * Conventions for oracle hash-parity:
-  *  - every computed double is `round(_, 2)` (sums) or `round(_, 4)` (avgs)
+  *  - every computed double is `rnd(_, 2)` (sums) or `rnd(_, 4)` (avgs)
   *    on BOTH sides, so cross-engine float summation order can't flip a hash
   *    (SURVEY §7.4 item 5);
   *  - timestamps that pass through are CAST to microsecond TIMESTAMP in the
@@ -29,10 +30,10 @@ object Relational {
       lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
+          rnd(sum($"l_quantity"), 2).as("sum_qty"),
+          rnd(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          rnd(avg($"l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -54,7 +55,7 @@ object Relational {
         .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), rnd(sum($"c_acctbal"), 2).as("sum_bal"))
     }),
 
     // R17: large fact-fact equi-join (shuffle join) + aggregation.
@@ -64,7 +65,7 @@ object Relational {
         .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -137,7 +138,7 @@ object Relational {
       lineitem(s, d)
         .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_custkey")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .agg(rnd(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"o_custkey".asc)
         .limit(10)
     }),
@@ -165,31 +166,31 @@ object Relational {
             .when($"event_type" === "purchase", "txn")
             .otherwise("ops"))
         .groupBy($"route")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), rnd(sum($"value"), 2).as("sum_value"))
     }),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
+         floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+         floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+         floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+         floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30.0""",
     "q3_broadcast_join" ->
-      """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT r_name, count(*) AS n_cust, floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "q4_join_agg" ->
       """SELECT o_orderpriority,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
@@ -221,7 +222,7 @@ object Relational {
                        WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""",
     "q11_topk" ->
       """SELECT o_custkey,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5) / 100 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey
          ORDER BY revenue DESC, o_custkey ASC LIMIT 10""",
@@ -234,7 +235,7 @@ object Relational {
       """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
                      WHEN event_type = 'purchase' THEN 'txn'
                      ELSE 'ops' END AS route,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1""",
   )
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ais.Fixtures
+import graft.jobs.GoldJob
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Synthetic datalog: every fixture group as lines with tag blocks whose
+    * epoch increments per group (multi-fragment lines share the group's
+    * tag, as in a real datalog).
+    */
+  private def datalogLines: Seq[String] =
+    Fixtures.sentenceGroups.flatMap { case (fx, sentences) =>
+      val epoch = 1673222400L + fx * 60
+      sentences.map(s => s"\\s:stn,q:u,c:$epoch*00$s")
+    }
+
+  test("gold pipeline end-to-end: datalog -> decode -> asof -> zone count") {
+    import spark.implicits._
+    val lines = datalogLines.toDF("value")
+    val decoded = GoldJob.decode(lines)
+    // 24 decodable groups (type 16 drops)
+    assert(decoded.count() === 24)
+    val pos = GoldJob.positions(decoded)
+    assert(pos.count() === 3)
+    val gold = GoldJob.gold(decoded)
+    assert(gold.count() === 3)
+    // the type-5 static (fx3, epoch base+180) precedes no position rows
+    // with smaller ts except fixtures 0..2; as-of semantics: positions at
+    // fx0/fx1 (ts < static ts) have null shipName; mmsi must match anyway —
+    // here mmsis differ so all statics are null
+    assert(gold.filter($"shipName".isNotNull).count() === 0)
+    // none of the fixture positions fall in TSS-Northbound...
+    assert(GoldJob.zoneCount(gold).head().getLong(0) === 0)
+    // ...but fx0 (102.32, 1.856) and fx14 (101.5, 2.5) are in Southbound
+    val s = gold.filter(Geo.inTssSouthbound($"longitude", $"latitude"))
+      .agg(countDistinct($"mmsi")).head().getLong(0)
+    assert(s === 2)
+  }
+
+  test("as-of join picks latest static at or before position ts per mmsi") {
+    import spark.implicits._
+    val pos = Seq(
+      (100L, 10L, 1.0), (200L, 10L, 2.0), (50L, 10L, 0.5),
+      (100L, 20L, 9.0)).toDF("ts", "mmsi", "sog")
+    val stat = Seq(
+      (90L, 10L, "A"), (100L, 10L, "B"), (150L, 10L, "C"),
+      (500L, 20L, "Z")).toDF("ts", "mmsi", "shipName")
+    val joined = graft.operators.AsofJoin
+      .asofJoin(pos, stat, on = "ts", by = Seq("mmsi"), rightCols = Seq("shipName"))
+      .select($"ts", $"mmsi", $"shipName").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(joined === Set(
+      (50L, 10L, None),           // nothing at or before 50
+      (100L, 10L, Some("B")),     // tie at 100 -> inclusive (backward)
+      (200L, 10L, Some("C")),
+      (100L, 20L, None)))         // static arrives later
+  }
+
+  test("streaming reassembly completes sessions and evicts on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Reassembly.Fragment]
+    val q = Reassembly.assembleStream(mem.toDS())
+      .writeStream.format("memory").queryName("assembled")
+      .outputMode("append").start()
+    try {
+      val Seq(s1, s2) = Fixtures.sentenceGroups(3)._2
+      mem.addData(Reassembly.Fragment(9, "A", 2, 1, s1, "tag1"))
+      q.processAllAvailable()
+      assert(spark.table("assembled").count() === 0)
+      mem.addData(Reassembly.Fragment(9, "A", 2, 2, s2, "tag2"))
+      q.processAllAvailable()
+      val rows = spark.table("assembled").as[Reassembly.Assembled].collect()
+      assert(rows.length === 1)
+      assert(rows.head.sentences === Seq(s1, s2))
+      assert(rows.head.tagblock === "tag1") // from fragment 1
+    } finally q.stop()
+  }
+
+  test("streaming zone tracker emits entry/exit transitions per vessel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val inside = (102.2, 2.0)   // mid-strait, inside TSS-Northbound
+    val outside = (99.0, 5.0)
+    assert(GeoMath.rayCast(inside._1, inside._2, TssZones.Northbound))
+    assert(!GeoMath.rayCast(outside._1, outside._2, TssZones.Northbound))
+    val mem = MemoryStream[ZoneTracker.VesselPos]
+    val q = ZoneTracker.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      mem.addData(
+        ZoneTracker.VesselPos(1L, ts(1), outside._1, outside._2),
+        ZoneTracker.VesselPos(1L, ts(2), inside._1, inside._2))
+      q.processAllAvailable()
+      mem.addData(ZoneTracker.VesselPos(1L, ts(3), outside._1, outside._2))
+      q.processAllAvailable()
+      val rows = spark.table("transitions").as[ZoneTracker.ZoneTransition]
+        .collect().sortBy(_.ts.getTime)
+      assert(rows.map(r => (r.zone, r.entered)).toSeq ===
+        Seq(("N", true), ("N", false)))
+    } finally q.stop()
+  }
+
+  test("telemetry route aligns DAC533 FID1/2/4 schemas") {
+    import spark.implicits._
+    val decoded = GoldJob.decode(datalogLines.toDF("value"))
+    val t = Routes.telemetryRoute(decoded)
+    // corpus: fx4 = 533/4, fx12 = 533/1, fx23 = 533/2
+    assert(t.count() === 3)
+    val byFid = t.collect().map(r => r.getAs[Int]("fid") -> r).toMap
+    assert(byFid.keySet === Set(1, 2, 4))
+    // FID1 remap: lantern_batt(3) -> buoy_led_power
+    assert(byFid(1).getAs[Int]("buoy_led_power") === 3)
+    // FID2 zero-fill
+    assert(byFid(2).getAs[Int]("buoy_temp") === 0)
+  }
+}
