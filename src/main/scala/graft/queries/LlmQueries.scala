@@ -79,7 +79,7 @@ object LlmQueries {
 
     // Embedding near-duplicate pairs within sign buckets.
     "q25_embedding_near_dup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.6)),
+      Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.3)),
 
     // Multimodal plumbing: binary payloads -> partition-batched features
     // (decode step stubbed; see graft.ext.Multimodal).
@@ -219,7 +219,7 @@ object LlmQueries {
           SELECT l.vec_id AS vec1, r.vec_id AS vec2,
             ${cosSql("l.embedding", "r.embedding")} AS cos
           FROM b l JOIN b r ON l.bucket = r.bucket
-          WHERE l.vec_id < r.vec_id) WHERE cos >= 0.6""",
+          WHERE l.vec_id < r.vec_id) WHERE cos >= 0.3""",
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
