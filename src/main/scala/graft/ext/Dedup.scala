@@ -24,16 +24,93 @@ object Dedup {
   import TextStats.{P, tokenCodes, tokens}
 
   /** MinHash parameters: K independent (a*x+b) mod P permutations,
-    * BANDS bands of ROWS rows (K = BANDS*ROWS).
+    * BANDS bands of ROWS rows (K = BANDS*ROWS). 3 bands of 4 rows keeps
+    * the candidate rate low on homogeneous corpora (P[candidate] =
+    * 1-(1-j^4)^3, ~2% at Jaccard 0.3) — the knob that keeps LSH
+    * sub-quadratic when every document shares a vocabulary.
     */
-  val Bands = 4
-  val Rows = 3
+  val Bands = 3
+  val Rows = 4
   val K: Int = Bands * Rows
   val A: Array[Long] = Array.tabulate(K)(i => 2L * i + 3)
   val B: Array[Long] = Array.tabulate(K)(i => 7L * i + 1)
 
-  /** Distinct token-code set (the shingle set for Jaccard/MinHash). */
+  /** Distinct token-code set (unigram shingles — used by SimHash). */
   def tokenSet(text: Column): Column = array_distinct(tokenCodes(tokens(text)))
+
+  private val MaxLen = 1 << 20
+
+  /** Rolling word n-gram shingle codes (distinct), via SHIFTED zip_with
+    * chains: each zip_with evaluates its argument arrays once per row and
+    * hands the lambda element variables only. The indexed-transform
+    * alternative (element_at(codes, i) inside the lambda) re-evaluates the
+    * whole `codes` expression per element — quadratic per row, observed
+    * 50x slower at sf0.1. Tail positions short of a full n-gram become
+    * null through the padded zip arithmetic and are filtered out.
+    */
+  def chainCodes(codes: Column, n: Int): Column = {
+    var acc = codes
+    for (k <- 2 to n)
+      acc = zip_with(acc, slice(codes, k, MaxLen), (a, b) => (a * 131 + b) % P)
+    array_distinct(filter(acc, x => x.isNotNull))
+  }
+
+  /** Word 5-gram shingle set — the dedup shingle. Unigram sets are useless
+    * on homogeneous corpora (a 31-word vocabulary makes every pair ~0.9
+    * Jaccard); 5-grams separate true near-dups (~0.9+) from unrelated
+    * documents (~0.0).
+    */
+  def shingleSet(codes: Column): Column = chainCodes(codes, 5)
+
+  /** Single-pass Scala signature kernel: text -> (5-gram shingle set,
+    * band keys). Same arithmetic as the column/oracle formulation, but one
+    * tight JVM pass per row — the column version chains five
+    * CodegenFallback higher-order functions whose trees get re-evaluated
+    * per consumer, which measured ~100x slower. (Same trade the AIS decode
+    * kernel makes: scalar-heavy per-row logic belongs in one JVM function;
+    * joins/shuffles stay relational.)
+    */
+  private def signatureScala(text: String): (Array[Long], Array[String]) = {
+    val toks = text.split(" ")
+    val codes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    toks.foreach { t =>
+      if (t.nonEmpty) {
+        var h = 0L
+        var i = 0
+        while (i < t.length) { h = (h * 31 + t.charAt(i)) % P; i += 1 }
+        codes += h
+      }
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 4 < codes.length) {
+      var h = codes(i)
+      var k = 1
+      while (k < 5) { h = (h * 131 + codes(i + k)) % P; k += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val tset = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { tset(n) = it.next(); n += 1 }
+    val mins = Array.fill(K)(Long.MaxValue)
+    tset.foreach { c =>
+      var j = 0
+      while (j < K) {
+        val v = (A(j) * c + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    val bands = Array.tabulate(Bands) { b =>
+      (0 until Rows).map(r => mins(b * Rows + r)).mkString(":")
+    }
+    (tset, bands)
+  }
+
+  private val signatureUdf =
+    org.apache.spark.sql.functions.udf((text: String) => signatureScala(text))
 
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
@@ -62,19 +139,26 @@ object Dedup {
     * filtered to >= minJaccard.
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sigs = docs.select(
-      col("doc_id"), tokenSet(col("text")).as("tset"))
-      .withColumn("bands", bandKeys(minhashSignature(col("tset"))))
+    val sigs = docs
+      .select(col("doc_id"), signatureUdf(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+    // Candidate generation carries ONLY (band, key, doc_id): the token-set
+    // arrays must not ride through the pair-join/distinct shuffle — at
+    // corpus scale that's the difference between shuffling ids and
+    // shuffling the whole corpus k times.
     val exploded = sigs.select(
-      col("doc_id"), col("tset"), posexplode(col("bands")).as(Seq("band", "key")))
-    val l = exploded.select(
-      col("band"), col("key"), col("doc_id").as("doc1"), col("tset").as("t1"))
-    val r = exploded.select(
-      col("band"), col("key"), col("doc_id").as("doc2"), col("tset").as("t2"))
-    l.join(r, Seq("band", "key"))
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val candidates = exploded.select(col("band"), col("key"), col("doc_id").as("doc1"))
+      .join(exploded.select(col("band"), col("key"), col("doc_id").as("doc2")),
+        Seq("band", "key"))
       .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("t1"), col("t2"))
+      .select(col("doc1"), col("doc2"))
       .distinct()
+    // Verification joins the (small) distinct pair list back to the sets.
+    val sets = sigs.select(col("doc_id"), col("tset"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc1"), col("tset").as("t1")), Seq("doc1"))
+      .join(sets.select(col("doc_id").as("doc2"), col("tset").as("t2")), Seq("doc2"))
       .withColumn("jaccard", rnd(
         size(array_intersect(col("t1"), col("t2"))).cast("double") /
           size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
@@ -95,16 +179,6 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Word-bigram shingle codes (distinct), for n-gram Jaccard near-dup.
-    * Index form mirrors the DuckDB generate_series oracle exactly; guarded
-    * because Spark's sequence(1, 0) would DESCEND rather than be empty.
-    */
-  def bigramCodes(text: Column): Column = {
-    val codes = tokenCodes(tokens(text))
-    array_distinct(
-      when(size(codes) >= 2,
-        transform(sequence(lit(1), size(codes) - 1), i =>
-          (element_at(codes, i) * 131 + element_at(codes, i + 1)) % P))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  /** Word-bigram shingle codes (distinct), for n-gram Jaccard near-dup. */
+  def bigramCodes(codes: Column): Column = chainCodes(codes, 2)
 }

@@ -46,19 +46,20 @@ object LlmQueries {
     "q20_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d))),
 
-    // MinHash + LSH banding + Jaccard verification.
+    // MinHash + LSH banding over 5-gram shingles + Jaccard verification.
     "q21_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.2)),
+      Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)),
 
     // Word-bigram Jaccard near-dup over first-bigram buckets.
     "q22_bigram_jaccard" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(
         $"doc_id",
-        Dedup.bigramCodes($"text").as("bg"),
         TextStats.tokenCodes(TextStats.tokens($"text")).as("codes"))
-        .withColumn("bucket",
-          (element_at($"codes", 1) * 131 + element_at($"codes", 2)) % P)
+        .select(
+          $"doc_id",
+          Dedup.bigramCodes($"codes").as("bg"),
+          ((element_at($"codes", 1) * 131 + element_at($"codes", 2)) % P).as("bucket"))
       val l = docs.select($"bucket", $"doc_id".as("doc1"), $"bg".as("b1"))
       val r = docs.select($"bucket", $"doc_id".as("doc2"), $"bg".as("b2"))
       l.join(r, Seq("bucket"))
@@ -174,11 +175,15 @@ object LlmQueries {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
     "q21_minhash_pairs" ->
-      s"""SELECT * FROM (WITH t AS (SELECT doc_id, list_distinct(${codesExpr(toksExpr)}) AS tset FROM documents),
+      s"""SELECT * FROM (WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+            THEN list_transform(generate_series(1, len(codes) - 4), i ->
+              (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
+            ELSE [] END) AS tset FROM c),
           sig AS (SELECT doc_id, tset, $minhashCols FROM t),
           bands AS (
             SELECT doc_id, tset, band, $bandKeyCase AS key
-            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)),
+            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
           cand AS (
             SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.tset AS t1, r.tset AS t2
             FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
@@ -186,7 +191,7 @@ object LlmQueries {
           SELECT doc1, doc2,
             floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
-          FROM cand) WHERE jaccard >= 0.2""",
+          FROM cand) WHERE jaccard >= 0.7""",
     "q22_bigram_jaccard" ->
       s"""SELECT * FROM (WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
           t2 AS (SELECT doc_id,
