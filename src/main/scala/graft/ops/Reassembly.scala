@@ -87,7 +87,14 @@ object Reassembly {
     val timeoutConf =
       if (evictionTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    fragments
+    // Single-fragment messages complete immediately and must NOT enter
+    // keyed state: distinct messages routinely share a (packageId, channel)
+    // key, and sessionizing them would conflate/drop them.
+    val singles = fragments
+      .filter(_.totalPackage == 1)
+      .map(f => Assembled(f.packageId, f.channel, f.tagblock, Seq(f.sentence)))
+    val multis = fragments
+      .filter(_.totalPackage > 1)
       .groupByKey(f => (f.packageId, f.channel, f.totalPackage))
       .flatMapGroupsWithState[Seq[Fragment], Assembled](
         OutputMode.Append, timeoutConf) {
@@ -108,5 +115,6 @@ object Reassembly {
             }
           }
       }
+    singles.union(multis)
   }
 }
