@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Ais.queries ++
+      graft.queries.Ais2.queries ++
       graft.queries.GeoQueries.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.IvefQueries.queries
 
@@ -24,6 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.Ais.oracleSql ++
+      graft.queries.Ais2.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
       graft.queries.IvefQueries.oracleSql
 }
