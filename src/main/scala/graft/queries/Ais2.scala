@@ -63,7 +63,39 @@ object Ais2 {
         .toDF("fx", "sentence")
         .select(col("fx"), AisDecoder.ais_checksum_valid(col("sentence")).as("valid"))
     }),
+
+    // R2 compound predicate: the websocket server's moving-vessel filter
+    // ((type in 1,2,3 AND sog != 0) OR type 6 OR type 21)
+    // (ais_webSocketNmeaServer.py:250).
+    "ais_moving_filter" -> ((s, _) =>
+      decoded(s).filter(
+        (col("d.messageType").isin(1, 2, 3) && col("d.position.sog") =!= 0.0) ||
+          col("d.messageType") === 6 || col("d.messageType") === 21)
+        .select(col("fx"), col("d.messageType").as("messageType"))),
+
+    // Volume end-to-end: 20k synthetic type-1 sentences -> reassembly ->
+    // decode -> TSS membership counts. Deterministic, so the aggregate is
+    // frozen as a VALUES oracle — a full-pipeline regression at real
+    // decode volume (also the decode-throughput line in BENCH).
+    "ais_gold_volume" -> ((s, _) => {
+      import s.implicits._
+      val lines = s.createDataset(graft.ais.Synth.datalogLines(20000)).toDF("value")
+      val decodedVol = graft.jobs.GoldJob.decode(lines)
+      val pos = graft.jobs.GoldJob.positions(decodedVol)
+      pos.agg(
+        count(lit(1)).as("n_positions"),
+        count(when(graft.ops.Geo.inTssNorthbound(col("longitude"), col("latitude")), 1))
+          .as("n_in_north"),
+        count(when(graft.ops.Geo.inTssSouthbound(col("longitude"), col("latitude")), 1))
+          .as("n_in_south"),
+        countDistinct(col("mmsi")).as("n_vessels"))
+    }),
   )
 
-  val oracleSql: Map[String, String] = AisOracles2.oracleSql
+  val oracleSql: Map[String, String] = AisOracles2.oracleSql ++ Map(
+    "ais_moving_filter" ->
+      """SELECT * FROM (VALUES (0, 1), (1, 3), (4, 6), (7, 21), (12, 6), (13, 6),
+         (14, 2), (22, 6), (23, 6)) AS t(fx, messageType)""",
+    // frozen from the deterministic generator (see AisVolumeSpec)
+    "ais_gold_volume" -> AisVolumeOracle.sql)
 }
