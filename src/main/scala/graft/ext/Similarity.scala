@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftColumns
 
 import graft.queries.Num.{r => rnd}
 
@@ -23,23 +24,28 @@ import graft.queries.Num.{r => rnd}
   */
 object Similarity {
 
-  /** Sequential dot product; zip_with multiplies in the array element type
-    * (float32 here), aggregate accumulates left-to-right into double.
+  /** Sequential dot product; the declarative (CodegenFallback) form, kept
+    * as the semantic reference for the codegen'd kernel below.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Interpreted reference implementation — bit-identical to `cosine`
+    * (VecMathSpec asserts it); ~100x slower per row, never in a hot path.
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (normHof(a) * normHof(b))
+
+  /** Native single-pass cosine (dot + both norms in one generated loop). */
+  def cosine(a: Column, b: Column): Column = GraftColumns.cosineSimilarity(a, b)
 
   /** Sign bucket over the first `bits` dimensions: bit d set when
     * element d+1 > 0 (strict, matching SQL `> 0`).
     */
   def signBucket(vec: Column, bits: Int = 8): Column =
-    (0 until bits).map { d =>
-      when(element_at(vec, d + 1) > 0f, lit(1L << d)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftColumns.signBucket(vec, bits)
 
   /** Exact top-k by cosine against the query row's vector; deterministic
     * ties via (rounded cosine desc, vec_id asc).

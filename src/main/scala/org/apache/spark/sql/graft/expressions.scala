@@ -5,10 +5,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, FloatType, LongType}
 
 /** Point-in-polygon as a native Catalyst expression (SURVEY R4): the
   * reference's `gpd.sjoin(..., predicate='within')` (ais_analysis.py:483-489)
@@ -41,10 +42,65 @@ case class PointInPolygon(left: Expression, right: Expression, poly: Array[Doubl
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity over two float-embedding arrays as a native expression.
+  *
+  * Replaces the `aggregate(zip_with(...))` form: those higher-order
+  * functions are CodegenFallback and the cosine needs three of them
+  * (dot + two norms), so at sf0.1 the brute-force top-k spent 36 s in
+  * interpreted lambda dispatch. This is one generated call into a tight
+  * JVM loop (graft.ext.VecMath.cosine) — single pass, no allocation —
+  * and stays inside whole-stage codegen. Numerics are bit-identical to
+  * the declarative form (see VecMath's scaladoc), so the frozen DuckDB
+  * oracles still hash-match.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.ext.VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ext.VecMath.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
+case class SignBucket(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bucket"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.signBucket(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.signBucket($a, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def pointInPolygon(lon: Column, lat: Column, poly: Array[Double]): Column =
     ExpressionUtils.column(PointInPolygon(
       ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), poly))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signBucket(vec: Column, bits: Int): Column =
+    ExpressionUtils.column(SignBucket(ExpressionUtils.expression(vec), bits))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

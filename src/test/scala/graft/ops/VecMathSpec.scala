@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+/** The native CosineSimilarity / SignBucket expressions must be
+  * BIT-identical to the declarative higher-order-function forms they
+  * replaced — the DuckDB oracles were frozen against the latter.
+  */
+class VecMathSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def vecs(seed: Long, n: Int, dim: Int): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  test("native cosine is bit-identical to the aggregate/zip_with form") {
+    import spark.implicits._
+    val rows = vecs(42L, 64, 19).zip(vecs(7L, 64, 19))
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getDouble(0); val h = r.getDouble(1)
+      assert(java.lang.Double.doubleToLongBits(n) === java.lang.Double.doubleToLongBits(h),
+        s"native=$n hof=$h")
+    }
+  }
+
+  test("native sign bucket matches the element_at form") {
+    import spark.implicits._
+    // include exact zeros: bit must NOT be set for 0f (strict > 0)
+    val data = vecs(11L, 40, 12).map(v => v.updated(3, 0f))
+    val df = data.toDF("a").select(col("a").cast("array<float>").as("a"))
+    val legacy = (0 until 8).map { d =>
+      when(element_at(col("a"), d + 1) > 0f, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val got = df.select(
+      Similarity.signBucket(col("a"), 8).as("native"), legacy.as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("cosine of a vector with itself is 1.0 within 1 ulp") {
+    import spark.implicits._
+    val df = vecs(3L, 10, 33).toDF("a").select(col("a").cast("array<float>").as("a"))
+    df.select(Similarity.cosine(col("a"), col("a")).as("c")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    }
+  }
+}
