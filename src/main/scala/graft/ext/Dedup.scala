@@ -181,4 +181,51 @@ object Dedup {
 
   /** Word-bigram shingle codes (distinct), for n-gram Jaccard near-dup. */
   def bigramCodes(codes: Column): Column = chainCodes(codes, 2)
+
+  /** 64-bit SimHash (native codegen'd expression; see VecMath.simhash64). */
+  def simhash64(setCol: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.simhash64(setCol)
+
+  private def chunk16(sig: Column, j: Int): Column =
+    shiftright(sig, 16 * j).bitwiseAND(lit(65535L))
+
+  /** Near-duplicate pairs by SimHash hamming distance <= maxDist (< 4).
+    *
+    * Blocking: split the 64-bit signature into four 16-bit chunks; by
+    * pigeonhole any pair within hamming 3 agrees on at least one chunk,
+    * so candidates come from four equi-joins on (chunk index, chunk
+    * value) — never an all-pairs loop. A pair agreeing on several chunks
+    * would surface several times; instead of a distinct() shuffle, a
+    * pair is kept only at its FIRST agreeing chunk (the j where all
+    * j' < j chunks differ — recomputable from the two signatures, so
+    * dedup costs three comparisons instead of a shuffle).
+    *
+    * Scale: candidate volume is driven by 16-bit-chunk collisions
+    * (65536 blocks per chunk index). On corpora where one chunk value
+    * dominates (near-identical boilerplate), salt that block or widen
+    * chunks to 21 bits x 3.
+    */
+  def hammingPairs(docs: DataFrame, maxDist: Int, textCol: String = "text"): DataFrame = {
+    require(maxDist < 4, "4-chunk pigeonhole blocking covers hamming <= 3")
+    val sigs = docs.select(
+      col("doc_id"), simhash64(tokenSet(col(textCol))).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("cj"), chunk16(col("sig"), j).as("ckey"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.cj").as("cj"), col("c.ckey").as("ckey"))
+    val l = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc1"), col("sig").as("s1"))
+    val r = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc2"), col("sig").as("s2"))
+    val firstMatch = (0 until 4).map { j =>
+      (col("cj") === j) && (0 until j)
+        .map(jp => chunk16(col("s1"), jp) =!= chunk16(col("s2"), jp))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    l.join(r, Seq("cj", "ckey"))
+      .filter(col("doc1") < col("doc2"))
+      .filter(firstMatch)
+      .withColumn("hamming",
+        expr("bit_count(s1 ^ s2)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+  }
 }

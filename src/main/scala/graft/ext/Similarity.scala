@@ -80,6 +80,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    * (argmax cosine, deterministic ties by centroid id), then answer a
+    * query by probing only the `nprobe` centroid lists nearest the query
+    * vector.
+    *
+    * Centroids here are the first `nCentroids` vectors by vec_id — a
+    * deterministic stand-in for k-means (the assignment/probe plan is
+    * identical; training would just produce better centroids). Plan
+    * shape at 100 TB: centroids broadcast (tiny), assignment is a
+    * narrow map over the corpus (nCentroids cosines per row, all in one
+    * codegen stage), and the corpus is then partitioned/bucketed BY
+    * `centroid` so a query's shuffle-free probe touches nprobe/nCentroids
+    * of the data. The `cell IN probes` filter is a pushdown-able
+    * partition predicate on a centroid-partitioned table.
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    // Centroids are driver-side constants (16 x dim floats — the same
+    // payload a broadcast would ship), folded into the assignment
+    // expression so coarse quantization is a PURE MAP: no join, no
+    // shuffle, one codegen stage computing nCentroids cosines per row.
+    val centRows = embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // argmax over centroids: lexicographic max of (cosine, -cent_id)
+    // structs — rounded cosine so Spark and the SQL replay agree on ties.
+    def nearestCell(vec: Column): Column = {
+      val cands = centRows.map { case (id, cv) =>
+        struct(rnd(cosine(vec, typedLit(cv)), 6).as("c"), lit(-id).as("negid"))
+      }
+      (array_max(array(cands.toIndexedSeq: _*)).getField("negid") * -1L).as("cell")
+    }
+    val assigned = embeddings.withColumn("cell", nearestCell(col("embedding")))
+    val qRow = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val qvec = typedLit(qRow)
+    // probe list: nprobe centroids nearest the query vector (driver-side
+    // constant fold over nCentroids entries — an IVF index lookup)
+    val scored = centRows.map { case (id, cv) =>
+      (math.floor(VecMath.cosineLocal(cv, qRow) * 1e6 + 0.5) / 1e6, id)
+    }
+    val probes = scored.sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
+    assigned
+      .filter(col("cell").isin(probes: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        rnd(cosine(col("embedding"), qvec), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: bucket-join then cosine >= threshold
     * (vec1 < vec2; cosine rounded 6). The bucket prune is what makes this
     * viable at scale — all-pairs would be O(n^2).

@@ -49,6 +49,23 @@ object VecMath {
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
+  /** Driver-side cosine over materialized vectors (same float discipline
+    * as `cosine`) — used to fold IVF probe selection into the plan.
+    */
+  def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val fa = a(i); val fb = b(i)
+      dab += (fa * fb).toDouble
+      daa += (fa * fa).toDouble
+      dbb += (fb * fb).toDouble
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
   /** Sign bucket over the first `bits` dims: bit d set when a(d) > 0f. */
   def signBucket(a: ArrayData, bits: Int): Long = {
     var acc = 0L
@@ -58,5 +75,33 @@ object VecMath {
       d += 1
     }
     acc
+  }
+
+  private val P = 1000000007L
+
+  /** 64-bit SimHash over a token-code set: bit k uses the parity of the
+    * k-th affine rehash ((2k+3)*c + 7k+1) mod P, set when at least half
+    * the tokens vote 1. Mirrored term-for-term by 64 CASE expressions in
+    * the DuckDB oracle. Empty set -> 0 (matches SQL list_sum([]) = NULL
+    * falling through to ELSE 0).
+    */
+  def simhash64(codes: ArrayData): Long = {
+    val n = codes.numElements()
+    if (n == 0) return 0L
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      val a = 2L * k + 3
+      val b = 7L * k + 1
+      var ones = 0L
+      var i = 0
+      while (i < n) {
+        ones += ((a * codes.getLong(i) + b) % P) & 1L
+        i += 1
+      }
+      if (ones * 2 >= n) sig |= (1L << k)
+      k += 1
+    }
+    sig
   }
 }

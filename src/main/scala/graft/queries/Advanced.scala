@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity}
+import graft.operators.{IntervalJoin, Sessionize}
+import graft.queries.Num.{r => rnd}
+
+/** Round-2 operator wave: multi-level aggregation (rollup/grouping sets),
+  * pivot, exact percentiles, sessionization, interval join, IVF ANN, and
+  * SimHash-hamming near-dup — each with a DuckDB oracle.
+  *
+  * Money sums go through integer cents (floor(x*100+0.5) as BIGINT): sums
+  * of doubles are order-dependent, integer sums are exact in any order —
+  * the only way a distributed sum can hash-match a single-threaded oracle.
+  */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap (seconds): ~median inter-event gap in `events`, so users
+    * split into a handful of multi-event sessions.
+    */
+  val SessionGap = 21600L
+  /** Interval-join bucket: 1 day — near the p90 session span, explode
+    * factor ~2 per interval.
+    */
+  val Bucket = 86400L
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sessionize.sessions(Tables.events(s, d), $"user_id", $"ts", SessionGap, $"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Multi-level aggregation: ROLLUP with grouping flags.
+    "q27_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"))
+    }),
+
+    // Pivot: order value (integer cents) by priority per status.
+    "q28_pivot" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d).select(
+        $"o_orderstatus", $"o_orderpriority",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      val pv = base.groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(sum($"cents"))
+      pv.select(
+        $"o_orderstatus",
+        col("1-URGENT").as("p1_cents"),
+        col("2-HIGH").as("p2_cents"),
+        col("3-MEDIUM").as("p3_cents"),
+        col("4-NOT SPECIFIED").as("p4_cents"),
+        col("5-LOW").as("p5_cents"))
+    }),
+
+    // Exact interpolated percentiles (single shuffle, per-group sort).
+    "q29_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          rnd(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          rnd(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Gaps-and-islands sessionization of the event stream.
+    "q30_sessionize" -> ((s, d) =>
+      sessions(s, d).withColumnRenamed("skey", "user_id")),
+
+    // Interval join: other users' events landing inside user 7's
+    // sessions (bucketed equi-join, no nested loop).
+    "q31_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val u7 = sessions(s, d)
+        .filter($"skey" === 7)
+        .select($"session_seq".as("skey"),
+          $"session_start".cast("long").as("start"),
+          $"session_end".cast("long").as("end"))
+      val pts = Tables.events(s, d)
+        .filter($"user_id" =!= 7)
+        .select($"event_id".as("skey"),
+          $"ts".cast("long").as("start"), $"ts".cast("long").as("end"))
+      IntervalJoin.overlapPairs(u7, pts, Bucket)
+        .groupBy($"key1".as("session_seq"))
+        .agg(count(lit(1)).as("n_other_events"))
+    }),
+
+    // IVF ANN: coarse-quantize to 16 deterministic centroids, probe 2.
+    "q32_ivf_ann" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+
+    // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
+    "q33_simhash64_pairs" -> ((s, d) =>
+      Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private val P = graft.ext.TextStats.P
+
+  /** Sessions CTE chain shared by q30/q31 — mirrors Sessionize exactly:
+    * gap compared on floor-to-second epochs (Spark `cast(ts as long)`),
+    * ties broken by event_id.
+    */
+  private val sessSql =
+    s"""e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        s0 AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > $SessionGap
+               THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s1 AS (SELECT user_id, ts,
+          CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s0),
+        sess AS (SELECT user_id, session_seq,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events FROM s1 GROUP BY user_id, session_seq)"""
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  private def cosSql(a: String, b: String) =
+    Num.rSql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
+
+  private val toksExpr = "list_filter(string_split(text, ' '), t -> t != '')"
+  private def codesExpr(toks: String) =
+    s"""list_transform($toks, t -> list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % $P))"""
+
+  /** 64 majority-vote CASE terms; bit 63's value must be written as an
+    * arithmetic expression — the bare literal overflows DuckDB's BIGINT
+    * parser into HUGEINT.
+    */
+  private val simhash64Terms: String = (0 until 64).map { k =>
+    val a = 2L * k + 3
+    val b = 7L * k + 1
+    val bit = if (k == 63) "(-9223372036854775807 - 1)" else s"${1L << k}"
+    s"""(CASE WHEN list_sum(list_transform(tset, c -> ((c * $a + $b) % $P) & 1)) * 2
+         >= len(tset) THEN $bit ELSE CAST(0 AS BIGINT) END)"""
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q28_pivot" -> {
+      val cases = priorities.zipWithIndex.map { case (p, i) =>
+        s"CAST(sum(CASE WHEN o_orderpriority = '$p' THEN cents END) AS BIGINT) AS p${i + 1}_cents"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT o_orderstatus, o_orderpriority,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+          SELECT o_orderstatus, $cases FROM t GROUP BY o_orderstatus"""
+    },
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50_qty,
+           floor(quantile_cont(l_quantity, 0.95) * 10000 + 0.5) / 10000 AS p95_qty,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q30_sessionize" ->
+      s"""WITH $sessSql SELECT user_id, session_seq, session_start,
+            session_end, n_events FROM sess""",
+    "q31_interval_join" ->
+      s"""WITH $sessSql,
+          u7 AS (SELECT session_seq,
+            CAST(floor(epoch(session_start)) AS BIGINT) AS s,
+            CAST(floor(epoch(session_end)) AS BIGINT) AS e
+            FROM sess WHERE user_id = 7),
+          pts AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+            FROM events WHERE user_id != 7)
+          SELECT session_seq, count(*) AS n_other_events
+          FROM u7 JOIN pts ON pts.tsec BETWEEN u7.s AND u7.e
+          GROUP BY session_seq""",
+    "q32_ivf_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          a AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+          assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM a WHERE rn = 1),
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          probes AS (SELECT cent_id FROM cents, q
+            ORDER BY ${cosSql("cvec", "qvec")} DESC, cent_id ASC LIMIT 2)
+          SELECT vec_id, cell, ${cosSql("embedding", "qvec")} AS cos
+          FROM assigned JOIN probes ON assigned.cell = probes.cent_id, q
+          WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "q33_simhash64_pairs" ->
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          t AS (SELECT doc_id, list_distinct(codes) AS tset FROM c),
+          s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sig FROM t)
+          SELECT l.doc_id AS doc1, r.doc_id AS doc2,
+            CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+          FROM s l JOIN s r ON l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.sig, r.sig)) <= 3""",
+  )
+}

@@ -72,6 +72,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash over an array<long> token-code set, codegen'd: the
+  * per-bit majority vote needs 64 aggregate() trees in declarative form
+  * (all CodegenFallback) — as a native expression it is one generated
+  * call into a tight two-level loop (graft.ext.VecMath.simhash64).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.simhash64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -101,6 +123,9 @@ object GraftColumns {
 
   def signBucket(vec: Column, bits: Int): Column =
     ExpressionUtils.column(SignBucket(ExpressionUtils.expression(vec), bits))
+
+  def simhash64(codes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(codes)))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

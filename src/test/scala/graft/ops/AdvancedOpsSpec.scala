@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+import graft.operators.{IntervalJoin, Sessionize}
+
+/** The scale-path operators (bucketed interval join, chunked hamming
+  * blocking) must be EXACT rewrites of their naive O(n^2) definitions —
+  * these specs compare them against brute force on randomized inputs.
+  */
+class AdvancedOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed overlapPairs == brute-force interval overlap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      // mix zero-length, short, and bucket-straddling long intervals
+      val span = rnd.nextInt(3) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(50).toLong
+        case _ => 500L + rnd.nextInt(2000)
+      }
+      (idBase + i, s, s + span)
+    }
+    val l = mk(120, 1000).toDF("skey", "start", "end")
+    val r = mk(150, 5000).toDF("skey", "start", "end")
+
+    val got = IntervalJoin.overlapPairs(l, r, bucketSeconds = 600L)
+      .select($"key1", $"key2").as[(Long, Long)].collect().toSet
+    val want = l.as("a").crossJoin(r.as("b"))
+      .filter($"a.start" <= $"b.end" && $"b.start" <= $"a.end")
+      .select($"a.skey", $"b.skey").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // and no duplicate emission (dedup-free guarantee)
+    val cnt = IntervalJoin.overlapPairs(l, r, 600L).count()
+    assert(cnt === want.size)
+  }
+
+  test("chunked hammingPairs == brute-force simhash hamming <= 3") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // clusters of near-identical docs so some pairs land within hamming 3
+    val docs = (0 until 80).map { i =>
+      val base = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      val mutated = if (i % 4 != 0) base
+        else base.updated(rnd.nextInt(30), vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val got = Dedup.hammingPairs(docs, maxDist = 3)
+      .select($"doc1", $"doc2", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash64(Dedup.tokenSet($"text")).as("sig"))
+    val want = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("h", expr("bit_count(a.sig ^ b.sig)").cast("long"))
+      .filter($"h" <= 3)
+      .select($"a.doc_id", $"b.doc_id", $"h")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(got === want)
+    assert(want.nonEmpty, "test corpus should produce at least one close pair")
+  }
+
+  test("sessionize splits on gap strictly greater than threshold") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L), (2L, 100L), (3L, 700L),   // gap 600 == threshold -> same session
+      (4L, 1301L),                         // gap 601 > 600 -> new session
+      (5L, 1301L)                          // duplicate ts, tiebreak by id
+    ).map { case (id, sec) => (id, new java.sql.Timestamp(sec * 1000L), 9L) }
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessionize.sessionize(rows, $"user_id", $"ts", 600L, $"event_id")
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+}
