@@ -21,7 +21,7 @@ import graft.queries.Num.{r => rnd}
   */
 object Dedup {
 
-  import TextStats.{P, tokenCodes, tokens}
+  import TextStats.{P, tokenCodesOf}
 
   /** MinHash parameters: K independent (a*x+b) mod P permutations,
     * BANDS bands of ROWS rows (K = BANDS*ROWS). 3 bands of 4 rows keeps
@@ -36,7 +36,7 @@ object Dedup {
   val B: Array[Long] = Array.tabulate(K)(i => 7L * i + 1)
 
   /** Distinct token-code set (unigram shingles — used by SimHash). */
-  def tokenSet(text: Column): Column = array_distinct(tokenCodes(tokens(text)))
+  def tokenSet(text: Column): Column = array_distinct(tokenCodesOf(text))
 
   private val MaxLen = 1 << 20
 

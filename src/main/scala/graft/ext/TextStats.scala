@@ -24,13 +24,22 @@ object TextStats {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Per-token polynomial char hash: fold(31*acc + ascii(char)) mod P. */
-  def tokenCodes(toks: Column): Column =
+  /** Per-token polynomial char hash: fold(31*acc + ascii(char)) mod P.
+    * Declarative reference form — a triple-nested CodegenFallback chain;
+    * kept for the bit-parity spec. Hot paths use [[tokenCodesOf]].
+    */
+  def tokenCodesHof(toks: Column): Column =
     transform(toks, t =>
       aggregate(
         transform(split(t, ""), c => ascii(c).cast("long")),
         lit(0L),
         (acc, c) => (acc * 31 + c) % P))
+
+  /** Native tokenize+hash: text -> array<long>, one codegen'd JVM pass
+    * (identical values to tokenCodesHof(tokens(text))).
+    */
+  def tokenCodesOf(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.tokenCodes(text)
 
   /** Document fingerprint: rolling hash over token codes in order —
     * fold(131*acc + code) mod P. Identical text => identical fingerprint;
@@ -38,7 +47,7 @@ object TextStats {
     * training-pipeline extension op).
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokenCodes(tokens(text)), lit(0L), (acc, c) => (acc * 131 + c) % P)
+    aggregate(tokenCodesOf(text), lit(0L), (acc, c) => (acc * 131 + c) % P)
 
   /** Stopword marker lists per language for the n-gram/marker language-ID
     * heuristic. Deterministic, tiny, embedded in the plan.

@@ -79,6 +79,34 @@ object VecMath {
 
   private val P = 1000000007L
 
+  /** Single-pass tokenizer + per-token polynomial hash: split on single
+    * spaces (empty tokens dropped, matching `filter(split(text, " "),
+    * _ != "")`), each token hashed as fold((acc*31 + char) % P). One JVM
+    * loop replacing a triple-nested CodegenFallback HOF chain
+    * (transform(aggregate(transform(split)))). Characters are UTF-16
+    * units — identical to Spark's per-char ascii() for BMP text, which
+    * is what the frozen oracles cover.
+    */
+  def tokenCodes(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } else {
+        h = (h * 31 + c) % P
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out += h
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash over a token-code set: bit k uses the parity of the
     * k-th affine rehash ((2k+3)*c + 7k+1) mod P, set when at least half
     * the tokens vote 1. Mirrored term-for-term by 64 CASE expressions in

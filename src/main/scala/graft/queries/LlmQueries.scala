@@ -55,7 +55,7 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.documents(s, d).select(
         $"doc_id",
-        TextStats.tokenCodes(TextStats.tokens($"text")).as("codes"))
+        TextStats.tokenCodesOf($"text").as("codes"))
         .select(
           $"doc_id",
           Dedup.bigramCodes($"codes").as("bg"),

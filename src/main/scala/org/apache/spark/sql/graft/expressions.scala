@@ -72,6 +72,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Tokenize-and-hash as one native expression: string -> array<long> of
+  * per-token polynomial hashes (see VecMath.tokenCodes). Replaces a
+  * triple-nested higher-order-function chain that interpreted three
+  * lambda trees per token per row.
+  */
+case class TokenCodes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.tokenCodes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.tokenCodes($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array<long> token-code set, codegen'd: the
   * per-bit majority vote needs 64 aggregate() trees in declarative form
   * (all CodegenFallback) — as a native expression it is one generated
@@ -126,6 +148,9 @@ object GraftColumns {
 
   def simhash64(codes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(codes)))
+
+  def tokenCodes(text: Column): Column =
+    ExpressionUtils.column(TokenCodes(ExpressionUtils.expression(text)))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

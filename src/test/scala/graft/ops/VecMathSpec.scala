@@ -53,6 +53,22 @@ class VecMathSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("native token codes match the nested-HOF form") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox", "  leading and trailing  ", "", " ", "one",
+      "double  space", "punct, included! here?", "a b c d e f g h i j")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.ext.TextStats.tokenCodesOf(col("text")).as("native"),
+      graft.ext.TextStats.tokenCodesHof(
+        graft.ext.TextStats.tokens(col("text"))).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("cosine of a vector with itself is 1.0 within 1 ulp") {
     import spark.implicits._
     val df = vecs(3L, 10, 33).toDF("a").select(col("a").cast("array<float>").as("a"))
