@@ -107,6 +107,12 @@ object Advanced {
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
+
+    // Built-in session_window run in batch (the streaming operator's
+    // twin; watermark is a no-op in batch).
+    "q34_session_window" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionCounts(
+        Tables.events(s, d), "ts", "user_id", "3600 seconds", "0 seconds")),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -207,6 +213,19 @@ object Advanced {
           FROM assigned JOIN probes ON assigned.cell = probes.cent_id, q
           WHERE vec_id != 0
           ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "q34_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         s0 AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s1 AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM s0)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 3600 SECOND AS session_end,
+           count(*) AS n_events
+         FROM s1 GROUP BY user_id, seq""",
     "q33_simhash64_pairs" ->
       s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
           t AS (SELECT doc_id, list_distinct(codes) AS tset FROM c),

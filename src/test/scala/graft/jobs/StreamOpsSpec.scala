@@ -1,0 +1,88 @@
+package graft.jobs
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Event-time semantics of the streaming aggregations: append-mode
+  * windows finalize when the watermark passes, and data older than the
+  * watermark is dropped — the state-size bound the batch reference lacks.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark finalizes windows and drops late data (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.windowedCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      windowDur = "10 minutes", watermarkDelay = "2 minutes")
+    val ckpt = Files.createTempDirectory("wm_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("wm_counts").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // window [10:00,10:10): two on-time events
+      in.addData((ts(0), 1L), (ts(5), 1L))
+      q.processAllAvailable()
+      // advance watermark far past 10:10 -> finalizes the first window
+      in.addData((ts(30), 1L))
+      q.processAllAvailable()
+      // late arrival into the finalized window: must be DROPPED
+      in.addData((ts(1), 1L))
+      q.processAllAvailable()
+      // close out the 10:30 window too
+      in.addData((ts(50), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("wm_counts")
+        .select($"window_start", $"n_events").as[(Timestamp, Long)]
+        .collect().toMap
+      assert(rows(ts(0)) === 2L, "late event must not be counted")
+      assert(rows(ts(30)) === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming session_window merges events within the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.sessionCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "10 minutes", watermarkDelay = "1 minute")
+    val ckpt = Files.createTempDirectory("sw_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("sw_counts").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((ts(0), 1L), (ts(5), 1L), (ts(14), 1L)) // one session: gaps < 10m
+      in.addData((ts(40), 1L))                           // second session
+      q.processAllAvailable()
+      in.addData((ts(59), 2L))                           // push watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("sw_counts")
+        .filter($"user_id" === 1L)
+        .select($"session_start", $"session_end", $"n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows === Set(
+        (ts(0), ts(24), 3L),   // end = last(10:14) + gap
+        (ts(40), ts(50), 1L)))
+    } finally q.stop()
+  }
+}
