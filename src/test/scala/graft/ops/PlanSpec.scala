@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts — the properties that decide whether these operators
+  * survive a 100x scale-up, asserted on the actual physical plans so a
+  * regression shows up as a test failure, not as a cluster incident:
+  *
+  *  - dimension joins broadcast (no shuffle of the fact side),
+  *  - parquet scans receive pushed filters and pruned schemas,
+  *  - tables bucketed on the join key join WITHOUT any exchange.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val warehouse = Files.createTempDirectory("plan_wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension join broadcasts the small side") {
+    val p = plan(graft.SparkEntry.queries("q3_broadcast_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), p)
+    // schema pruned to the two selected columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("tables bucketed on the join key join with zero exchanges") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("li_b")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("ord_b")
+
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(li_b) */ o_custkey, l_quantity
+         FROM li_b JOIN ord_b ON l_orderkey = o_orderkey""")
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n${p.take(1500)}")
+    // the join is also correct, not just shuffle-free
+    assert(joined.count() ===
+      spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val q14 = graft.SparkEntry.queries("q14_point_in_polygon")(spark, sf)
+    val cg = q14.queryExecution.executedPlan.toString
+    // the filter/project stage containing the expression is codegen'd
+    // (stages are numbered "*(n)"); a CodegenFallback node would appear
+    // outside any starred stage
+    assert(cg.contains("*("), cg.take(800))
+  }
+}
