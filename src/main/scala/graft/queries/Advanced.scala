@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Dedup, Similarity}
-import graft.operators.{IntervalJoin, Sessionize}
+import graft.operators.{IntervalJoin, Resample, Sessionize}
 import graft.queries.Num.{r => rnd}
 
 /** Round-2 operator wave: multi-level aggregation (rollup/grouping sets),
@@ -113,6 +113,47 @@ object Advanced {
     "q34_session_window" -> ((s, d) =>
       graft.streaming.StreamOps.sessionCounts(
         Tables.events(s, d), "ts", "user_id", "3600 seconds", "0 seconds")),
+
+    // Ranking-window family: rank/dense_rank share the measure ordering
+    // (ties allowed); ntile gets a unique ordering — tile assignment
+    // within ties is engine-dependent otherwise.
+    "q35_rank_windows" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byQty = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity")
+      val unique = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity",
+        rank().over(byQty).cast("long").as("rnk"),
+        dense_rank().over(byQty).cast("long").as("drnk"),
+        rnd(percent_rank().over(byQty), 6).as("pr"),
+        rnd(cume_dist().over(byQty), 6).as("cd"),
+        ntile(4).over(unique).as("nt"))
+    }),
+
+    // Scalar subquery: orders above the global average value. The
+    // average is over integer cents, so both engines divide the same
+    // exact sum by the same count.
+    "q36_scalar_subquery" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(
+        $"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      val a = o.agg(avg($"cents").as("avg_cents"))
+      o.join(broadcast(a))
+        .filter($"cents" > $"avg_cents")
+        .select($"o_orderkey", $"o_custkey", $"cents")
+    }),
+
+    // Gap-fill / forward-fill: densify each user's daily value series.
+    "q37_gap_fill" -> ((s, d) => {
+      import s.implicits._
+      Resample.dailyForwardFill(
+        Tables.events(s, d), $"user_id", $"ts", rnd(sum($"value"), 4))
+        .withColumnRenamed("fkey", "user_id")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -226,6 +267,39 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q35_rank_windows" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(rank() OVER byqty AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER byqty AS BIGINT) AS drnk,
+           floor(percent_rank() OVER byqty * 1000000 + 0.5) / 1000000 AS pr,
+           floor(cume_dist() OVER byqty * 1000000 + 0.5) / 1000000 AS cd,
+           CAST(ntile(4) OVER uniq AS INTEGER) AS nt
+         FROM lineitem
+         WINDOW byqty AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+                uniq AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)""",
+    "q36_scalar_subquery" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+         SELECT o_orderkey, o_custkey, cents FROM o
+         WHERE cents > (SELECT avg(cents) FROM o)""",
+    "q37_gap_fill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         obs AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           floor(sum(value) * 10000 + 0.5) / 10000 AS day_value
+           FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+         grid AS (SELECT user_id, CAST(unnest(generate_series(
+           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         j AS (SELECT g.user_id, g.day, o.day_value
+           FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+         SELECT user_id, day,
+           last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           day_value IS NOT NULL AS observed
+         FROM j""",
     "q33_simhash64_pairs" ->
       s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
           t AS (SELECT doc_id, list_distinct(codes) AS tset FROM c),
