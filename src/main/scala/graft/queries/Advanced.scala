@@ -154,6 +154,22 @@ object Advanced {
         Tables.events(s, d), $"user_id", $"ts", rnd(sum($"value"), 4))
         .withColumnRenamed("fkey", "user_id")
     }),
+
+    // Approximate sketches — the 100 TB substitutes for q6's exact
+    // distinct and q29's exact percentiles (HLL++ and KLL-style
+    // mergeable state instead of per-key sets / full sorts). Sketch
+    // internals differ per engine, so there is no DuckDB oracle; the
+    // driver records a rows-only check and ApproxSpec bounds the error
+    // against the exact answers.
+    "q38_approx_sketches" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", rsd = 0.02).as("n_users_hll"),
+          expr("approx_percentile(value, 0.5, 1000)").as("p50_value_sketch"),
+          count(lit(1)).as("n_events"))
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------

@@ -77,6 +77,45 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus should produce at least one close pair")
   }
 
+  test("salted join == plain join on a skewed key distribution") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // 90% of the left rows share one hot key
+    val left = (0 until 5000).map { i =>
+      (i.toLong, if (i % 10 != 0) 7L else (i % 50).toLong)
+    }.toDF("row_id", "k")
+    val right = (0 until 50).map(k => (k.toLong, s"dim_$k")).toDF("rk", "attr")
+
+    val salted = Skew.saltedEquiJoin(left, "k", $"row_id", right, "rk", buckets = 8)
+      .select($"row_id", $"attr").as[(Long, String)].collect().sorted.toSeq
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"row_id", $"attr").as[(Long, String)].collect().sorted.toSeq
+    assert(salted === plain)
+
+    // and the shuffle actually partitions by (key, salt), spreading the
+    // hot key over `buckets` reducers
+    val p = Skew.saltedEquiJoin(left, "k", $"row_id", right, "rk", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(800))
+  }
+
+  test("approx sketches stay within error bounds of exact answers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 20000).map(_ => (rnd.nextInt(2000).toLong, rnd.nextGaussian() * 10))
+      .toDF("uid", "v")
+    val row = df.agg(
+      approx_count_distinct($"uid", rsd = 0.02).as("hll"),
+      countDistinct($"uid").as("exact"),
+      expr("approx_percentile(v, 0.5, 1000)").as("p50s"),
+      expr("percentile(v, 0.5)").as("p50")).collect().head
+    val (hll, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(hll - exact).toDouble / exact < 0.05,
+      s"HLL off by more than 5%: $hll vs $exact")
+    val (p50s, p50) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(p50s - p50) < 1.0, s"approx p50 $p50s vs exact $p50")
+  }
+
   test("sessionize splits on gap strictly greater than threshold") {
     import spark.implicits._
     val rows = Seq(

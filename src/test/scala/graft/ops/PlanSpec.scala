@@ -50,6 +50,20 @@ class PlanSpec extends AnyFunSuite {
   test("tables bucketed on the join key join with zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory catalog resets per JVM but managed-table locations
+    // persist on disk — clear them or saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS on the next run
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_b", "ord_b").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     spark.read.parquet(s"$sf/lineitem.parquet")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable("li_b")
