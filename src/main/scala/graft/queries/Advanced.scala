@@ -155,6 +155,29 @@ object Advanced {
         .withColumnRenamed("fkey", "user_id")
     }),
 
+    // Semi-structured extraction: typed struct out of the JSON props
+    // column, then a relational aggregate over the extracted field.
+    "q39_json_extract" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      Tables.events(s, d)
+        .withColumn("p", from_json($"props",
+          StructType(Seq(StructField("k", LongType)))))
+        .groupBy($"p.k".as("k"))
+        .agg(count(lit(1)).as("n"), rnd(sum($"value"), 4).as("sum_value"))
+    }),
+
+    // Per-label centroid of the embedding column: posexplode to
+    // (label, dim, component), one grouped average — the UDAF-free way
+    // to aggregate vectors (shuffle carries label x dim keys only).
+    "q40_vector_centroid" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim".cast("long").as("dim"))
+        .agg(rnd(avg($"v"), 4).as("centroid_val"))
+    }),
+
     // Approximate sketches — the 100 TB substitutes for q6's exact
     // distinct and q29's exact percentiles (HLL++ and KLL-style
     // mergeable state instead of per-key sets / full sorts). Sketch
@@ -283,6 +306,16 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q39_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+           count(*) AS n,
+           floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+         FROM events GROUP BY 1""",
+    "q40_vector_centroid" ->
+      """SELECT label, i - 1 AS dim,
+           floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS centroid_val
+         FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+         GROUP BY 1, 2""",
     "q35_rank_windows" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
            CAST(rank() OVER byqty AS BIGINT) AS rnk,
