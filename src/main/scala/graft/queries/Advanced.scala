@@ -178,6 +178,46 @@ object Advanced {
         .agg(rnd(avg($"v"), 4).as("centroid_val"))
     }),
 
+    // Time-range window frame: per-user trailing-1-hour moving average
+    // (RANGE frame over event-time seconds, not row counts).
+    "q41_moving_avg" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".cast("long"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d).select(
+        $"event_id", $"user_id", $"ts",
+        rnd(avg($"value").over(w), 4).as("avg_1h"))
+    }),
+
+    // Relational set operations over derived key sets.
+    "q42_set_ops" -> ((s, d) => {
+      import s.implicits._
+      val custN = Tables.customer(s, d).select($"c_nationkey".as("nationkey")).distinct()
+      val suppN = Tables.supplier(s, d).select($"s_nationkey".as("nationkey")).distinct()
+      custN.intersect(suppN).withColumn("set_op", lit("both"))
+        .unionByName(custN.except(suppN).withColumn("set_op", lit("cust_only")))
+        .unionByName(suppN.except(custN).withColumn("set_op", lit("supp_only")))
+    }),
+
+    // Fuzzy matching: DISTINCT part names within Levenshtein distance 3,
+    // blocked on the shared first token so the pair join never goes
+    // all-pairs. Dedup-before-match is the scale order: the quadratic
+    // step runs on unique values, and results fan back out by equi-join.
+    "q43_fuzzy_match" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d).select($"p_name").distinct()
+        .select($"p_name", split($"p_name", " ").getItem(0).as("blk"))
+      val l = p.select($"blk", $"p_name".as("n1"))
+      val r = p.select($"blk", $"p_name".as("n2"))
+      l.join(r, Seq("blk"))
+        .filter($"n1" < $"n2")
+        .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+        .filter($"dist" <= 3)
+        .select($"n1", $"n2", $"dist")
+    }),
+
     // Approximate sketches — the 100 TB substitutes for q6's exact
     // distinct and q29's exact percentiles (HLL++ and KLL-style
     // mergeable state instead of per-key sets / full sorts). Sketch
@@ -306,6 +346,32 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q41_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec FROM events)
+         SELECT event_id, user_id, ts,
+           floor(avg(value) OVER (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+             AS avg_1h
+         FROM e""",
+    "q42_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+              s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT nationkey, 'both' AS set_op
+           FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+         UNION ALL
+         SELECT nationkey, 'cust_only'
+           FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+         UNION ALL
+         SELECT nationkey, 'supp_only'
+           FROM (SELECT * FROM s EXCEPT SELECT * FROM c)""",
+    "q43_fuzzy_match" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part),
+         p AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM d)
+         SELECT l.p_name AS n1, r.p_name AS n2,
+           CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
+         FROM p l JOIN p r ON l.blk = r.blk AND l.p_name < r.p_name
+         WHERE levenshtein(l.p_name, r.p_name) <= 3""",
     "q39_json_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
            count(*) AS n,
