@@ -218,6 +218,21 @@ object Advanced {
         .select($"n1", $"n2", $"dist")
     }),
 
+    // Typed Aggregator UDAF: per-language corpus MinHash-union signature
+    // (mergeable sketch state — K longs per group regardless of corpus
+    // size; map-side combine does the real work).
+    "q44_corpus_minhash" -> ((s, d) => {
+      import s.implicits._
+      val mh = udaf(new graft.ext.MinhashUnion)
+      val sigs = Tables.documents(s, d)
+        .select($"lang", graft.ext.TextStats.tokenCodesOf($"text").as("codes"))
+        .groupBy($"lang")
+        .agg(mh($"codes").as("sig"))
+      sigs.select(
+        Seq($"lang") ++ (0 until graft.ext.Dedup.K).map(i =>
+          element_at($"sig", i + 1).as(s"m$i")): _*)
+    }),
+
     // Approximate sketches — the 100 TB substitutes for q6's exact
     // distinct and q29's exact percentiles (HLL++ and KLL-style
     // mergeable state instead of per-key sets / full sorts). Sketch
@@ -346,6 +361,13 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q44_corpus_minhash" -> {
+      val mins = (0 until Dedup.K).map { i =>
+        s"CAST(min((${Dedup.A(i)} * c + ${Dedup.B(i)}) % $P) AS BIGINT) AS m$i"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT lang, unnest(${codesExpr(toksExpr)}) AS c FROM documents)
+          SELECT lang, $mins FROM t GROUP BY lang"""
+    },
     "q41_moving_avg" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec FROM events)
