@@ -218,6 +218,24 @@ object Advanced {
         .select($"n1", $"n2", $"dist")
     }),
 
+    // Data-quality audit in one pass + a referential-integrity anti-join:
+    // the constraint checks a warehouse runs before publishing a table.
+    "q45_data_audit" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val stats = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("null_qty"),
+        sum(when($"l_quantity" < 0 || $"l_quantity" > 50, 1L).otherwise(0L))
+          .as("range_violations"),
+        sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("null_shipdate"),
+        countDistinct($"l_orderkey").as("distinct_orders"))
+      val orphans = li.join(Tables.orders(s, d),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      stats.join(broadcast(orphans))
+    }),
+
     // Typed Aggregator UDAF: per-language corpus MinHash-union signature
     // (mergeable sketch state — K longs per group regardless of corpus
     // size; map-side combine does the real work).
@@ -361,6 +379,17 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q45_data_audit" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+           (SELECT count(*) FROM lineitem
+              WHERE l_quantity < 0 OR l_quantity > 50) AS range_violations,
+           (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS null_shipdate,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS distinct_orders,
+           (SELECT count(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_lineitems""",
     "q44_corpus_minhash" -> {
       val mins = (0 until Dedup.K).map { i =>
         s"CAST(min((${Dedup.A(i)} * c + ${Dedup.B(i)}) % $P) AS BIGINT) AS m$i"
