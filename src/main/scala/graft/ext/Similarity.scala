@@ -80,6 +80,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Argmax-cosine centroid id as a pure map expression: lexicographic
+    * max of (rounded cosine, -cent_id) structs over driver-side centroid
+    * constants — no join, no shuffle, one codegen stage of
+    * centroids.size cosines per row.
+    */
+  def nearestCentroid(cents: Seq[(Long, Seq[Float])], vec: Column): Column = {
+    val cands = cents.map { case (id, cv) =>
+      struct(rnd(cosine(vec, typedLit(cv)), 6).as("c"), lit(-id).as("negid"))
+    }
+    (array_max(array(cands: _*)).getField("negid") * -1L).as("cell")
+  }
+
+  /** Lloyd's iterations for IVF training: deterministic init (first k
+    * vectors by vec_id), assignment = argmax cosine (spherical k-means —
+    * the mean centroid needs no normalization because cosine argmax is
+    * scale-invariant), centroid update = per-dimension mean via
+    * posexplode + grouped avg (shuffle carries cell x dim keys only).
+    * Each iteration is one Spark job; centroids come back to the driver
+    * (k x dim floats — broadcast-sized) to fold into the next
+    * assignment expression. Cells that lose all members keep their old
+    * centroid.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    var cents = embeddings
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val updated = embeddings
+        .withColumn("cell", nearestCentroid(cents, col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+    }
+    cents
+  }
+
   /** IVF-style ANN: coarse-quantize every vector to its nearest centroid
     * (argmax cosine, deterministic ties by centroid id), then answer a
     * query by probing only the `nprobe` centroid lists nearest the query
@@ -107,15 +152,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    // argmax over centroids: lexicographic max of (cosine, -cent_id)
-    // structs — rounded cosine so Spark and the SQL replay agree on ties.
-    def nearestCell(vec: Column): Column = {
-      val cands = centRows.map { case (id, cv) =>
-        struct(rnd(cosine(vec, typedLit(cv)), 6).as("c"), lit(-id).as("negid"))
-      }
-      (array_max(array(cands.toIndexedSeq: _*)).getField("negid") * -1L).as("cell")
-    }
-    val assigned = embeddings.withColumn("cell", nearestCell(col("embedding")))
+    val assigned = embeddings.withColumn("cell",
+      nearestCentroid(centRows.toIndexedSeq, col("embedding")))
     val qRow = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect().head.getSeq[Float](0)
     val qvec = typedLit(qRow)

@@ -116,6 +116,39 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(math.abs(p50s - p50) < 1.0, s"approx p50 $p50s vs exact $p50")
   }
 
+  test("k-means recovers separated clusters and converges") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(5)
+    // three well-separated directions in 8-d, 60 points each
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f))
+    val pts = (0 until 180).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + rnd.nextFloat() * 0.1f).toSeq, (i % 3).toLong)
+    }
+    val df = pts.map { case (id, v, l) => (id, v, l) }
+      .toDF("vec_id", "embedding", "truth")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"truth")
+
+    val cents = Similarity.kmeansCentroids(df, k = 3, iters = 4)
+    val assigned = df.withColumn("cell",
+      Similarity.nearestCentroid(cents, $"embedding"))
+      .select($"truth", $"cell").as[(Long, Long)].collect()
+    // every truth-cluster maps to exactly one cell and vice versa
+    val byTruth = assigned.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    assert(byTruth.values.forall(_.size == 1), s"clusters split: $byTruth")
+    assert(byTruth.values.flatten.toSet.size === 3, "clusters merged")
+    // another iteration does not change the assignment (converged)
+    val cents2 = Similarity.kmeansCentroids(df, k = 3, iters = 5)
+    val assigned2 = df.withColumn("cell",
+      Similarity.nearestCentroid(cents2, $"embedding"))
+      .select($"truth", $"cell").as[(Long, Long)].collect()
+    assert(assigned.toSeq === assigned2.toSeq)
+  }
+
   test("sessionize splits on gap strictly greater than threshold") {
     import spark.implicits._
     val rows = Seq(
