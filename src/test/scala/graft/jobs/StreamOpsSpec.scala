@@ -58,6 +58,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink keeps the latest row per key across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val out = Files.createTempDirectory("upsert_out").toString
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    val q = in.toDF().toDF("track_id", "payload", "seq")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(UpsertSink.foreachBatchUpsert(out, "track_id", "seq") _)
+      .start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      in.addData((1L, "a2", 2L), (3L, "c", 1L))
+      q.processAllAvailable()
+      val latest = UpsertSink.latest(spark, out)
+        .select($"track_id", $"payload").as[(Long, String)].collect().toSet
+      assert(latest === Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("streaming session_window merges events within the gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
