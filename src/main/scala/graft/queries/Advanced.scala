@@ -49,6 +49,28 @@ object Advanced {
           grouping($"l_linestatus").cast("long").as("g_ls"))
     }),
 
+    // CUBE: all four grouping combinations in one pass.
+    "q46_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"),
+          grouping($"o_orderstatus").cast("long").as("g_st"),
+          grouping($"o_orderpriority").cast("long").as("g_pr"))
+    }),
+
+    // Ordered string aggregation: deterministic listagg via sorted
+    // distinct values (raw collect_list order is partition-dependent).
+    "q47_string_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(array_join(array_sort(collect_set($"l_linestatus")), ",")
+          .as("statuses"))
+    }),
+
     // Pivot: order value (integer cents) by priority per status.
     "q28_pivot" -> ((s, d) => {
       import s.implicits._
@@ -379,6 +401,17 @@ object Advanced {
            max(ts) + INTERVAL 3600 SECOND AS session_end,
            count(*) AS n_events
          FROM s1 GROUP BY user_id, seq""",
+    "q46_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q47_string_agg" ->
+      """SELECT l_returnflag,
+           list_aggregate(list_sort(list_distinct(list(l_linestatus))), 'string_agg', ',')
+             AS statuses
+         FROM lineitem GROUP BY l_returnflag""",
     "q45_data_audit" ->
       """SELECT
            (SELECT count(*) FROM lineitem) AS n_rows,

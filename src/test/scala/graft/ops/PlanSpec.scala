@@ -82,6 +82,19 @@ class PlanSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("pair-join operators never degrade to nested-loop or cartesian plans") {
+    // the LSH/blocking rewrites exist to avoid O(n*m) joins — if a code
+    // change loses the equi-join keys, Catalyst silently falls back to
+    // BroadcastNestedLoopJoin/CartesianProduct and the operator stops
+    // scaling; lock it
+    for (q <- Seq("q21_minhash_pairs", "q22_bigram_jaccard", "q25_embedding_near_dup",
+        "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val q14 = graft.SparkEntry.queries("q14_point_in_polygon")(spark, sf)
     val cg = q14.queryExecution.executedPlan.toString
