@@ -47,6 +47,41 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(cnt === want.size)
   }
 
+  test("overlapPairs exact across bucket widths (property)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2); bucket <- Seq(7L, 100L, 5000L)) {
+      val rnd = new scala.util.Random(seed)
+      def mk(n: Int, base: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(5000).toLong
+        (base + i, s, s + rnd.nextInt(800))
+      }
+      val l = mk(60, 0).toDF("skey", "start", "end")
+      val r = mk(60, 1000).toDF("skey", "start", "end")
+      val got = IntervalJoin.overlapPairs(l, r, bucket)
+        .select($"key1", $"key2").as[(Long, Long)].collect().toSet
+      val want = l.as("a").crossJoin(r.as("b"))
+        .filter($"a.start" <= $"b.end" && $"b.start" <= $"a.end")
+        .select($"a.skey", $"b.skey").as[(Long, Long)].collect().toSet
+      assert(got === want, s"seed=$seed bucket=$bucket")
+      assert(IntervalJoin.overlapPairs(l, r, bucket).count() === want.size,
+        s"dup emission at seed=$seed bucket=$bucket")
+    }
+  }
+
+  test("hammingPairs exact at maxDist 0 (exact-duplicate signatures)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // identical -> hamming 0
+      (3L, "completely different words here now"),
+      (4L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.hammingPairs(docs, maxDist = 0)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
   test("chunked hammingPairs == brute-force simhash hamming <= 3") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
