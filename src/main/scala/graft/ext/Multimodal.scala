@@ -67,6 +67,27 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over an opaque binary payload: treat the payload as
+    * fixed-size frames, keep every `everyN`-th, and slice the frame
+    * bytes out with substring-on-binary — the video/audio frame-extract
+    * plan shape (explode factor = n_frames/everyN; the full payload is
+    * projected away right after slicing so only sampled frames ever
+    * move downstream). A real codec would replace the byte slice with a
+    * keyframe decode at the same positions.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        floor(length(col("payload")) / frameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong)))
+          .as("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame"))
+
   /** Documents table as a synthetic media table (text bytes as payload) —
     * exercises the full binary-column path on driver-provided data.
     */

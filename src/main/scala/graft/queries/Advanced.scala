@@ -258,6 +258,16 @@ object Advanced {
       stats.join(broadcast(orphans))
     }),
 
+    // Multimodal frame sampling: every 4th 16-byte frame sliced out of
+    // the binary payload (compared as string — payloads are ASCII).
+    "q48_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Multimodal.frameSample(
+        graft.ext.Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+        frameBytes = 16, everyN = 4)
+        .select($"media_id", $"frame_idx", $"frame".cast("string").as("frame_str"))
+    }),
+
     // Typed Aggregator UDAF: per-language corpus MinHash-union signature
     // (mergeable sketch state — K longs per group regardless of corpus
     // size; map-side combine does the real work).
@@ -412,6 +422,14 @@ object Advanced {
            list_aggregate(list_sort(list_distinct(list(l_linestatus))), 'string_agg', ',')
              AS statuses
          FROM lineitem GROUP BY l_returnflag""",
+    "q48_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+           CAST(floor(length(text) / 16) AS BIGINT) AS n_frames FROM documents),
+         f AS (SELECT media_id, text, unnest(range(0, n_frames, 4)) AS frame_idx
+           FROM m WHERE n_frames > 0)
+         SELECT media_id, frame_idx,
+           substring(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16) AS frame_str
+         FROM f""",
     "q45_data_audit" ->
       """SELECT
            (SELECT count(*) FROM lineitem) AS n_rows,
