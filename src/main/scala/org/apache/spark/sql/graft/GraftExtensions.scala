@@ -1,0 +1,103 @@
+/* Catalyst-internal surface (Rule, FunctionRegistry, analyzed lambda
+ * trees) — packaged under org.apache.spark.sql like any third-party
+ * Spark extension library.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Matches the analyzed form of the declarative float dot product
+  * `aggregate(zip_with(l, r, (x, y) => x * y), 0.0, (acc, v) => acc + v)`:
+  * ArrayAggregate(ZipWith(l, r, λ multiply), 0.0, λ(acc + cast(v as
+  * double)), λ identity). The Cast pins element type float — the only
+  * case the fused kernel's numerics reproduce exactly.
+  */
+private object DotHof {
+  def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+    case ArrayAggregate(
+        ZipWith(l, r,
+          LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(
+          Add(_: NamedLambdaVariable, Cast(_: NamedLambdaVariable, DoubleType, _, _), _), _, _),
+        LambdaFunction(fin: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _))
+        if fin.exprId == arg.exprId =>
+      Some((l, r))
+    case _ => None
+  }
+}
+
+/** Optimizer rule: rewrite the declarative cosine
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` over float arrays into
+  * the fused native CosineSimilarity expression — users keep the
+  * composable `functions._` formulation, the plan gets the single-pass
+  * codegen kernel (three interpreted CodegenFallback trees -> one
+  * generated call; measured ~100x on the brute-force top-k). Numerics
+  * are bit-identical (VecMathSpec), so the rewrite is semantics-
+  * preserving in the strictest sense.
+  */
+object RewriteHofCosine extends Rule[LogicalPlan] {
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Divide(
+        DotHof(a, b),
+        Multiply(Sqrt(DotHof(a2, a3)), Sqrt(DotHof(b2, b3)), _), _)
+        if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          b.semanticEquals(b2) && b.semanticEquals(b3) &&
+          isFloatArray(a) && isFloatArray(b) =>
+      CosineSimilarity(a, b)
+  }
+}
+
+/** Session extensions: the production registration path
+  * (`spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`)
+  * injecting the optimizer rule and the native kernels as SQL
+  * functions. `install` applies the same to an already-running session
+  * (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("sign_bucket"),
+      new ExpressionInfo(classOf[SignBucket].getName, "sign_bucket"),
+      (es: Seq[Expression]) => SignBucket(es(0), if (es.size > 1) intArg(es(1)) else 8)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("token_codes"),
+      new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
+      (es: Seq[Expression]) => TokenCodes(es(0))))
+
+  /** Register the rule + SQL functions on a live session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofCosine
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}
