@@ -258,6 +258,26 @@ object Advanced {
       stats.join(broadcast(orphans))
     }),
 
+    // Multiset (ALL) set operations: bag semantics preserve duplicates.
+    "q49_multiset_ops" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_suppkey".as("k"))
+      val os = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_suppkey".as("k"))
+      li.exceptAll(os).groupBy($"k").agg(count(lit(1)).as("n"))
+    }),
+
+    // Boolean aggregates per group (every/any/count_if).
+    "q50_bool_aggs" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          every($"o_totalprice" > 1000.0).as("all_over_1k"),
+          some($"o_totalprice" > 400000.0).as("any_over_400k"),
+          count_if($"o_orderstatus" === "F").as("n_finished"))
+    }),
+
     // Multimodal frame sampling: every 4th 16-byte frame sliced out of
     // the binary payload (compared as string — payloads are ASCII).
     "q48_frame_sample" -> ((s, d) => {
@@ -422,6 +442,18 @@ object Advanced {
            list_aggregate(list_sort(list_distinct(list(l_linestatus))), 'string_agg', ',')
              AS statuses
          FROM lineitem GROUP BY l_returnflag""",
+    "q49_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+              b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+         SELECT k, count(*) AS n
+         FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+         GROUP BY k""",
+    "q50_bool_aggs" ->
+      """SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+         FROM orders GROUP BY o_orderpriority""",
     "q48_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
            CAST(floor(length(text) / 16) AS BIGINT) AS n_frames FROM documents),
