@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Event-time streaming aggregations (SURVEY §2.4): watermarked tumbling
   * windows and session windows. The reference keeps state forever and
@@ -27,6 +30,53 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_events"))
+
+  /** Streaming exact dedup with BOUNDED state: duplicates are dropped
+    * only within the watermark horizon, so per-key state is evicted once
+    * the watermark passes — at 100 TB the dedup state is (watermark
+    * delay x arrival rate), not the full history the reference's
+    * dictionary-based dedup would accumulate.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           idCols: Seq[String], watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  final case class Expiry(key: Long, last_ts: Timestamp, status: String)
+
+  /** Track liveness with EVENT-TIME timeout: keep each key's last-seen
+    * timestamp; when the watermark passes last_seen + ttl the state is
+    * evicted and one EXPIRED record is emitted. This is the bounded
+    * replacement for the reference's forever-dictionaries (vessel/track
+    * maps that only ever grow): state size is live keys, not all keys
+    * ever seen. Event-time timeout (not processing-time) keeps the
+    * operator deterministic in replay/backfill.
+    */
+  def trackExpiry(events: Dataset[(Long, Timestamp)], ttlSeconds: Long,
+                  watermarkDelay: String): Dataset[Expiry] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("key", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Timestamp, Expiry](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, it, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(Expiry(key, last, "EXPIRED"))
+          } else {
+            val newest = (it.map(_._2) ++ state.getOption.iterator)
+              .maxBy(_.getTime)
+            state.update(newest)
+            state.setTimeoutTimestamp(newest.getTime + ttlSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Session windows (built-in state merge): a session extends while the
     * next event arrives strictly before last_ts + gap; window end is

@@ -58,6 +58,51 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("id", "ts"), "ts", Seq("id"), "10 minutes")
+    val ckpt = Files.createTempDirectory("dd_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("dd_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))  // dup in-batch
+      q.processAllAvailable()
+      in.addData((1L, ts(3)), (3L, ts(4)))               // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").select($"id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("event-time timeout evicts stale keys and emits expiry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.trackExpiry(in.toDS(), ttlSeconds = 600L,
+      watermarkDelay = "1 minute")
+    val ckpt = Files.createTempDirectory("exp_ckpt").toString
+    val q = out.toDF().writeStream
+      .format("memory").queryName("exp_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(30)))
+      q.processAllAvailable()
+      // watermark after batch 1 = 10:30 - 1m = 10:29 > key1's
+      // 10:00+10m timeout; the timeout fires on the NEXT batch
+      in.addData((3L, ts(35)))
+      q.processAllAvailable()
+      val rows = spark.table("exp_out")
+        .select($"key", $"status").as[(Long, String)].collect().toSet
+      assert(rows === Set((1L, "EXPIRED")), "only key 1 is past its TTL")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink keeps the latest row per key across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

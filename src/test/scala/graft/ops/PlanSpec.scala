@@ -95,6 +95,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF cell-partitioned store prunes partitions on probe") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val dir = Files.createTempDirectory("ivf_store").toString
+    emb.withColumn("cell", Similarity.nearestCentroid(cents, col("embedding")))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    // a probe of 2 cells must scan only those partitions
+    val probe = spark.read.parquet(dir).filter(col("cell").isin(0L, 3L))
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters"), p.take(800))
+    // partition columns read back type-inferred (int here)
+    val scanned = probe.select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(scanned.subsetOf(Set(0L, 3L)))
+    // partition pruning shows in the scan's selected partition count
+    val files = probe.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(files.relation.location.listFiles(files.partitionFilters, Nil)
+      .map(_.values).length <= 2, "probe must touch at most nprobe partitions")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val q14 = graft.SparkEntry.queries("q14_point_in_polygon")(spark, sf)
     val cg = q14.queryExecution.executedPlan.toString
