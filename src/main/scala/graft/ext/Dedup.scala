@@ -207,8 +207,12 @@ object Dedup {
     */
   def hammingPairs(docs: DataFrame, maxDist: Int, textCol: String = "text"): DataFrame = {
     require(maxDist < 4, "4-chunk pigeonhole blocking covers hamming <= 3")
+    // coalesce makes the signature non-nullable: otherwise Catalyst
+    // inserts isnotnull(sig) on the join key and predicate pushdown
+    // substitutes the WHOLE signature expression into that filter —
+    // tokenize+simhash evaluated twice per row (observed in the plan)
     val sigs = docs.select(
-      col("doc_id"), simhash64(tokenSet(col(textCol))).as("sig"))
+      col("doc_id"), simhash64(tokenSet(coalesce(col(textCol), lit("")))).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("cj"), chunk16(col("sig"), j).as("ckey"))): _*)).as("c"))
