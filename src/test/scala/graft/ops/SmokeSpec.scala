@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must RUN end-to-end at sf0.001 — a failure here
+  * is caught at build time instead of at the driver's verify pass.
+  * (Hash correctness is the DuckDB gate's job; this is the
+  * does-it-execute floor, including queries with no oracle.)
+  */
+class SmokeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every SparkEntry query executes at sf0.001") {
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry flagship returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query and every oracle is non-empty SQL") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql
+    val dangling = os.keySet.diff(qs)
+    assert(dangling.isEmpty, s"oracle without query: $dangling")
+    assert(os.values.forall(_.trim.nonEmpty))
+  }
+}
