@@ -278,6 +278,31 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Deterministic train/test split: Knuth-hash bucket of the stable id
+    // — reproducible across engines/runs/partitionings, unlike
+    // randomSplit. 80/10/10 by bucket range.
+    "q51_train_test_split" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "valid")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+    }),
+
+    // Seeded stratified sample (rows-only: sampling RNG is
+    // engine-specific; determinism and fractions are spec-asserted).
+    "q52_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.2), seed = 42L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"))
+    }),
+
     // Multimodal frame sampling: every 4th 16-byte frame sliced out of
     // the binary payload (compared as string — payloads are ASCII).
     "q48_frame_sample" -> ((s, d) => {
@@ -442,6 +467,12 @@ object Advanced {
            list_aggregate(list_sort(list_distinct(list(l_linestatus))), 'string_agg', ',')
              AS statuses
          FROM lineitem GROUP BY l_returnflag""",
+    "q51_train_test_split" ->
+      """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM t GROUP BY 1""",
     "q49_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
               b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')

@@ -112,6 +112,24 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus should produce at least one close pair")
   }
 
+  test("seeded stratified sample is deterministic and near the fractions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val langs = Vector("en", "de", "es")
+    val docs = (0 until 3000).map(i => (i.toLong, langs(rnd.nextInt(3))))
+      .toDF("doc_id", "lang")
+    val fracs = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.0)
+    def sample() = docs.stat.sampleBy("lang", fracs, seed = 7L)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(sample() === sample(), "same seed must give identical rows")
+    val byLang = docs.stat.sampleBy("lang", fracs, seed = 7L)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.1)
+    assert(math.abs(byLang("de").toDouble / totals("de") - 0.2) < 0.1)
+    assert(!byLang.contains("es"))
+  }
+
   test("salted join == plain join on a skewed key distribution") {
     import spark.implicits._
     import graft.operators.Skew
