@@ -169,8 +169,9 @@ object Dedup {
   /** 16-bit SimHash over the token set: bit k of the signature is 1 when
     * at least half the tokens have bit k set in their code. Small enough
     * to mirror as 16 explicit CASE terms in SQL, same majority rule.
+    * Declarative reference kept for the parity spec; hot path native.
     */
-  def simhash16(setCol: Column): Column = {
+  def simhash16Hof(setCol: Column): Column = {
     val n = size(setCol).cast("long")
     (0 until 16).map { k =>
       val ones = aggregate(setCol, lit(0L),
@@ -178,6 +179,10 @@ object Dedup {
       when(ones * 2 >= n, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Native codegen'd 16-bit SimHash (bit-identical on non-empty sets). */
+  def simhash16(setCol: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.simhash16(setCol)
 
   /** Word-bigram shingle codes (distinct), for n-gram Jaccard near-dup. */
   def bigramCodes(codes: Column): Column = chainCodes(codes, 2)

@@ -47,6 +47,10 @@ object TextStats {
     * training-pipeline extension op).
     */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.rollingHash(tokenCodesOf(text))
+
+  /** Declarative fingerprint (parity-spec reference). */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokenCodesOf(text), lit(0L), (acc, c) => (acc * 131 + c) % P)
 
   /** Stopword marker lists per language for the n-gram/marker language-ID

@@ -107,6 +107,36 @@ object VecMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** 16-bit SimHash: bit k of the signature set when at least half the
+    * token codes have bit k set (the q19 oracle's 16 CASE terms).
+    * Empty set -> 0.
+    */
+  def simhash16(codes: ArrayData): Long = {
+    val n = codes.numElements()
+    if (n == 0) return 0L
+    var sig = 0L
+    var k = 0
+    while (k < 16) {
+      var ones = 0L
+      var i = 0
+      while (i < n) { ones += (codes.getLong(i) >> k) & 1L; i += 1 }
+      if (ones * 2 >= n) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** Rolling polynomial fold over codes in order: fold((acc*131+c) % P),
+    * the document fingerprint.
+    */
+  def rollingHash(codes: ArrayData): Long = {
+    val n = codes.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = (acc * 131 + codes.getLong(i)) % P; i += 1 }
+    acc
+  }
+
   /** 64-bit SimHash over a token-code set: bit k uses the parity of the
     * k-th affine rehash ((2k+3)*c + 7k+1) mod P, set when at least half
     * the tokens vote 1. Mirrored term-for-term by 64 CASE expressions in

@@ -116,6 +116,34 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-bit SimHash over array<long> (majority vote of code bit k). */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.simhash16(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.simhash16($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered rolling polynomial hash over array<long> (doc fingerprint). */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.rollingHash(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.rollingHash($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -151,6 +179,12 @@ object GraftColumns {
 
   def tokenCodes(text: Column): Column =
     ExpressionUtils.column(TokenCodes(ExpressionUtils.expression(text)))
+
+  def simhash16(codes: Column): Column =
+    ExpressionUtils.column(SimHash16(ExpressionUtils.expression(codes)))
+
+  def rollingHash(codes: Column): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(codes)))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

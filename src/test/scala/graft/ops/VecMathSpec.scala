@@ -69,6 +69,22 @@ class VecMathSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash16 and fingerprint match the HOF forms") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps", "over the lazy dog",
+      "alpha beta alpha beta gamma", "single")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.ext.Dedup.simhash16(graft.ext.Dedup.tokenSet(col("text"))).as("s_n"),
+      graft.ext.Dedup.simhash16Hof(graft.ext.Dedup.tokenSet(col("text"))).as("s_h"),
+      graft.ext.TextStats.fingerprint(col("text")).as("f_n"),
+      graft.ext.TextStats.fingerprintHof(col("text")).as("f_h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("cosine of a vector with itself is 1.0 within 1 ulp") {
     import spark.implicits._
     val df = vecs(3L, 10, 33).toDF("a").select(col("a").cast("array<float>").as("a"))
