@@ -278,6 +278,34 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Date/time expression family over event time.
+    "q53_datetime_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select(
+        $"event_id",
+        year($"ts").cast("long").as("y"),
+        month($"ts").cast("long").as("m"),
+        dayofmonth($"ts").cast("long").as("dom"),
+        (dayofweek($"ts") - 1).cast("long").as("dow_sun0"),
+        hour($"ts").cast("long").as("h"),
+        date_format($"ts", "yyyy-MM").as("ym"),
+        datediff(to_date($"ts"), to_date(lit("2024-01-01"))).cast("long").as("days_since"))
+    }),
+
+    // String expression family over part names.
+    "q54_string_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        length($"p_name").cast("long").as("len"),
+        substring($"p_name", 1, 5).as("head5"),
+        instr($"p_name", "o").cast("long").as("first_o"),
+        translate($"p_name", "aeiou", "AEIOU").as("voweled"),
+        reverse(split($"p_name", " ")).getItem(0).as("last_word"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("padded_key"))
+    }),
+
     // Deterministic train/test split: Knuth-hash bucket of the stable id
     // — reproducible across engines/runs/partitionings, unlike
     // randomSplit. 80/10/10 by bucket range.
@@ -473,6 +501,28 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q53_datetime_funcs" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+           CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom,
+           CAST(dayofweek(ts) AS BIGINT) AS dow_sun0,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           strftime(ts, '%Y-%m') AS ym,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS days_since
+         FROM e""",
+    "q54_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_name) AS uname,
+           CAST(length(p_name) AS BIGINT) AS len,
+           substring(p_name, 1, 5) AS head5,
+           CAST(coalesce(strpos(p_name, 'o'), 0) AS BIGINT) AS first_o,
+           translate(p_name, 'aeiou', 'AEIOU') AS voweled,
+           list_reverse(string_split(p_name, ' '))[1] AS last_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+         FROM part""",
     "q49_multiset_ops" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
               b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')

@@ -88,7 +88,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     (FunctionIdentifier("token_codes"),
       new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
-      (es: Seq[Expression]) => TokenCodes(es(0))))
+      (es: Seq[Expression]) => TokenCodes(es(0))),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (es: Seq[Expression]) => SimHash16(es(0))),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (es: Seq[Expression]) => RollingHash(es(0))))
 
   /** Register the rule + SQL functions on a live session. */
   def install(spark: SparkSession): Unit = {
