@@ -278,6 +278,41 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Capstone composition: the LLM data-prep pipeline end-to-end —
+    // exact dedup (keep lowest doc_id per text), token-count quality
+    // floor, deterministic hash split, per-(split, lang) corpus stats.
+    // Every stage is one of this engine's operators; one oracle checks
+    // the whole composition.
+    "q55_llm_prep_pipeline" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"text").orderBy($"doc_id")
+      val kept = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      val toks = graft.ext.TextStats.tokens($"text")
+      val enriched = kept.withColumn("n_tokens", size(toks).cast("long"))
+      val filtered = enriched.filter($"n_tokens" >= 10)
+      val split = filtered
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
+        .withColumn("split", when($"bucket" < 90, "train").otherwise("eval"))
+      split.groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+    }),
+
+    // Statistical aggregate family (sample variance/stddev, correlation,
+    // covariance) — definitionally identical across engines.
+    "q56_stats_family" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          rnd(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          rnd(var_samp($"l_quantity"), 4).as("var_qty"),
+          rnd(corr($"l_quantity", $"l_discount"), 6).as("corr_qd"),
+          rnd(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+    }),
+
     // Date/time expression family over event time.
     "q53_datetime_funcs" -> ((s, d) => {
       import s.implicits._
@@ -501,6 +536,26 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q55_llm_prep_pipeline" ->
+      s"""WITH kept AS (SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+          t AS (SELECT doc_id, lang,
+            CAST(len($toksExpr) AS BIGINT) AS n_tokens FROM kept),
+          f AS (SELECT * FROM t WHERE n_tokens >= 10),
+          s AS (SELECT *, CASE WHEN (doc_id * 2654435761) % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split FROM f)
+          SELECT split, lang, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM s GROUP BY 1, 2""",
+    "q56_stats_family" ->
+      """SELECT l_returnflag,
+           floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+           floor(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+           floor(corr(l_quantity, l_discount) * 1000000 + 0.5) / 1000000 AS corr_qd,
+           floor(covar_samp(l_quantity, l_discount) * 1000000 + 0.5) / 1000000 AS cov_qd
+         FROM lineitem GROUP BY l_returnflag""",
     "q53_datetime_funcs" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
          SELECT event_id,
