@@ -278,6 +278,36 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Text cleaning: digit scrub + whitespace normalization — the
+    // regex-normalize pass before tokenization in a data-prep pipeline.
+    "q57_text_clean" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        trim(regexp_replace(
+          regexp_replace($"text", "[0-9]+", "<NUM>"),
+          " +", " ")).as("cleaned"),
+        length(regexp_replace($"text", "[^a-z]", "")).cast("long")
+          .as("n_alpha"))
+    }),
+
+    // Corpus n-gram analysis: top word bigrams by frequency
+    // (explode -> count -> deterministic top-k).
+    "q58_top_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val toks = graft.ext.TextStats.tokens($"text")
+      val bigrams = Tables.documents(s, d)
+        .select(explode(zip_with(toks, slice(toks, 2, 1 << 20),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+        .filter($"bg".contains(" "))  // zip_with pads the tail: drop the
+                                      // lone last token (concat_ws skips
+                                      // its null partner)
+      bigrams.groupBy($"bg")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bg".asc)
+        .limit(20)
+    }),
+
     // Capstone composition: the LLM data-prep pipeline end-to-end —
     // exact dedup (keep lowest doc_id per text), token-count quality
     // floor, deterministic hash split, per-(split, lang) corpus stats.
@@ -536,6 +566,23 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q57_text_clean" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(text, '[0-9]+', '<NUM>', 'g'), ' +', ' ', 'g'))
+             AS cleaned,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+             AS n_alpha
+         FROM documents""",
+    "q58_top_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+         b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END) AS bg FROM t)
+         SELECT bg, count(*) AS n FROM b
+         GROUP BY bg ORDER BY n DESC, bg ASC LIMIT 20""",
     "q55_llm_prep_pipeline" ->
       s"""WITH kept AS (SELECT doc_id, text, lang FROM (
             SELECT doc_id, text, lang,
