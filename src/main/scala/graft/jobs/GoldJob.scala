@@ -86,12 +86,18 @@ object GoldJob {
       .filter(Geo.inTssNorthbound(col("longitude"), col("latitude")))
       .agg(countDistinct(col("mmsi")).as("n_vessels"))
 
-  /** End-to-end: datalog path -> gold parquet + zone count. */
+  /** End-to-end: datalog path -> gold parquet + zone count. The gold
+    * table is written partitioned by event date so downstream
+    * time-ranged reads prune whole partitions before row-group pruning
+    * (SCALE.md scan contract) — at 100 TB a day's analysis touches a
+    * day's files.
+    */
   def run(spark: SparkSession, datalogPath: String, goldOut: String): Long = {
     // peek pushdown: types 1/2/3 + 5 only (the gold table's inputs)
     val decoded = decode(spark.read.text(datalogPath), Seq("1", "2", "3", "5"))
     val g = gold(decoded)
-    g.write.mode("overwrite").parquet(goldOut)
+      .withColumn("event_date", org.apache.spark.sql.functions.to_date(col("ts")))
+    g.write.mode("overwrite").partitionBy("event_date").parquet(goldOut)
     zoneCount(spark.read.parquet(goldOut)).head().getLong(0)
   }
 }

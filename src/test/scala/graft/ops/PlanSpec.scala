@@ -120,6 +120,39 @@ class PlanSpec extends AnyFunSuite {
       .map(_.values).length <= 2, "probe must touch at most nprobe partitions")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      import spark.implicits._
+      // 90% of 200k rows share key 7 -> one oversized shuffle partition
+      val left = spark.range(200000).select(
+        when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 50).as("k"),
+        $"id", lit("x" * 64).as("pad"))
+      val right = spark.range(50).select($"id".as("rk"), lit("dim").as("attr"))
+      val j = left.join(right, $"k" === $"rk")
+      // execute THIS dataframe's plan via collect (count()/foreach plan
+      // separate queries and leave j's adaptive plan unfinalized)
+      j.collect()
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew"), finalPlan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val q14 = graft.SparkEntry.queries("q14_point_in_polygon")(spark, sf)
     val cg = q14.queryExecution.executedPlan.toString
