@@ -278,6 +278,22 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Array + conditional scalar families over the embedding table.
+    "q59_array_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d).select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        rnd(element_at($"embedding", 1).cast("double"), 6).as("first_val"),
+        rnd(array_max($"embedding").cast("double"), 6).as("max_val"),
+        rnd(array_min($"embedding").cast("double"), 6).as("min_val"),
+        rnd(element_at(array_sort($"embedding"), 3).cast("double"), 6).as("third_smallest"),
+        array_position(
+          $"embedding", array_max($"embedding")).cast("long").as("argmax_pos"),
+        coalesce(nullif($"label", lit(0)), lit(-1)).cast("long").as("label_or_neg1"),
+        greatest($"label", lit(5)).cast("long").as("label_floor5"))
+    }),
+
     // Text cleaning: digit scrub + whitespace normalization — the
     // regex-normalize pass before tokenization in a data-prep pipeline.
     "q57_text_clean" -> ((s, d) => {
@@ -566,6 +582,18 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q59_array_funcs" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000 AS first_val,
+           floor(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS max_val,
+           floor(CAST(list_min(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS min_val,
+           floor(CAST(list_sort(embedding)[3] AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS third_smallest,
+           CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+           CAST(coalesce(nullif(label, 0), -1) AS BIGINT) AS label_or_neg1,
+           CAST(greatest(label, 5) AS BIGINT) AS label_floor5
+         FROM embeddings""",
     "q57_text_clean" ->
       """SELECT doc_id,
            trim(regexp_replace(
