@@ -278,6 +278,20 @@ object Advanced {
           count_if($"o_orderstatus" === "F").as("n_finished"))
     }),
 
+    // Iterative fixpoint (recursive-CTE equivalent): reachability over
+    // a deterministic edge set derived from click events.
+    "q60_reachability" -> ((s, d) => {
+      import s.implicits._
+      val edges = Tables.events(s, d)
+        .filter($"event_type" === "click")
+        .select($"user_id".as("src"),
+          pmod(floor($"value" * 7).cast("long"), lit(150L)).as("dst"))
+        .distinct()
+      graft.operators.Graph.reachable(s, edges, start = 0L)
+        .groupBy()
+        .agg(count(lit(1)).as("n_reachable"), sum($"node").as("node_sum"))
+    }),
+
     // Array + conditional scalar families over the embedding table.
     "q59_array_funcs" -> ((s, d) => {
       import s.implicits._
@@ -582,6 +596,17 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q60_reachability" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT user_id AS src,
+             ((CAST(floor(value * 7) AS BIGINT) % 150) + 150) % 150 AS dst
+           FROM events WHERE event_type = 'click'),
+         r(node) AS (
+           SELECT CAST(0 AS BIGINT)
+           UNION
+           SELECT e.dst FROM r JOIN edges e ON e.src = r.node)
+         SELECT count(*) AS n_reachable, CAST(sum(node) AS BIGINT) AS node_sum
+         FROM r""",
     "q59_array_funcs" ->
       """SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
