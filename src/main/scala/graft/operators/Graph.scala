@@ -36,13 +36,15 @@ object Graph {
         .select(col("dst").as("node"))
         .distinct()
         .join(visited, Seq("node"), "left_anti")
-        // driver-side materialization keeps lineage depth constant
-        // (localCheckpoint equivalent at spec scale)
+        // materialize once per round: count() populates the cache that
+        // the next round's joins reuse, and keeps lineage depth constant
         .cache()
-      if (next.isEmpty) done = true
+      if (next.count() == 0) done = true
       else {
+        val prev = frontier
         visited = visited.unionByName(next).cache()
         frontier = next
+        prev.unpersist(blocking = false)
       }
       iter += 1
     }
