@@ -26,18 +26,22 @@ object Graph {
   def reachable(spark: SparkSession, edges: DataFrame, start: Long,
                 maxIters: Int = 50): DataFrame = {
     import spark.implicits._
+    // the edge table is the only big input: materialize it ONCE —
+    // otherwise every round re-derives it (scan + distinct shuffle x
+    // diameter). Frontier and visited stay broadcast-sized (<= node
+    // count), so each round is a broadcast join + broadcast anti-join:
+    // zero per-round shuffles of the edge table.
+    val e = edges.cache()
     var visited = Seq(start).toDF("node")
     var frontier = visited
     var iter = 0
     var done = false
     while (iter < maxIters && !done) {
-      val next = frontier
-        .join(edges, frontier("node") === edges("src"))
+      val next = e
+        .join(broadcast(frontier), e("src") === frontier("node"))
         .select(col("dst").as("node"))
         .distinct()
-        .join(visited, Seq("node"), "left_anti")
-        // materialize once per round: count() populates the cache that
-        // the next round's joins reuse, and keeps lineage depth constant
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .cache()
       if (next.count() == 0) done = true
       else {
@@ -48,6 +52,7 @@ object Graph {
       }
       iter += 1
     }
+    e.unpersist(blocking = false)
     visited
   }
 }
