@@ -28,7 +28,7 @@ object Bench {
       // lands here instead of on whichever timed query runs first
       Seq("q1_agg", "q5_window_lead", "q4_join_agg", "ais_dispatch",
         "q17_doc_stats", "q23_cosine_topk", "q30_sessionize",
-        "q13_routing").foreach { q =>
+        "q13_routing", "q60_reachability").foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
