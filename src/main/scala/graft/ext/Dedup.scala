@@ -16,8 +16,12 @@ import graft.queries.Num.{r => rnd}
   * constant factor B, one shuffle on the band key, and Jaccard
   * verification only on candidate pairs — the classic LSH path that keeps
   * the candidate set ~linear instead of the O(n^2) all-pairs join. Skewed
-  * buckets (boilerplate-heavy corpora) are the known hazard: cap bucket
-  * size or salt before the pair join at extreme scale.
+  * buckets (boilerplate-heavy corpora) are the known hazard: both pair
+  * generators take a `maxBucket` cap — buckets above it are excluded from
+  * candidate generation via a broadcast anti-join on the (few, by
+  * definition) hot keys, so a boilerplate flood degrades recall inside the
+  * flood instead of going quadratic. Identical documents in a dropped
+  * bucket are still caught by `exactGroups`.
   */
 object Dedup {
 
@@ -134,11 +138,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
 
+  /** Drop rows whose (band-)key bucket exceeds `maxBucket` members. A
+    * bucket of size m emits m^2/2 candidate pairs, so one boilerplate
+    * flood turns LSH quadratic; hot keys are few by definition, so the
+    * guard is a map-side-combined count + broadcast anti-join — no extra
+    * shuffle on the wide side.
+    */
+  private def dropHotBuckets(
+      exploded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val hot = exploded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(keyCols.map(col): _*)
+    exploded.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** LSH candidate pairs + exact Jaccard verification.
     * Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard rounded 4,
-    * filtered to >= minJaccard.
+    * filtered to >= minJaccard. Band buckets with more than `maxBucket`
+    * members are excluded from candidate generation (skew guard; the
+    * oracle mirrors the cap with a window count).
     */
-  def minhashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def minhashPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = docs
       .select(col("doc_id"), signatureUdf(col("text")).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
@@ -146,8 +168,9 @@ object Dedup {
     // arrays must not ride through the pair-join/distinct shuffle — at
     // corpus scale that's the difference between shuffling ids and
     // shuffling the whole corpus k times.
-    val exploded = sigs.select(
-      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val exploded = dropHotBuckets(sigs.select(
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
     val candidates = exploded.select(col("band"), col("key"), col("doc_id").as("doc1"))
       .join(exploded.select(col("band"), col("key"), col("doc_id").as("doc2")),
         Seq("band", "key"))
@@ -207,10 +230,14 @@ object Dedup {
     *
     * Scale: candidate volume is driven by 16-bit-chunk collisions
     * (65536 blocks per chunk index). On corpora where one chunk value
-    * dominates (near-identical boilerplate), salt that block or widen
-    * chunks to 21 bits x 3.
+    * dominates (near-identical boilerplate), the `maxBucket` guard drops
+    * that (cj, ckey) block from candidate generation — recall inside the
+    * flood traded for bounded work; identical texts remain `exactGroups`'
+    * job. The default is far above any honest chunk collision rate and
+    * only engages on floods.
     */
-  def hammingPairs(docs: DataFrame, maxDist: Int, textCol: String = "text"): DataFrame = {
+  def hammingPairs(docs: DataFrame, maxDist: Int, textCol: String = "text",
+      maxBucket: Int = 10000): DataFrame = {
     require(maxDist < 4, "4-chunk pigeonhole blocking covers hamming <= 3")
     // coalesce makes the signature non-nullable: otherwise Catalyst
     // inserts isnotnull(sig) on the join key and predicate pushdown
@@ -218,10 +245,11 @@ object Dedup {
     // tokenize+simhash evaluated twice per row (observed in the plan)
     val sigs = docs.select(
       col("doc_id"), simhash64(tokenSet(coalesce(col(textCol), lit("")))).as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
+    val chunks = dropHotBuckets(sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("cj"), chunk16(col("sig"), j).as("ckey"))): _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.cj").as("cj"), col("c.ckey").as("ckey"))
+      .select(col("doc_id"), col("sig"), col("c.cj").as("cj"), col("c.ckey").as("ckey")),
+      Seq("cj", "ckey"), maxBucket)
     val l = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc1"), col("sig").as("s1"))
     val r = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc2"), col("sig").as("s2"))
     val firstMatch = (0 until 4).map { j =>

@@ -223,20 +223,31 @@ object Advanced {
         .unionByName(suppN.except(custN).withColumn("set_op", lit("supp_only")))
     }),
 
-    // Fuzzy matching: DISTINCT part names within Levenshtein distance 3,
-    // blocked on the shared first token so the pair join never goes
-    // all-pairs. Dedup-before-match is the scale order: the quadratic
-    // step runs on unique values, and results fan back out by equi-join.
+    // Fuzzy matching: DISTINCT part names within Levenshtein distance 3.
+    // Semantics (and the oracle) are "same first token AND dist <= 3";
+    // the physical block is the COMPOSITE key (first token, length band):
+    // dist <= 3 implies a length difference <= 3, so with band width 4 a
+    // matching pair sits in the same or an adjacent band — the left side
+    // explodes into {band-1, band, band+1} and the equi-join covers every
+    // qualifying pair exactly once (one delta matches). First-token-only
+    // blocking keyed TPC-H's ~90-adjective vocabulary into O(n/90)
+    // buckets → quadratic pair growth; the band dimension re-spreads
+    // them. The thresholded levenshtein kernel prunes the DP early.
+    // Dedup-before-match is the scale order: the quadratic step runs on
+    // unique values, and results fan back out by equi-join.
     "q43_fuzzy_match" -> ((s, d) => {
       import s.implicits._
       val p = Tables.part(s, d).select($"p_name").distinct()
-        .select($"p_name", split($"p_name", " ").getItem(0).as("blk"))
-      val l = p.select($"blk", $"p_name".as("n1"))
-      val r = p.select($"blk", $"p_name".as("n2"))
-      l.join(r, Seq("blk"))
+        .select($"p_name", split($"p_name", " ").getItem(0).as("tok"),
+          floor(length($"p_name") / 4).cast("long").as("band"))
+      val l = p.select($"tok",
+        explode(array($"band" - 1, $"band", $"band" + 1)).as("band"),
+        $"p_name".as("n1"))
+      val r = p.select($"tok", $"band", $"p_name".as("n2"))
+      l.join(r, Seq("tok", "band"))
         .filter($"n1" < $"n2")
-        .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
-        .filter($"dist" <= 3)
+        .withColumn("dist", levenshtein($"n1", $"n2", 3).cast("long"))
+        .filter($"dist" >= 0)
         .select($"n1", $"n2", $"dist")
     }),
 
@@ -416,14 +427,19 @@ object Advanced {
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
     }),
 
-    // Seeded stratified sample (rows-only: sampling RNG is
-    // engine-specific; determinism and fractions are spec-asserted).
+    // Stratified sample via deterministic hash thresholds (same Knuth
+    // multiplier as q51 with a salt, per-stratum fraction in permille).
+    // Unlike `sampleBy` (engine-private RNG) this reproduces bit-exactly
+    // across engines, runs, and partitionings — and at 100 TB it is a
+    // pure map-side filter, no shuffle, no driver-held seeds.
     "q52_stratified_sample" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.2), seed = 42L)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L + 97L, lit(1000L)))
+        .where(($"lang" === "en" && $"bucket" < 500) ||
+               ($"lang" === "de" && $"bucket" < 200))
         .groupBy($"lang")
-        .agg(count(lit(1)).as("n_sampled"))
+        .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
     }),
 
     // Multimodal frame sampling: every 4th 16-byte frame sliced out of
@@ -596,6 +612,13 @@ object Advanced {
                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
            count(*) AS n_docs, min(doc_id) AS first_doc
          FROM t GROUP BY 1""",
+    "q52_stratified_sample" ->
+      """WITH t AS (SELECT lang, doc_id,
+             (doc_id * 2654435761 + 97) % 1000 AS bucket FROM documents)
+         SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+         FROM t
+         WHERE (lang = 'en' AND bucket < 500) OR (lang = 'de' AND bucket < 200)
+         GROUP BY lang""",
     "q60_reachability" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT user_id AS src,

@@ -50,18 +50,26 @@ object LlmQueries {
     "q21_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)),
 
-    // Word-bigram Jaccard near-dup over first-bigram buckets.
+    // Word-bigram Jaccard near-dup, blocked on a width-1 MinHash band of
+    // the bigram set (min of a universal hash over the shingles): collision
+    // probability equals bigram-Jaccard, so the block finds similar pairs
+    // without keying on any single fixed position — the round-2 first-
+    // bigram key sent every shared-boilerplate-prefix document to one hot
+    // bucket. A window-count cap (mirrored in the oracle) bounds the pair
+    // join even when a true near-dup flood shares one min-shingle.
     "q22_bigram_jaccard" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(
         $"doc_id",
-        TextStats.tokenCodesOf($"text").as("codes"))
+        Dedup.bigramCodes(TextStats.tokenCodesOf($"text")).as("bg"))
         .select(
-          $"doc_id",
-          Dedup.bigramCodes($"codes").as("bg"),
-          ((element_at($"codes", 1) * 131 + element_at($"codes", 2)) % P).as("bucket"))
-      val l = docs.select($"bucket", $"doc_id".as("doc1"), $"bg".as("b1"))
-      val r = docs.select($"bucket", $"doc_id".as("doc2"), $"bg".as("b2"))
+          $"doc_id", $"bg",
+          array_min(transform($"bg", c => (c * 3 + 1) % P)).as("bucket"))
+      val hot = docs.groupBy($"bucket").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" > 500).select($"bucket")
+      val pruned = docs.join(broadcast(hot), Seq("bucket"), "left_anti")
+      val l = pruned.select($"bucket", $"doc_id".as("doc1"), $"bg".as("b1"))
+      val r = pruned.select($"bucket", $"doc_id".as("doc2"), $"bg".as("b2"))
       l.join(r, Seq("bucket"))
         .filter($"doc1" < $"doc2")
         .select($"doc1", $"doc2",
@@ -181,9 +189,13 @@ object LlmQueries {
               (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
             ELSE [] END) AS tset FROM c),
           sig AS (SELECT doc_id, tset, $minhashCols FROM t),
-          bands AS (
+          bands0 AS (
             SELECT doc_id, tset, band, $bandKeyCase AS key
             FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
+          bands AS (
+            SELECT doc_id, tset, band, key FROM (
+              SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
+            WHERE bsz <= 1000),
           cand AS (
             SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.tset AS t1, r.tset AS t2
             FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
@@ -194,13 +206,18 @@ object LlmQueries {
           FROM cand) WHERE jaccard >= 0.7""",
     "q22_bigram_jaccard" ->
       s"""SELECT * FROM (WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
-          t2 AS (SELECT doc_id,
-            (codes[1] * 131 + codes[2]) % $P AS bucket,
+          t1 AS (SELECT doc_id,
             list_distinct(CASE WHEN len(codes) >= 2
               THEN list_transform(generate_series(1, len(codes) - 1),
                      i -> (codes[i] * 131 + codes[i + 1]) % $P)
               ELSE [] END) AS bg
-          FROM t)
+          FROM t),
+          t2a AS (SELECT doc_id, bg,
+            list_min(list_transform(bg, c -> (c * 3 + 1) % $P)) AS bucket
+          FROM t1),
+          t2 AS (SELECT doc_id, bg, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM t2a)
+            WHERE bsz <= 500)
           SELECT l.doc_id AS doc1, r.doc_id AS doc2,
             floor((CAST(len(list_intersect(l.bg, r.bg)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(l.bg, r.bg))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard

@@ -112,18 +112,25 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus should produce at least one close pair")
   }
 
-  test("seeded stratified sample is deterministic and near the fractions") {
+  test("hash-threshold stratified sample is deterministic and near the fractions") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     val langs = Vector("en", "de", "es")
     val docs = (0 until 3000).map(i => (i.toLong, langs(rnd.nextInt(3))))
       .toDF("doc_id", "lang")
-    val fracs = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.0)
-    def sample() = docs.stat.sampleBy("lang", fracs, seed = 7L)
+    // same mechanism as q52: Knuth-hash bucket + per-stratum permille cap
+    def sample() = docs
+      .withColumn("bucket", pmod($"doc_id" * 2654435761L + 97L, lit(1000L)))
+      .where(($"lang" === "en" && $"bucket" < 500) ||
+             ($"lang" === "de" && $"bucket" < 200))
+    def ids() = sample().select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(ids() === ids(), "hash sampling must give identical rows every run")
+    // repartitioning must not change membership (unlike RNG sampling)
+    val reparted = sample().repartition(7)
       .select($"doc_id").as[Long].collect().toSeq.sorted
-    assert(sample() === sample(), "same seed must give identical rows")
-    val byLang = docs.stat.sampleBy("lang", fracs, seed = 7L)
-      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(reparted === ids(), "membership must not depend on partitioning")
+    val byLang = sample().groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
     val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
     assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.1)
     assert(math.abs(byLang("de").toDouble / totals("de") - 0.2) < 0.1)

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+/** Skew guards on the pair generators: a 90%-boilerplate corpus floods
+  * one LSH bucket; the `maxBucket` cap must drop the flood from candidate
+  * generation (bounded work) while keeping true near-dup pairs that live
+  * in honest buckets. Composite fuzzy-match blocking must bound bucket
+  * size without changing results vs the brute-force definition.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 900 identical boilerplate docs + 50 disjoint-vocabulary duplicate
+    * pairs (ids 1000..1099; 2k and 2k+1 identical -> jaccard 1, so each
+    * pair is a DETERMINISTIC LSH candidate — banding is probabilistic
+    * below 1.0 and would flake the subset assertion).
+    */
+  private def skewedCorpus = {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val boilerDocs = (0 until 900).map(i => (i.toLong, boiler))
+    val pairDocs = (0 until 50).flatMap { p =>
+      val base = (0 until 12).map(w => s"w${p}_$w").mkString(" ")
+      Seq((1000L + 2 * p, base), (1000L + 2 * p + 1, base))
+    }
+    (boilerDocs ++ pairDocs).toDF("doc_id", "text")
+  }
+
+  test("minhashPairs cap drops the boilerplate flood, keeps honest pairs") {
+    import spark.implicits._
+    val docs = skewedCorpus
+    val capped = Dedup.minhashPairs(docs, minJaccard = 0.5, maxBucket = 100)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    // no pair touches the 900-doc flood...
+    assert(capped.forall { case (a, b) => a >= 1000 && b >= 1000 },
+      "flooded bucket must be excluded from candidate generation")
+    // ...but every planted near-dup pair survives
+    val planted = (0 until 50).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(planted.subsetOf(capped), "honest near-dup pairs must be kept")
+    // sanity inverse: without the cap the flood pairs with itself
+    val uncapped = Dedup.minhashPairs(docs.filter($"doc_id" < 20 || $"doc_id" >= 1000),
+      minJaccard = 0.5).select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a < 20 && b < 20 },
+      "identical docs must pair when under the cap")
+  }
+
+  test("hammingPairs cap drops the boilerplate flood, keeps honest pairs") {
+    import spark.implicits._
+    val docs = skewedCorpus
+    val capped = Dedup.hammingPairs(docs, maxDist = 3, maxBucket = 100)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(capped.forall { case (a, b) => a >= 1000 && b >= 1000 },
+      "flooded chunk blocks must be excluded from candidate generation")
+    val planted = (0 until 50).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(planted.subsetOf(capped), "identical planted pairs must be kept")
+  }
+
+  test("composite fuzzy block bounds buckets without changing results") {
+    import spark.implicits._
+    // one shared first token, lengths spread 8..47: first-token-only
+    // blocking is a single 400-row bucket; (token, len/4 band) re-spreads
+    val names = (0 until 400).map { i =>
+      "hot " + ("x" * (4 + i % 40)) + s"_$i"
+    }.toDF("p_name")
+    val p = names.select($"p_name",
+      split($"p_name", " ").getItem(0).as("tok"),
+      floor(length($"p_name") / 4).cast("long").as("band"))
+    val sizes = p.groupBy($"tok", $"band").count().as[(String, Long, Long)].collect()
+    assert(sizes.map(_._3).max <= 400 / 8,
+      "composite key must split the hot first-token bucket")
+
+    // blocked join == brute-force definition (same tok AND dist <= 3)
+    val l = p.select($"tok",
+      explode(array($"band" - 1, $"band", $"band" + 1)).as("band"), $"p_name".as("n1"))
+    val r = p.select($"tok", $"band", $"p_name".as("n2"))
+    val blocked = l.join(r, Seq("tok", "band"))
+      .filter($"n1" < $"n2")
+      .withColumn("dist", levenshtein($"n1", $"n2", 3).cast("long"))
+      .filter($"dist" >= 0)
+      .select($"n1", $"n2", $"dist").as[(String, String, Long)].collect().toSet
+    val brute = p.select($"tok", $"p_name".as("n1"))
+      .join(p.select($"tok", $"p_name".as("n2")), Seq("tok"))
+      .filter($"n1" < $"n2")
+      .withColumn("dist", levenshtein($"n1", $"n2").cast("long"))
+      .filter($"dist" <= 3)
+      .select($"n1", $"n2", $"dist").as[(String, String, Long)].collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "corpus should contain close name pairs")
+  }
+}
