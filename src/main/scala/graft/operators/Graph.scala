@@ -5,17 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** Iterative fixpoint dataflow — the recursive-CTE class Spark has no
   * native operator for (SQL `WITH RECURSIVE`). Expressed as a driver
-  * loop of joins (the same shape as k-means training): each round joins
-  * the frontier to the edge table, anti-joins out already-visited
-  * nodes, and stops when the frontier empties. Deterministic; the
-  * DuckDB oracle replays it as an actual recursive CTE.
+  * loop (the same shape as k-means training), with a size-tiered
+  * physical strategy:
   *
-  * Scale: each iteration is one equi-join + one anti-join, both
-  * shuffled on the node key — at 100 TB the edge table is bucketed on
-  * `src` so every round's join is co-partitioned; rounds = graph
-  * diameter, and the frontier/visited sets are checkpoint candidates
-  * once lineage depth grows (localCheckpoint every ~10 rounds keeps
-  * the plan from re-deriving all prior iterations).
+  * Tier 1 (closure fits on the driver, `driverNodeLimit` nodes): BFS
+  * with in-memory frontier/visited sets — each round is ONE two-stage
+  * job (InSet filter over the cached edge table + distinct + collect).
+  * A DataFrame-join round costs ~6 stages of planning + codegen + a
+  * broadcast exchange regardless of data size, so for the common
+  * small-closure case the set version is ~5x less per-round overhead.
+  *
+  * Tier 2 (closure outgrows the driver): per-round equi-join +
+  * anti-join DataFrames. While frontier/visited stay under
+  * `broadcastRows` they ride as broadcast hints; past that — high-
+  * fanout graphs where the frontier is O(nodes) and a broadcast would
+  * OOM the driver — the loop switches to plain shuffled joins, which at
+  * 100 TB are co-partitioned when the edge table is bucketed on `src`.
+  * Lineage is truncated with an EAGER `localCheckpoint` every
+  * `checkpointEvery` rounds so round k's plan does not re-derive rounds
+  * 1..k-1. The previous checkpoint is only unpersisted AFTER the next
+  * one has materialized — local checkpoints are non-recoverable, so
+  * dropping one that a lazy successor still needs would lose the data,
+  * not just the cache.
+  *
+  * Deterministic; the DuckDB oracle replays it as a recursive CTE.
   */
 object Graph {
 
@@ -24,31 +37,76 @@ object Graph {
     * (diameter guard, not a semantic knob — the loop exits at fixpoint).
     */
   def reachable(spark: SparkSession, edges: DataFrame, start: Long,
-                maxIters: Int = 50): DataFrame = {
+                maxIters: Int = 50, broadcastRows: Long = 1000000L,
+                checkpointEvery: Int = 10,
+                driverNodeLimit: Int = 5000): DataFrame = {
     import spark.implicits._
     // the edge table is the only big input: materialize it ONCE —
     // otherwise every round re-derives it (scan + distinct shuffle x
-    // diameter). Frontier and visited stay broadcast-sized (<= node
-    // count), so each round is a broadcast join + broadcast anti-join:
-    // zero per-round shuffles of the edge table.
+    // diameter).
     val e = edges.cache()
-    var visited = Seq(start).toDF("node")
-    var frontier = visited
+
+    // ---- tier 1: driver-set BFS ------------------------------------
+    var visitedSet = Set(start)
+    var frontierSet = Set(start)
     var iter = 0
+    var spilled = false
+    while (iter < maxIters && frontierSet.nonEmpty && !spilled) {
+      // limit+1 bounds the collect: if one expansion overflows the
+      // driver budget the partial result is DISCARDED (limit picks an
+      // arbitrary subset) and tier 2 recomputes the round
+      val nextArr = e.filter(col("src").isin(frontierSet.toSeq: _*))
+        .select(col("dst")).distinct()
+        .limit(driverNodeLimit + 1).as[Long].collect()
+      if (nextArr.length + visitedSet.size > driverNodeLimit) spilled = true
+      else {
+        frontierSet = nextArr.toSet -- visitedSet
+        visitedSet ++= frontierSet
+        iter += 1
+      }
+    }
+    if (!spilled) {
+      e.unpersist(blocking = false)
+      return visitedSet.toSeq.toDF("node")
+    }
+
+    // ---- tier 2: DataFrame loop, seeded from tier-1 state ----------
+    var visited = visitedSet.toSeq.toDF("node").localCheckpoint(true)
+    var lastCheckpoint = visited
+    var frontier = frontierSet.toSeq.toDF("node").cache()
+    var frontierRows = frontierSet.size.toLong
+    var visitedRows = visitedSet.size.toLong
     var done = false
     while (iter < maxIters && !done) {
+      val f = if (frontierRows <= broadcastRows) broadcast(frontier) else frontier
+      val v = if (visitedRows <= broadcastRows) broadcast(visited) else visited
       val next = e
-        .join(broadcast(frontier), e("src") === frontier("node"))
+        .join(f, e("src") === f("node"))
         .select(col("dst").as("node"))
         .distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
+        .join(v, Seq("node"), "left_anti")
         .cache()
-      if (next.count() == 0) done = true
+      frontierRows = next.count()
+      if (frontierRows == 0) done = true
       else {
-        val prev = frontier
-        visited = visited.unionByName(next).cache()
+        val prevFrontier = frontier
+        val prevVisited = visited
+        visitedRows += frontierRows
+        if ((iter + 1) % checkpointEvery == 0) {
+          // eager: materialized HERE, self-contained after this call —
+          // only then is retiring the previous checkpoint safe
+          visited = visited.unionByName(next).localCheckpoint(true)
+          if (prevVisited ne lastCheckpoint) prevVisited.unpersist(blocking = false)
+          lastCheckpoint.unpersist(blocking = false)
+          lastCheckpoint = visited
+        } else {
+          // between checkpoints the union chain stays shallow; the
+          // retired intermediate is recomputable from lastCheckpoint
+          visited = visited.unionByName(next).cache()
+          if (prevVisited ne lastCheckpoint) prevVisited.unpersist(blocking = false)
+        }
         frontier = next
-        prev.unpersist(blocking = false)
+        prevFrontier.unpersist(blocking = false)
       }
       iter += 1
     }

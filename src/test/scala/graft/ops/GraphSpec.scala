@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Fixpoint reachability must return the same closure on every physical
+  * path: broadcast-hinted rounds, pure shuffled rounds (the high-fanout
+  * escape hatch), and tight checkpoint cadences on graphs deeper than
+  * the cadence.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 0→1→…→8 chain with branches (i → i+3 for even i), plus a separate
+  // unreachable component 100→101→102. Depth ~8: enough rounds to cross
+  // several checkpoint generations at cadence 2 while keeping the
+  // per-round planning/codegen cost of a driver-loop test bounded.
+  private def edgeSeq: Seq[(Long, Long)] =
+    (0L until 8L).map(i => (i, i + 1)) ++
+      (0L until 6L by 2).map(i => (i, i + 3)) ++
+      Seq((100L, 101L), (101L, 102L))
+
+  private def expected: Set[Long] = {
+    val adj = edgeSeq.groupMap(_._1)(_._2)
+    var seen = Set(0L)
+    var front = Set(0L)
+    while (front.nonEmpty) {
+      val nxt = front.flatMap(n => adj.getOrElse(n, Nil)) -- seen
+      seen ++= nxt
+      front = nxt
+    }
+    seen
+  }
+
+  private def run(broadcastRows: Long, checkpointEvery: Int,
+      driverNodeLimit: Int): Set[Long] = {
+    import spark.implicits._
+    val edges = edgeSeq.toDF("src", "dst")
+    Graph.reachable(spark, edges, start = 0L,
+        broadcastRows = broadcastRows, checkpointEvery = checkpointEvery,
+        driverNodeLimit = driverNodeLimit)
+      .as[Long].collect().toSet
+  }
+
+  test("tier-1 driver-set BFS matches brute-force closure") {
+    assert(run(broadcastRows = 1000000L, checkpointEvery = 10,
+      driverNodeLimit = 5000) === expected)
+  }
+
+  test("tier-2 broadcast-join path matches") {
+    // driverNodeLimit 0 spills to the DataFrame loop on round one
+    assert(run(broadcastRows = 1000000L, checkpointEvery = 10,
+      driverNodeLimit = 0) === expected)
+  }
+
+  test("tier-2 shuffled-join path (frontier too big to broadcast) matches") {
+    // also kill Spark's own auto-broadcast so the join is genuinely shuffled
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(run(broadcastRows = 0L, checkpointEvery = 10,
+      driverNodeLimit = 0) === expected)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("tier-2 checkpoint cadence shorter than graph depth matches") {
+    // depth ~8 with cadence 2: several checkpoint generations retire
+    assert(run(broadcastRows = 1000000L, checkpointEvery = 2,
+      driverNodeLimit = 0) === expected)
+  }
+
+  test("mid-BFS spill from tier 1 to tier 2 matches") {
+    // limit 6: tier 1 runs a few rounds, then the growing closure
+    // overflows the driver budget and tier 2 finishes the fixpoint
+    assert(run(broadcastRows = 1000000L, checkpointEvery = 2,
+      driverNodeLimit = 6) === expected)
+  }
+}
