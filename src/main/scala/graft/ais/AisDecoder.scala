@@ -423,11 +423,11 @@ object AisDecoder {
     }
   }
 
-  /** UDF form: array<string> of fragment sentences -> AisDecoded struct. */
-  val aisDecodeUdf: UserDefinedFunction =
-    udf((sentences: Seq[String]) => decode(sentences).orNull)
-
-  def ais_decode(sentences: Column): Column = aisDecodeUdf(sentences)
+  /** array<string> of fragment sentences -> AisDecoded struct, as a
+    * native codegen'd expression (see AisDecodeKernel / AisDecode).
+    */
+  def ais_decode(sentences: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns.aisDecode(sentences)
 
   /** Checksum validity as a standalone UDF (E1). */
   val checksumValidUdf: UserDefinedFunction =

@@ -144,6 +144,36 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Full AIS sentence-group decode as a native expression:
+  * array<string> fragments -> the AisDecoded union struct (null on any
+  * validation/parse failure, matching the reference's drop semantics).
+  *
+  * vs the round-2 ScalaUDF: same opaque kernel (a bit parser cannot be
+  * declarative), but the expression skips the UDF's generic converter
+  * round-trip on both sides and sits directly in the whole-stage-
+  * codegen stage — see graft.ais.AisDecodeKernel.
+  */
+case class AisDecode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = graft.ais.AisDecodeKernel.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "ais_decode"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ais.AisDecodeKernel.decodeRow(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.ais.AisDecodeKernel.decodeRow($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -185,6 +215,9 @@ object GraftColumns {
 
   def rollingHash(codes: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(codes)))
+
+  def aisDecode(sentences: Column): Column =
+    ExpressionUtils.column(AisDecode(ExpressionUtils.expression(sentences)))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
