@@ -29,17 +29,22 @@ object Sources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(dir)
 
-  /** S2: TCP NMEA feed (dev/standalone mode). The reference's credential
-    * preamble is connector config; Spark's socket source handles the
-    * line-framing the reference does byte-by-byte
-    * (ais_ingressServer.py:69-122).
+  /** S2: live TCP NMEA feed with the reference's credential preamble
+    * (`\x01user\x00pwd\x00`, ais_ingressServer.py:33-39) and reconnect —
+    * a custom DataSource V2 micro-batch stream (see NmeaSocket.scala).
     */
-  def tcpLines(spark: SparkSession, host: String, port: Int): DataFrame =
-    spark.readStream
-      .format("socket")
-      .option("host", host)
-      .option("port", port)
-      .load()
+  def tcpLines(spark: SparkSession, host: String, port: Int,
+      user: Option[String] = None, password: Option[String] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[NmeaSocketProvider].getName)
+      .option(NmeaSocket.HOST, host)
+      .option(NmeaSocket.PORT, port.toString)
+    ((user, password) match {
+      case (Some(u), Some(p)) =>
+        r.option(NmeaSocket.USER, u).option(NmeaSocket.PASSWORD, p)
+      case _ => r
+    }).load()
+  }
 
   /** S3: newline-delimited JSON of decoded messages -> typed columns
     * (ais_egressServerCH.py:113-135).
