@@ -82,6 +82,50 @@ class PlanSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("band-bucketed dedup store generates candidates without an exchange") {
+    // dedup-at-rest layout: persist the exploded (band, key, doc_id)
+    // signature table bucketed by the FULL join key (band, key) — since
+    // requireAllClusterKeysForCoPartition, a partial bucket key still
+    // shuffles — so the LSH candidate self-join reads co-located
+    // buckets and needs NO shuffle. At 100 TB this is the difference
+    // between re-shuffling the corpus per dedup run and joining in
+    // place.
+    import graft.ext.Dedup
+    spark.sql("DROP TABLE IF EXISTS dedup_bands")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val whDir = new java.io.File(wh, "dedup_bands")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(whDir)
+    }
+    val exploded = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        Dedup.bandKeys(Dedup.minhashSignature(
+          Dedup.shingleSet(Dedup.tokenSet(col("text"))))).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    exploded.write.bucketBy(8, "band", "key").sortBy("band", "key")
+      .format("parquet").saveAsTable("dedup_bands")
+
+    val t = spark.table("dedup_bands")
+    val cand = t.as("l").hint("merge")
+      .join(t.as("r"), Seq("band", "key"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+    val p = plan(cand)
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"),
+      s"bucketed candidate join must not shuffle:\n${p.take(1500)}")
+    // and the layout changes nothing semantically
+    val fromStore = cand.count()
+    val inPlace = exploded.as("l").join(exploded.as("r"), Seq("band", "key"))
+      .filter(col("l.doc_id") < col("r.doc_id")).count()
+    assert(fromStore === inPlace)
+    assert(fromStore > 0, "corpus should produce at least one candidate")
+  }
+
   test("pair-join operators never degrade to nested-loop or cartesian plans") {
     // the LSH/blocking rewrites exist to avoid O(n*m) joins — if a code
     // change loses the equi-join keys, Catalyst silently falls back to
