@@ -50,13 +50,15 @@ object LlmQueries {
     "q21_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)),
 
-    // Word-bigram Jaccard near-dup, blocked on a width-1 MinHash band of
-    // the bigram set (min of a universal hash over the shingles): collision
-    // probability equals bigram-Jaccard, so the block finds similar pairs
-    // without keying on any single fixed position — the round-2 first-
-    // bigram key sent every shared-boilerplate-prefix document to one hot
-    // bucket. A window-count cap (mirrored in the oracle) bounds the pair
-    // join even when a true near-dup flood shares one min-shingle.
+    // Word-bigram Jaccard near-dup, blocked on a 2-permutation MinHash
+    // AND-construction over the bigram set: a candidate pair must agree
+    // on BOTH min-hash values, so collision probability is ~jaccard^2 —
+    // similar pairs still collide, but a small shared vocabulary no
+    // longer drags half the corpus into one bucket (the round-2 first-
+    // bigram key flooded on shared prefixes; a single permutation
+    // flooded on any low-hash common shingle). A window-count cap
+    // (mirrored in the oracle) bounds the pair join even when a true
+    // near-dup flood shares both minima.
     "q22_bigram_jaccard" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(
@@ -64,13 +66,14 @@ object LlmQueries {
         Dedup.bigramCodes(TextStats.tokenCodesOf($"text")).as("bg"))
         .select(
           $"doc_id", $"bg",
-          array_min(transform($"bg", c => (c * 3 + 1) % P)).as("bucket"))
-      val hot = docs.groupBy($"bucket").agg(count(lit(1)).as("bsz"))
-        .filter($"bsz" > 500).select($"bucket")
-      val pruned = docs.join(broadcast(hot), Seq("bucket"), "left_anti")
-      val l = pruned.select($"bucket", $"doc_id".as("doc1"), $"bg".as("b1"))
-      val r = pruned.select($"bucket", $"doc_id".as("doc2"), $"bg".as("b2"))
-      l.join(r, Seq("bucket"))
+          array_min(transform($"bg", c => (c * 3 + 1) % P)).as("k1"),
+          array_min(transform($"bg", c => (c * 5 + 8) % P)).as("k2"))
+      val hot = docs.groupBy($"k1", $"k2").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" > 500).select($"k1", $"k2")
+      val pruned = docs.join(broadcast(hot), Seq("k1", "k2"), "left_anti")
+      val l = pruned.select($"k1", $"k2", $"doc_id".as("doc1"), $"bg".as("b1"))
+      val r = pruned.select($"k1", $"k2", $"doc_id".as("doc2"), $"bg".as("b2"))
+      l.join(r, Seq("k1", "k2"))
         .filter($"doc1" < $"doc2")
         .select($"doc1", $"doc2",
           rnd(size(array_intersect($"b1", $"b2")).cast("double") /
@@ -213,15 +216,16 @@ object LlmQueries {
               ELSE [] END) AS bg
           FROM t),
           t2a AS (SELECT doc_id, bg,
-            list_min(list_transform(bg, c -> (c * 3 + 1) % $P)) AS bucket
+            list_min(list_transform(bg, c -> (c * 3 + 1) % $P)) AS k1,
+            list_min(list_transform(bg, c -> (c * 5 + 8) % $P)) AS k2
           FROM t1),
-          t2 AS (SELECT doc_id, bg, bucket FROM (
-            SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM t2a)
+          t2 AS (SELECT doc_id, bg, k1, k2 FROM (
+            SELECT *, count(*) OVER (PARTITION BY k1, k2) AS bsz FROM t2a)
             WHERE bsz <= 500)
           SELECT l.doc_id AS doc1, r.doc_id AS doc2,
             floor((CAST(len(list_intersect(l.bg, r.bg)) AS DOUBLE)
               / CAST(len(list_distinct(list_concat(l.bg, r.bg))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
-          FROM t2 l JOIN t2 r ON l.bucket = r.bucket
+          FROM t2 l JOIN t2 r ON l.k1 = r.k1 AND l.k2 = r.k2
           WHERE l.doc_id < r.doc_id) WHERE jaccard >= 0.1""",
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.io.BufferedInputStream
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S10 live shell: the reference's IVEF TCP client protocol
+  * (ais_ivef_lmt_client.py:261-276, 331-354, 380-440) as a DataSource V2
+  * micro-batch stream.
+  *
+  * Protocol parity:
+  *  - on connect, send the XML LoginRequest package (Name/Password,
+  *    Header MsgRefId a fresh uuid, Version 0.2.5) — `:331-343`;
+  *  - documents are framed by `</MSG_IVEF>` or a newline (`:386-387`),
+  *    with the UTF-8 replacement bytes EF/BF/BD skipped (`:382-384`);
+  *  - a `Ping` body is answered immediately with a `Pong` carrying
+  *    `ResponseOn=<the ping's MsgRefId>` and refreshes the heartbeat
+  *    clock (`:263-276`, `:396-398`); Ping/LoginResponse frames are
+  *    protocol traffic and are NOT emitted as rows (the reference only
+  *    stores ObjectDatas);
+  *  - no Ping for `heartbeatSec` means a dead feed: drop the socket,
+  *    re-dial, re-login (`:357-367`).
+  *
+  * Rows are (seq, xml) — `seq` the absolute arrival index — feeding
+  * `graft.ais.Ivef.parse`/`replayUpserts` unchanged (the batch path's
+  * contract).
+  */
+object IvefSocket {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("xml", StringType)))
+
+  val HOST = "host"
+  val PORT = "port"
+  val NAME = "name"
+  val PASSWORD = "password"
+  val HEARTBEAT_SEC = "heartbeatSec"
+  val RECONNECT_MS = "reconnectMs"
+
+  def loginXml(name: String, password: String): String = {
+    val refid = "{" + java.util.UUID.randomUUID().toString + "}"
+    s"""<MSG_IVEF xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xmlns="http://www.iala-to-be-confirmed.org/XMLSchema/IVEF/0.2.5">
+       |<Header MsgRefId="$refid" Version="0.2.5"/>
+       |<Body>
+       |<LoginRequest Encryption="1" Name="$name" Password="$password"/>
+       |</Body>
+       |</MSG_IVEF>
+       |""".stripMargin
+  }
+
+  def pongXml(responseOn: String): String = {
+    val refid = "{" + java.util.UUID.randomUUID().toString + "}"
+    val ts = java.time.OffsetDateTime.now().toString
+    s"""<MSG_IVEF xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xmlns:xsd="http://www.w3.org/2001/XMLSchema" xmlns="http://www.iala-to-be-confirmed.org/XMLSchema/IVEF/0.2.5">
+       |<Header MsgRefId="$refid" Version="0.2.5" />
+       |<Body>
+       |<Pong ResponseOn="$responseOn" TimeStamp="$ts" />
+       |</Body>
+       |</MSG_IVEF>
+       |""".stripMargin
+  }
+
+  private[sources] val MsgRefIdRe = """MsgRefId="([^"]*)"""".r
+}
+
+class IvefSocketProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IvefSocket.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new IvefSocketTable(new CaseInsensitiveStringMap(properties))
+}
+
+class IvefSocketTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"ivef_socket(${options.get(IvefSocket.HOST)}:${options.get(IvefSocket.PORT)})"
+  override def schema(): StructType = IvefSocket.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = IvefSocket.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new IvefSocketStream(
+            options.get(IvefSocket.HOST),
+            options.get(IvefSocket.PORT).toInt,
+            Option(options.get(IvefSocket.NAME)).getOrElse("C4ISR"),
+            Option(options.get(IvefSocket.PASSWORD)).getOrElse(""),
+            Option(options.get(IvefSocket.HEARTBEAT_SEC)).map(_.toLong).getOrElse(30L),
+            Option(options.get(IvefSocket.RECONNECT_MS)).map(_.toLong).getOrElse(200L))
+      }
+    }
+}
+
+class IvefSocketStream(host: String, port: Int, name: String, password: String,
+    heartbeatSec: Long, reconnectMs: Long) extends PushBufferStream {
+
+  @volatile private var socket: Socket = _
+
+  private def tailMatches(sb: StringBuilder, suf: String): Boolean = {
+    val n = sb.length
+    val m = suf.length
+    n >= m && {
+      var i = 0
+      var ok = true
+      while (ok && i < m) { ok = sb.charAt(n - m + i) == suf.charAt(i); i += 1 }
+      ok
+    }
+  }
+
+  private def handleDoc(doc: String, out: java.io.OutputStream,
+      pinged: () => Unit): Unit = {
+    if (doc.contains("<Ping")) {
+      pinged()
+      val refId = IvefSocket.MsgRefIdRe.findFirstMatchIn(doc)
+        .map(_.group(1)).getOrElse("")
+      out.write(IvefSocket.pongXml(refId).getBytes(UTF_8))
+      out.flush()
+    } else if (!doc.contains("<LoginResponse")) {
+      append(doc)
+    }
+  }
+
+  private def connectLoop(): Unit = {
+    while (!stopped) {
+      try {
+        val s = new Socket()
+        s.connect(new InetSocketAddress(host, port), 10000)
+        s.setSoTimeout(200) // poll tick so heartbeat staleness is noticed
+        socket = s
+        val out = s.getOutputStream
+        out.write(IvefSocket.loginXml(name, password).getBytes(UTF_8))
+        out.flush()
+        val in = new BufferedInputStream(s.getInputStream)
+        val sb = new StringBuilder
+        var lastPing = System.currentTimeMillis()
+        var alive = true
+        while (alive && !stopped) {
+          if (System.currentTimeMillis() - lastPing > heartbeatSec * 1000) {
+            alive = false // dead feed: reconnect + re-login
+          } else {
+            val b = try in.read() catch { case _: SocketTimeoutException => -2 }
+            if (b == -1) alive = false
+            else if (b >= 0 && b != 0xEF && b != 0xBF && b != 0xBD) {
+              sb.append(b.toChar)
+              // cut exactly at the closing tag (the reference's newline
+              // trigger re-accumulates on a parse failure mid-document —
+              // same net framing); newlines only flush inter-doc space
+              if (b == '>' && tailMatches(sb, "</MSG_IVEF>")) {
+                val doc = sb.toString.trim
+                sb.clear()
+                if (doc.nonEmpty) handleDoc(doc, out, () =>
+                  lastPing = System.currentTimeMillis())
+              } else if (b == '\n' && sb.forall(_.isWhitespace)) {
+                sb.clear()
+              }
+            }
+          }
+        }
+        try s.close() catch { case _: java.io.IOException => () }
+      } catch { case _: java.io.IOException => () }
+      if (!stopped) Thread.sleep(reconnectMs)
+    }
+  }
+
+  private val reader = new Thread(() => connectLoop(), s"ivef-socket-$host:$port")
+  reader.setDaemon(true)
+  reader.start()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (startSeq, slice) = sliceFor(start, end)
+    if (slice.isEmpty) Array.empty else Array(IvefDocsPartition(startSeq, slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IvefDocsReaderFactory
+
+  override def stop(): Unit = {
+    stopped = true
+    val s = socket
+    if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
+  }
+}
+
+case class IvefDocsPartition(startSeq: Long, docs: Array[String])
+    extends InputPartition
+
+class IvefDocsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[IvefDocsPartition]
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.docs.length }
+      override def get(): InternalRow =
+        InternalRow(p.startSeq + i, UTF8String.fromString(p.docs(i)))
+      override def close(): Unit = ()
+    }
+}

@@ -79,13 +79,46 @@ case class LineOffset(n: Long) extends Offset {
   override def json: String = n.toString
 }
 
-class NmeaSocketStream(host: String, port: Int, auth: Option[(String, String)],
-    reconnectMs: Long) extends MicroBatchStream {
-
-  // uncommitted tail of the feed; lines(i) has absolute index base + i
-  private val lines = new ArrayBuffer[String]()
+/** Shared shape of the push-feed sources (S2 NMEA, S10 IVEF): a driver
+  * daemon fills a string buffer; offsets are absolute element counts;
+  * `commit` trims the buffer. Subclasses own the protocol loop and the
+  * row shape.
+  */
+abstract class PushBufferStream extends MicroBatchStream {
+  protected val buffered = new ArrayBuffer[String]()
   private var base = 0L
-  @volatile private var stopped = false
+  @volatile protected var stopped = false
+
+  protected def append(s: String): Unit = buffered.synchronized { buffered += s }
+
+  override def initialOffset(): Offset = LineOffset(0L)
+  override def latestOffset(): Offset =
+    buffered.synchronized { LineOffset(base + buffered.size) }
+  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+
+  /** (absolute index of the first element, the slice) for a batch. */
+  protected def sliceFor(start: Offset, end: Offset): (Long, Array[String]) = {
+    val s = start.asInstanceOf[LineOffset].n
+    val e = end.asInstanceOf[LineOffset].n
+    buffered.synchronized {
+      (s, buffered.slice(
+        math.max(0, (s - base).toInt), math.max(0, (e - base).toInt)).toArray)
+    }
+  }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[LineOffset].n
+    buffered.synchronized {
+      val k = math.min(math.max(0, (e - base).toInt), buffered.size)
+      buffered.remove(0, k)
+      base = math.max(base, e)
+    }
+  }
+}
+
+class NmeaSocketStream(host: String, port: Int, auth: Option[(String, String)],
+    reconnectMs: Long) extends PushBufferStream {
+
   @volatile private var socket: Socket = _
 
   private def connectLoop(): Unit = {
@@ -105,7 +138,7 @@ class NmeaSocketStream(host: String, port: Int, auth: Option[(String, String)],
           new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
         var line = rd.readLine()
         while (line != null && !stopped) {
-          lines.synchronized { lines += line }
+          append(line)
           line = rd.readLine()
         }
       } catch { case _: java.io.IOException => () }
@@ -117,31 +150,13 @@ class NmeaSocketStream(host: String, port: Int, auth: Option[(String, String)],
   reader.setDaemon(true)
   reader.start()
 
-  override def initialOffset(): Offset = LineOffset(0L)
-  override def latestOffset(): Offset =
-    lines.synchronized { LineOffset(base + lines.size) }
-  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LineOffset].n
-    val e = end.asInstanceOf[LineOffset].n
-    val slice = lines.synchronized {
-      lines.slice(math.max(0, (s - base).toInt), math.max(0, (e - base).toInt)).toArray
-    }
+    val (_, slice) = sliceFor(start, end)
     if (slice.isEmpty) Array.empty else Array(NmeaLinesPartition(slice))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NmeaLinesReaderFactory
-
-  override def commit(end: Offset): Unit = {
-    val e = end.asInstanceOf[LineOffset].n
-    lines.synchronized {
-      val k = math.min(math.max(0, (e - base).toInt), lines.size)
-      lines.remove(0, k)
-      base = math.max(base, e)
-    }
-  }
 
   override def stop(): Unit = {
     stopped = true

@@ -60,8 +60,7 @@ object Sources {
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
   /** S10: IVEF XML document files (one MSG_IVEF doc per file, or a
-    * pre-split doc-per-line text file; the TCP `</MSG_IVEF>` framing of
-    * ais_ivef_lmt_client.py:380-387 is connector-shell work).
+    * pre-split doc-per-line text file).
     */
   def ivefDocs(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -69,4 +68,20 @@ object Sources {
       .withColumn("seq", monotonically_increasing_id())
       .select(col("seq"), col("value").as("xml"))
   }
+
+  /** S10 (live): the reference's IVEF TCP client protocol — XML login,
+    * `</MSG_IVEF>` framing, Ping->Pong heartbeat, reconnect+re-login on
+    * a silent feed (see IvefSocket.scala). Emits (seq, xml) rows, the
+    * same contract as `ivefDocs`.
+    */
+  def ivefStream(spark: SparkSession, host: String, port: Int,
+      name: String, password: String, heartbeatSec: Long = 30L): DataFrame =
+    spark.readStream
+      .format(classOf[IvefSocketProvider].getName)
+      .option(IvefSocket.HOST, host)
+      .option(IvefSocket.PORT, port.toString)
+      .option(IvefSocket.NAME, name)
+      .option(IvefSocket.PASSWORD, password)
+      .option(IvefSocket.HEARTBEAT_SEC, heartbeatSec.toString)
+      .load()
 }
