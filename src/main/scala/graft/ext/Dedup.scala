@@ -116,6 +116,59 @@ object Dedup {
   private val signatureUdf =
     org.apache.spark.sql.functions.udf((text: String) => signatureScala(text))
 
+  /** Single-pass bigram signature: text -> (distinct word-bigram shingle
+    * codes, min of two universal hash permutations over them). Same
+    * arithmetic as the declarative chain (tokenCodes -> chainCodes(2) ->
+    * two transform/array_min trees), which is five CodegenFallback HOFs
+    * re-evaluated per consuming expression — the same measured ~100x
+    * trap signatureScala exists for. Empty shingle sets yield null
+    * minima (list_min([]) is NULL in the oracle's replay too).
+    */
+  private def bigramSigScala(text: String): (Array[Long], Option[Long], Option[Long]) = {
+    val toks = text.split(" ")
+    val codes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    toks.foreach { t =>
+      if (t.nonEmpty) {
+        var h = 0L
+        var i = 0
+        while (i < t.length) { h = (h * 31 + t.charAt(i)) % P; i += 1 }
+        codes += h
+      }
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 1 < codes.length) {
+      seen.add((codes(i) * 131 + codes(i + 1)) % P)
+      i += 1
+    }
+    val bg = new Array[Long](seen.size)
+    var k1 = Long.MaxValue
+    var k2 = Long.MaxValue
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val c = it.next()
+      bg(n) = c
+      val v1 = (c * 3 + 1) % P
+      val v2 = (c * 5 + 8) % P
+      if (v1 < k1) k1 = v1
+      if (v2 < k2) k2 = v2
+      n += 1
+    }
+    if (n == 0) (bg, None, None) else (bg, Some(k1), Some(k2))
+  }
+
+  private val bigramSigUdf =
+    org.apache.spark.sql.functions.udf((text: String) => bigramSigScala(text))
+
+  /** (doc_id, bg, k1, k2) bigram-signature table for q22-style n-gram
+    * near-dup: one kernel pass per row.
+    */
+  def bigramSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), bigramSigUdf(coalesce(col(textCol), lit(""))).as("s"))
+      .select(col("doc_id"), col("s._1").as("bg"),
+        col("s._2").as("k1"), col("s._3").as("k2"))
+
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
     array((0 until K).map { i =>

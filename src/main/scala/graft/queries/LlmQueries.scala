@@ -61,16 +61,15 @@ object LlmQueries {
     // near-dup flood shares both minima.
     "q22_bigram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select(
-        $"doc_id",
-        Dedup.bigramCodes(TextStats.tokenCodesOf($"text")).as("bg"))
-        .select(
-          $"doc_id", $"bg",
-          array_min(transform($"bg", c => (c * 3 + 1) % P)).as("k1"),
-          array_min(transform($"bg", c => (c * 5 + 8) % P)).as("k2"))
-      val hot = docs.groupBy($"k1", $"k2").agg(count(lit(1)).as("bsz"))
-        .filter($"bsz" > 500).select($"k1", $"k2")
-      val pruned = docs.join(broadcast(hot), Seq("k1", "k2"), "left_anti")
+      import org.apache.spark.sql.expressions.Window
+      // single-pass signature kernel; the bucket-size cap is a window
+      // count over (k1, k2) — the SAME partitioning the pair join needs,
+      // so the guard piggybacks on the join's shuffle instead of adding
+      // an aggregation pass over the signature subtree
+      val pruned = Dedup.bigramSignatures(Tables.documents(s, d))
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy($"k1", $"k2")))
+        .filter($"bsz" <= 500)
       val l = pruned.select($"k1", $"k2", $"doc_id".as("doc1"), $"bg".as("b1"))
       val r = pruned.select($"k1", $"k2", $"doc_id".as("doc2"), $"bg".as("b2"))
       l.join(r, Seq("k1", "k2"))
