@@ -14,7 +14,8 @@ import graft.ops.{Geo, Reassembly}
   *
   * Spark-first shape: everything is one declarative plan; the only
   * hand-written rewrite is the payload-first-char pre-filter before the
-  * decode UDF (Catalyst cannot push through an opaque UDF — SURVEY §4).
+  * decode kernel (Catalyst cannot derive filters through an opaque
+  * bit-parser expression — SURVEY §4).
   *
   * Scale: reassembly shuffles once on session id (tiny groups), decode is
   * a narrow map, the as-of join shuffles once on mmsi, and the zone count
@@ -34,8 +35,9 @@ object GoldJob {
     *
     * `peekChars` is the hand-written pushdown from the reference
     * (ais_analysis.py:339-340): the first armored payload char IS the 6-bit
-    * message type, so filtering on it skips the expensive decode UDF for
-    * unwanted types — Catalyst can't derive this through an opaque UDF.
+    * message type, so filtering on it skips the expensive decode kernel
+    * for unwanted types — Catalyst can't derive this through an opaque
+    * expression.
     */
   def decode(lines: DataFrame, peekChars: Seq[String] = Nil): DataFrame = {
     val assembled = Reassembly.assembleBatch(Reassembly.parseFragments(lines))
