@@ -169,6 +169,58 @@ object Dedup {
       .select(col("doc_id"), col("s._1").as("bg"),
         col("s._2").as("k1"), col("s._3").as("k2"))
 
+  /** Bigram-Jaccard near-dup pairs blocked on the 2-permutation MinHash
+    * AND-key (collision ~ jaccard^2): ONE signature pass, ONE shuffle
+    * (groupBy the block key), pairs + Jaccard computed in-group by a
+    * tight kernel. A self-join formulation evaluates the signature
+    * subtree once per join side — this shape halves that, drops the
+    * window pass, and never shuffles candidate pairs at all. Buckets
+    * above `maxBucket` are dropped (boilerplate-flood guard, mirrored
+    * in the oracle); rounding replicates Num.r bit-for-bit
+    * (floor(x*10^4 + 0.5) as a long, divided by 10^4).
+    */
+  def bigramJaccardPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = 500, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bigramSignatures(docs, textCol)
+      .filter(col("k1").isNotNull)
+      .groupBy(col("k1"), col("k2"))
+      .agg(collect_list(struct(col("doc_id"), col("bg"))).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(col("items"))
+      .as[Seq[(Long, Seq[Long])]]
+      .flatMap { items =>
+        val arr = items.sortBy(_._1).toArray
+        val sets = arr.map { case (_, bg) =>
+          val s = new java.util.HashSet[java.lang.Long](bg.length * 2)
+          bg.foreach(s.add(_))
+          s
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (small, large) =
+              if (sets(i).size <= sets(j).size) (sets(i), sets(j)) else (sets(j), sets(i))
+            var inter = 0
+            val it = small.iterator()
+            while (it.hasNext) if (large.contains(it.next())) inter += 1
+            val union = sets(i).size + sets(j).size - inter
+            if (union > 0) {
+              val jac = math.floor(inter.toDouble / union * 10000 + 0.5).toLong / 10000.0
+              if (jac >= minJaccard) out += ((arr(i)._1, arr(j)._1, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("doc1", "doc2", "jaccard")
+  }
+
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
     array((0 until K).map { i =>

@@ -59,26 +59,8 @@ object LlmQueries {
     // flooded on any low-hash common shingle). A window-count cap
     // (mirrored in the oracle) bounds the pair join even when a true
     // near-dup flood shares both minima.
-    "q22_bigram_jaccard" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // single-pass signature kernel; the bucket-size cap is a window
-      // count over (k1, k2) — the SAME partitioning the pair join needs,
-      // so the guard piggybacks on the join's shuffle instead of adding
-      // an aggregation pass over the signature subtree
-      val pruned = Dedup.bigramSignatures(Tables.documents(s, d))
-        .withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy($"k1", $"k2")))
-        .filter($"bsz" <= 500)
-      val l = pruned.select($"k1", $"k2", $"doc_id".as("doc1"), $"bg".as("b1"))
-      val r = pruned.select($"k1", $"k2", $"doc_id".as("doc2"), $"bg".as("b2"))
-      l.join(r, Seq("k1", "k2"))
-        .filter($"doc1" < $"doc2")
-        .select($"doc1", $"doc2",
-          rnd(size(array_intersect($"b1", $"b2")).cast("double") /
-            size(array_distinct(concat($"b1", $"b2"))).cast("double"), 4).as("jaccard"))
-        .filter($"jaccard" >= 0.1)
-    }),
+    "q22_bigram_jaccard" -> ((s, d) =>
+      Dedup.bigramJaccardPairs(Tables.documents(s, d), minJaccard = 0.1)),
 
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
