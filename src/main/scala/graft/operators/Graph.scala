@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * loop (the same shape as k-means training), with a size-tiered
   * physical strategy:
   *
-  * Tier 1 (closure fits on the driver, `driverNodeLimit` nodes): BFS
+  * Tier 0 (the edge table fits on the driver, `driverEdgeLimit` rows):
+  * one collect + an in-memory BFS — two jobs total.
+  *
+  * Tier 1 (edges are big but the closure fits, `driverNodeLimit`): BFS
   * with in-memory frontier/visited sets — each round is ONE two-stage
   * job (InSet filter over the cached edge table + distinct + collect).
   * A DataFrame-join round costs ~6 stages of planning + codegen + a
@@ -39,12 +42,34 @@ object Graph {
   def reachable(spark: SparkSession, edges: DataFrame, start: Long,
                 maxIters: Int = 50, broadcastRows: Long = 1000000L,
                 checkpointEvery: Int = 10,
-                driverNodeLimit: Int = 5000): DataFrame = {
+                driverNodeLimit: Int = 5000,
+                driverEdgeLimit: Long = 500000L): DataFrame = {
     import spark.implicits._
     // the edge table is the only big input: materialize it ONCE —
     // otherwise every round re-derives it (scan + distinct shuffle x
     // diameter).
     val e = edges.cache()
+
+    // ---- tier 0: whole graph fits the driver -----------------------
+    // a per-round Spark job costs ~100 ms of scheduling regardless of
+    // data; when the EDGE TABLE itself is driver-sized, the entire
+    // closure is one collect + an in-memory BFS (2 jobs total instead
+    // of jobs x diameter)
+    if (e.count() <= driverEdgeLimit) {
+      val adj = e.select(col("src"), col("dst")).as[(Long, Long)]
+        .collect().groupMap(_._1)(_._2)
+      var seen = Set(start)
+      var front = Set(start)
+      var it = 0
+      while (it < maxIters && front.nonEmpty) {
+        front = front.iterator.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .filterNot(seen).toSet
+        seen ++= front
+        it += 1
+      }
+      e.unpersist(blocking = false)
+      return seen.toSeq.toDF("node")
+    }
 
     // ---- tier 1: driver-set BFS ------------------------------------
     var visitedSet = Set(start)

@@ -41,13 +41,18 @@ class GraphSpec extends AnyFunSuite {
   }
 
   private def run(broadcastRows: Long, checkpointEvery: Int,
-      driverNodeLimit: Int): Set[Long] = {
+      driverNodeLimit: Int, driverEdgeLimit: Long = 0L): Set[Long] = {
     import spark.implicits._
     val edges = edgeSeq.toDF("src", "dst")
     Graph.reachable(spark, edges, start = 0L,
         broadcastRows = broadcastRows, checkpointEvery = checkpointEvery,
-        driverNodeLimit = driverNodeLimit)
+        driverNodeLimit = driverNodeLimit, driverEdgeLimit = driverEdgeLimit)
       .as[Long].collect().toSet
+  }
+
+  test("tier-0 in-memory BFS (edge table fits the driver) matches") {
+    assert(run(broadcastRows = 1000000L, checkpointEvery = 10,
+      driverNodeLimit = 5000, driverEdgeLimit = 500000L) === expected)
   }
 
   test("tier-1 driver-set BFS matches brute-force closure") {
