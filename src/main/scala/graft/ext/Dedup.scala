@@ -266,9 +266,16 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = 1000): DataFrame = {
+    // cache: the signature table feeds BOTH candidate generation and
+    // Jaccard verification — uncached, the (expensive) kernel subtree
+    // is evaluated once per branch. This is the in-flight form of the
+    // dedup-at-rest layout (PlanSpec's bucketed signature store);
+    // Spark's cache manager keys on the analyzed plan, so repeated
+    // calls over the same corpus share one entry.
     val sigs = docs
       .select(col("doc_id"), signatureUdf(col("text")).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+      .cache()
     // Candidate generation carries ONLY (band, key, doc_id): the token-set
     // arrays must not ride through the pair-join/distinct shuffle — at
     // corpus scale that's the difference between shuffling ids and
