@@ -112,6 +112,44 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus should produce at least one close pair")
   }
 
+  test("in-group bigram-jaccard kernel == declarative self-join formulation") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(41)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val docs = (0 until 300).map { i =>
+      // near-dup clusters: groups of 3 share a base text with one edit
+      val base = Vector.fill(12)(vocab(rnd2.nextInt(vocab.size)))
+      val text = (if (i % 3 == 0) base else base.updated(rnd2.nextInt(12),
+        vocab(rnd2.nextInt(vocab.size)))).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+
+    val kernel = Dedup.bigramJaccardPairs(docs, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // reference: same block key + cap via window, pairs via self-join,
+    // jaccard via the declarative column expressions
+    import org.apache.spark.sql.expressions.Window
+    val P = graft.ext.TextStats.P
+    val sigs = Dedup.bigramSignatures(docs)
+      .filter($"k1".isNotNull)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy($"k1", $"k2")))
+      .filter($"bsz" <= 500)
+    val l = sigs.select($"k1", $"k2", $"doc_id".as("doc1"), $"bg".as("b1"))
+    val r = sigs.select($"k1", $"k2", $"doc_id".as("doc2"), $"bg".as("b2"))
+    val joined = l.join(r, Seq("k1", "k2"))
+      .filter($"doc1" < $"doc2")
+      .select($"doc1", $"doc2",
+        (floor(size(array_intersect($"b1", $"b2")).cast("double") /
+          size(array_distinct(concat($"b1", $"b2"))).cast("double") * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(kernel === joined)
+    assert(kernel.nonEmpty, "cluster corpus must produce near-dup pairs")
+  }
+
   test("hash-threshold stratified sample is deterministic and near the fractions") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
