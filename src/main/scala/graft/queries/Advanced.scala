@@ -117,7 +117,10 @@ object Advanced {
         .filter($"user_id" =!= 7)
         .select($"event_id".as("skey"),
           $"ts".cast("long").as("start"), $"ts".cast("long").as("end"))
-      IntervalJoin.overlapPairs(u7, pts, Bucket)
+      // one user's sessions are dimension-sized: broadcast them so the
+      // 600k-event side never shuffles (the hint rides through the
+      // bucket-explode projection into the equi-join)
+      IntervalJoin.overlapPairs(broadcast(u7), pts, Bucket)
         .groupBy($"key1".as("session_seq"))
         .agg(count(lit(1)).as("n_other_events"))
     }),
