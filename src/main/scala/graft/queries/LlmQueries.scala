@@ -62,6 +62,22 @@ object LlmQueries {
     "q22_bigram_jaccard" -> ((s, d) =>
       Dedup.bigramJaccardPairs(Tables.documents(s, d), minJaccard = 0.1)),
 
+    // Token counting, both ways the north-star list asks for: the
+    // whitespace splitter AND a BPE-ish pretokenizer regex (GPT-2 style
+    // contractions / letter-runs / digit-runs / punctuation-runs /
+    // whitespace — lookahead dropped so RE2 replays it identically).
+    "q61_token_families" -> ((s, d) => {
+      import s.implicits._
+      val bpe = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(TextStats.tokens($"text")).cast("long").as("n_ws_tokens"),
+        regexp_count($"text", lit(bpe)).cast("long").as("n_bpe_tokens"),
+        rnd(length($"text").cast("double") /
+          nullif(regexp_count($"text", lit(bpe)), lit(0)).cast("double"), 4)
+          .as("chars_per_bpe_token"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -208,6 +224,16 @@ object LlmQueries {
               / CAST(len(list_distinct(list_concat(l.bg, r.bg))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
           FROM t2 l JOIN t2 r ON l.k1 = r.k1 AND l.k2 = r.k2
           WHERE l.doc_id < r.doc_id) WHERE jaccard >= 0.1""",
+    "q61_token_families" -> {
+      val pat = """''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      s"""SELECT doc_id,
+            CAST(len($toksExpr) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe_tokens,
+            floor(CAST(length(text) AS DOUBLE)
+              / CAST(nullif(len(regexp_extract_all(text, '$pat')), 0) AS DOUBLE)
+              * 10000 + 0.5) / 10000 AS chars_per_bpe_token
+          FROM documents"""
+    },
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label, ${cosSql("embedding", "qvec")} AS cos
