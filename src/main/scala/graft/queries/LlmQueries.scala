@@ -78,6 +78,58 @@ object LlmQueries {
           .as("chars_per_bpe_token"))
     }),
 
+    // Document chunking for training windows: overlapping token slices
+    // (window 20 tokens, stride 15 -> 5-token overlap), the text analog
+    // of q48's frame sampling. Declarative: starts via sequence(),
+    // chunk text via slice + concat_ws — explode factor len/stride,
+    // no shuffle, payload projected per chunk.
+    "q62_doc_chunks" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextStats.tokens($"text")
+      Tables.documents(s, d)
+        .select($"doc_id", toks.as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", $"toks",
+          posexplode(sequence(lit(0), size($"toks") - 1, lit(15))).as(Seq("chunk_idx", "start")))
+        .select(
+          $"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          concat_ws(" ", slice($"toks", $"start" + 1, lit(20))).as("chunk_text"),
+          least(size($"toks") - $"start", lit(20)).cast("long").as("n_chunk_tokens"))
+    }),
+
+    // Greedy sequence packing: per language, docs in doc_id order are
+    // packed first-fit into bins of capacity 64 tokens (a doc longer
+    // than the capacity gets its own bin). The in-group kernel runs per
+    // (lang) shard — at 100 TB packing is per-shard by definition (a
+    // global greedy order would serialize the corpus); the oracle
+    // replays the same recurrence as a recursive CTE.
+    "q63_sequence_packing" -> ((s, d) => {
+      import s.implicits._
+      val cap = 64L
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id", size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (lang, rows) =>
+          // exact recurrence of the oracle CTE: first doc opens bin 0;
+          // then (bin, fill+n) if it fits, else (bin+1, n)
+          val docs = rows.toArray.sortBy(_._2)
+          var bin = 0L
+          var fill = 0L
+          var first = true
+          docs.iterator.map { case (_, docId, n) =>
+            if (first) { fill = n; first = false }
+            else if (fill + n <= cap) fill += n
+            else { bin += 1; fill = n }
+            (lang, docId, n, bin)
+          }
+        }
+        .toDF("lang", "doc_id", "n_tok", "bin")
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_sum"),
+          min($"doc_id").as("first_doc"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -234,6 +286,32 @@ object LlmQueries {
               * 10000 + 0.5) / 10000 AS chars_per_bpe_token
           FROM documents"""
     },
+    "q62_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+          t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+          t3 AS (SELECT doc_id, toks, generate_series(1, len(toks), 15) AS starts FROM t2)
+          SELECT doc_id,
+            CAST(i - 1 AS BIGINT) AS chunk_idx,
+            array_to_string(toks[starts[i]:least(starts[i] + 19, len(toks))], ' ') AS chunk_text,
+            CAST(least(len(toks) - starts[i] + 1, 20) AS BIGINT) AS n_chunk_tokens
+          FROM t3, UNNEST(generate_series(1, len(starts))) AS u(i)""",
+    "q63_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+           SELECT lang, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT lang, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.lang, d.doc_id, d.n_tok, d.rn,
+             CASE WHEN p.fill + d.n_tok <= 64 THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + d.n_tok <= 64 THEN p.fill + d.n_tok ELSE d.n_tok END
+           FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+         SELECT lang, bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
+         FROM p GROUP BY lang, bin""",
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label, ${cosSql("embedding", "qvec")} AS cos
