@@ -138,4 +138,82 @@ object Graph {
     e.unpersist(blocking = false)
     visited
   }
+
+  /** Connected components over undirected `edges(src, dst)`: every node
+    * appearing in an edge is assigned its component's MINIMUM node id.
+    * The dedup endgame — LSH pair lists become duplicate clusters with
+    * a canonical (min-id) representative. Same size tiering as
+    * [[reachable]]: union-find on the driver while the edge list fits
+    * `driverEdgeLimit`; past that, min-label propagation as a join
+    * loop — labels only decrease, so sum(label) is a monotone
+    * convergence fingerprint (fixpoint iff the sum is stable), and the
+    * label table is eagerly localCheckpoint'ed on a cadence exactly
+    * like the reachability loop. The DuckDB oracle replays it as
+    * min-reachable-label over a recursive CTE.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIters: Int = 50, checkpointEvery: Int = 10,
+      driverEdgeLimit: Long = 500000L): DataFrame = {
+    import spark.implicits._
+    val e = edges.cache()
+
+    if (e.count() <= driverEdgeLimit) {
+      // tier 0: classic union-find, two jobs total
+      val es = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      e.unpersist(blocking = false)
+      return nodes.map(n => (n, find(n))).toDF("node", "component")
+    }
+
+    // tier 2: distributed min-label propagation
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var lastCheckpoint = labels
+    var fingerprint = labels.agg(sum(col("lbl"))).as[Long].head()
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      val viaNeighbor = und
+        .join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl"))
+        .unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val prev = labels
+      labels =
+        if ((iter + 1) % checkpointEvery == 0) {
+          val cp = next.localCheckpoint(true)
+          if (prev ne lastCheckpoint) prev.unpersist(blocking = false)
+          lastCheckpoint.unpersist(blocking = false)
+          lastCheckpoint = cp
+          cp
+        } else next.cache()
+      val fp = labels.agg(sum(col("lbl"))).as[Long].head()
+      if (fp == fingerprint) done = true
+      else {
+        fingerprint = fp
+        if ((prev ne lastCheckpoint) && (prev ne labels)) prev.unpersist(blocking = false)
+      }
+      iter += 1
+    }
+    und.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    labels.select(col("node"), col("lbl").as("component"))
+  }
 }

@@ -130,6 +130,39 @@ object LlmQueries {
           min($"doc_id").as("first_doc"))
     }),
 
+    // int8 embedding quantization: per-vector absmax scale, quantized
+    // sum + max reconstruction error — the compression pass before an
+    // ANN index ships. Narrow map, no shuffle; all arithmetic in
+    // doubles with the cross-engine floor(x+0.5) rounding discipline.
+    "q64_embedding_quantize" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        (array_max(transform($"embedding", x => abs(x))).cast("double") / 127.0)
+          .as("scale"))
+      def quant(x: org.apache.spark.sql.Column) =
+        floor(x.cast("double") / $"scale" + 0.5)
+      base.select(
+        $"vec_id",
+        rnd($"scale", 6).as("scale_r"),
+        aggregate($"embedding", lit(0.0), (a, x) => a + quant(x))
+          .cast("long").as("q_sum"),
+        rnd(aggregate($"embedding", lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double") - quant(x) * $"scale"))), 6)
+          .as("max_err"))
+    }),
+
+    // Near-dup clusters: LSH pairs -> connected components (min-id
+    // canonical representative) -> cluster sizes. The dedup endgame —
+    // what a 100 TB pipeline actually executes after pair generation.
+    "q65_dedup_components" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select($"doc1".as("src"), $"doc2".as("dst"))
+      graft.operators.Graph.connectedComponents(s, pairs)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -193,6 +226,32 @@ object LlmQueries {
     s"(CASE WHEN embedding[${dd + 1}] > 0 THEN ${1L << dd} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** q21's full LSH pair replay — shared with q65, which clusters the
+    * same pair list into components.
+    */
+  private val q21Sql =
+    s"""SELECT * FROM (WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+        t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+          THEN list_transform(generate_series(1, len(codes) - 4), i ->
+            (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
+          ELSE [] END) AS tset FROM c),
+        sig AS (SELECT doc_id, tset, $minhashCols FROM t),
+        bands0 AS (
+          SELECT doc_id, tset, band, $bandKeyCase AS key
+          FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
+        bands AS (
+          SELECT doc_id, tset, band, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
+          WHERE bsz <= 1000),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.tset AS t1, r.tset AS t2
+          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id < r.doc_id)
+        SELECT doc1, doc2,
+          floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM cand) WHERE jaccard >= 0.7"""
+
   val oracleSql: Map[String, String] = Map(
     "q17_doc_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks, length(text) AS nch FROM documents)
@@ -234,28 +293,30 @@ object LlmQueries {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
-    "q21_minhash_pairs" ->
-      s"""SELECT * FROM (WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
-          t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
-            THEN list_transform(generate_series(1, len(codes) - 4), i ->
-              (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
-            ELSE [] END) AS tset FROM c),
-          sig AS (SELECT doc_id, tset, $minhashCols FROM t),
-          bands0 AS (
-            SELECT doc_id, tset, band, $bandKeyCase AS key
-            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
-          bands AS (
-            SELECT doc_id, tset, band, key FROM (
-              SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
-            WHERE bsz <= 1000),
-          cand AS (
-            SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.tset AS t1, r.tset AS t2
-            FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-            WHERE l.doc_id < r.doc_id)
-          SELECT doc1, doc2,
-            floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
-          FROM cand) WHERE jaccard >= 0.7""",
+    "q21_minhash_pairs" -> q21Sql,
+    "q64_embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+         FROM embeddings)
+         SELECT vec_id,
+           floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
+           CAST(list_sum(list_transform(embedding,
+             x -> floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) AS q_sum,
+           floor(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+             * 1000000 + 0.5) / 1000000 AS max_err
+         FROM b""",
+    "q65_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($q21Sql),
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                UNION SELECT doc2, doc1 FROM pairs),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          r AS (SELECT node, node AS lbl FROM n
+                UNION
+                SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node)
+          SELECT component, count(*) AS n_docs
+          FROM (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+          GROUP BY component""",
     "q22_bigram_jaccard" ->
       s"""SELECT * FROM (WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
           t1 AS (SELECT doc_id,

@@ -84,6 +84,22 @@ class GraphSpec extends AnyFunSuite {
       driverNodeLimit = 0) === expected)
   }
 
+  test("connected components: union-find tier == label-propagation tier") {
+    import spark.implicits._
+    // three components: {1,2,3,4}, {10,11}, {20,21,22}; edges undirected-ish
+    val comps = Seq((1L, 2L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("src", "dst")
+    val expectedCC = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val t0 = Graph.connectedComponents(spark, comps)
+      .as[(Long, Long)].collect().toMap
+    assert(t0 === expectedCC)
+    val t2 = Graph.connectedComponents(spark, comps,
+        driverEdgeLimit = 0L, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(t2 === expectedCC)
+  }
+
   test("mid-BFS spill from tier 1 to tier 2 matches") {
     // limit 6: tier 1 runs a few rounds, then the growing closure
     // overflows the driver budget and tier 2 finishes the fixpoint
