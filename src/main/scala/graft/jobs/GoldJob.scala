@@ -88,6 +88,35 @@ object GoldJob {
       .filter(Geo.inTssNorthbound(col("longitude"), col("latitude")))
       .agg(countDistinct(col("mmsi")).as("n_vessels"))
 
+  /** Streaming twin of [[run]]: tail a datalog landing zone and keep
+    * the date-partitioned gold position table continuously appended.
+    * Decode is the same narrow plan; the as-of static join is a BATCH
+    * concern (it needs the full static history — the reference also
+    * joins at analysis time, ais_analysis.py:476), so the stream lands
+    * silver positions and batch `gold` runs over the landed table.
+    * Checkpointed file sink => exactly-once appends at 100 TB.
+    */
+  def runStream(spark: SparkSession, datalogDir: String, goldOut: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = graft.sources.Sources.datalogStream(spark, datalogDir)
+    val frags = Reassembly.parseFragments(lines)
+    import spark.implicits._
+    val assembled = Reassembly.assembleStream(frags.as[Reassembly.Fragment]).toDF()
+    val decoded = assembled
+      .withColumn("ts", tagTs(col("tagblock")))
+      .withColumn("d", AisDecoder.ais_decode(col("sentences")))
+      .filter(col("d").isNotNull)
+    positions(decoded)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("event_date")
+      .option("path", goldOut)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** End-to-end: datalog path -> gold parquet + zone count. The gold
     * table is written partitioned by event date so downstream
     * time-ranged reads prune whole partitions before row-group pruning
