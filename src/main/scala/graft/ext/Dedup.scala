@@ -161,6 +161,33 @@ object Dedup {
   private val bigramSigUdf =
     org.apache.spark.sql.functions.udf((text: String) => bigramSigScala(text))
 
+  /** Signature tables cached by the pair generators. Spark's cache
+    * manager keys entries on the analyzed plan, so repeated calls over
+    * the SAME corpus+params share one entry (q21 and q65 do) — but every
+    * DISTINCT corpus leaves its entry pinned for the session. Long-lived
+    * sessions scanning many corpora should call [[clearSignatureCaches]]
+    * between corpora.
+    */
+  private val cachedSigTables =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerSigCache(df: DataFrame): DataFrame = {
+    cachedSigTables.add(df)
+    df
+  }
+
+  /** Unpersist every signature table the pair generators have cached.
+    * Safe while results are outstanding — an unpersisted dependency is
+    * recomputed, not lost.
+    */
+  def clearSignatureCaches(): Unit = {
+    var df = cachedSigTables.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = cachedSigTables.poll()
+    }
+  }
+
   /** (doc_id, bg, k1, k2) bigram-signature table for q22-style n-gram
     * near-dup: one kernel pass per row.
     */
@@ -176,18 +203,25 @@ object Dedup {
     * subtree once per join side — this shape halves that, drops the
     * window pass, and never shuffles candidate pairs at all. Buckets
     * above `maxBucket` are dropped (boilerplate-flood guard, mirrored
-    * in the oracle); rounding replicates Num.r bit-for-bit
-    * (floor(x*10^4 + 0.5) as a long, divided by 10^4).
+    * in the oracle) BEFORE the aggregation: hot (k1,k2) keys are
+    * excluded via the same broadcast anti-join as [[dropHotBuckets]],
+    * so a flood bucket is never materialized in a collect_list buffer
+    * (doc ids + bigram arrays of the whole flood in one executor's
+    * memory — the exact OOM the cap exists to prevent). The signature
+    * table feeds both the hot-key count and the aggregation, so it is
+    * cached (see [[clearSignatureCaches]]); rounding replicates Num.r
+    * bit-for-bit (floor(x*10^4 + 0.5) as a long, divided by 10^4).
     */
   def bigramJaccardPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = 500, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bigramSignatures(docs, textCol)
-      .filter(col("k1").isNotNull)
+    val sigs = registerSigCache(
+      bigramSignatures(docs, textCol).filter(col("k1").isNotNull).cache())
+    dropHotBuckets(sigs, Seq("k1", "k2"), maxBucket)
       .groupBy(col("k1"), col("k2"))
       .agg(collect_list(struct(col("doc_id"), col("bg"))).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .filter(size(col("items")) >= 2)
       .select(col("items"))
       .as[Seq[(Long, Seq[Long])]]
       .flatMap { items =>
@@ -271,11 +305,12 @@ object Dedup {
     // is evaluated once per branch. This is the in-flight form of the
     // dedup-at-rest layout (PlanSpec's bucketed signature store);
     // Spark's cache manager keys on the analyzed plan, so repeated
-    // calls over the same corpus share one entry.
-    val sigs = docs
+    // calls over the same corpus share one entry. Registered for
+    // explicit release — see clearSignatureCaches.
+    val sigs = registerSigCache(docs
       .select(col("doc_id"), signatureUdf(col("text")).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
-      .cache()
+      .cache())
     // Candidate generation carries ONLY (band, key, doc_id): the token-set
     // arrays must not ride through the pair-join/distinct shuffle — at
     // corpus scale that's the difference between shuffling ids and

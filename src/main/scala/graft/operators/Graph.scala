@@ -214,6 +214,14 @@ object Graph {
     }
     und.unpersist(blocking = false)
     e.unpersist(blocking = false)
+    // Unlike reachable — where hitting maxIters merely under-approximates
+    // a closure — unconverged labels here LOOK valid but are wrong for
+    // every component whose diameter exceeds the iteration budget. Fail
+    // loudly instead of returning them.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations: " +
+        "label sums were still decreasing. maxIters must exceed the " +
+        "largest component's diameter; raise it for this graph.")
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -21,8 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Protocol parity:
   *  - on connect, send the XML LoginRequest package (Name/Password,
   *    Header MsgRefId a fresh uuid, Version 0.2.5) — `:331-343`;
-  *  - documents are framed by `</MSG_IVEF>` or a newline (`:386-387`),
-  *    with the UTF-8 replacement bytes EF/BF/BD skipped (`:382-384`);
+  *  - documents are framed by `</MSG_IVEF>` or a newline (`:386-387`).
+  *    Frames are accumulated as BYTES and decoded as UTF-8 once complete
+  *    (the closing tag is ASCII, so the byte-tail match cannot split a
+  *    multi-byte sequence); replacement characters (U+FFFD — the
+  *    reference skips their EF/BF/BD encoding per-byte, `:382-384`) are
+  *    stripped after decoding, and a frame that is not valid UTF-8 is
+  *    dropped, mirroring the reference's failed-decode path;
   *  - a `Ping` body is answered immediately with a `Pong` carrying
   *    `ResponseOn=<the ping's MsgRefId>` and refreshes the heartbeat
   *    clock (`:263-276`, `:396-398`); Ping/LoginResponse frames are
@@ -71,6 +76,60 @@ object IvefSocket {
   }
 
   private[sources] val MsgRefIdRe = """MsgRefId="([^"]*)"""".r
+
+  private[sources] val CloseTag: Array[Byte] = "</MSG_IVEF>".getBytes(UTF_8)
+
+  /** Growable byte frame with tail matching — frames accumulate as raw
+    * bytes so UTF-8 decoding happens once per COMPLETE frame, never
+    * per byte (a per-byte toChar is a Latin-1 decode that turns any
+    * multi-byte content into mojibake).
+    */
+  private[sources] final class FrameBuf {
+    private var arr = new Array[Byte](8192)
+    private var len = 0
+    def add(b: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = b.toByte
+      len += 1
+    }
+    def clear(): Unit = len = 0
+    def tailIs(suf: Array[Byte]): Boolean =
+      len >= suf.length && {
+        var i = 0
+        var ok = true
+        while (ok && i < suf.length) {
+          ok = arr(len - suf.length + i) == suf(i); i += 1
+        }
+        ok
+      }
+    def allWhitespace: Boolean = {
+      var i = 0
+      var ok = true
+      while (ok && i < len) {
+        val b = arr(i) & 0xFF
+        ok = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+        i += 1
+      }
+      ok
+    }
+    /** Strict UTF-8 decode of the frame; None when malformed (the frame
+      * is dropped — reference parity with its failed per-byte decode).
+      * Decoded replacement characters are stripped, mirroring the
+      * reference's EF/BF/BD skip without corrupting legitimate
+      * multi-byte sequences.
+      */
+    def decodeUtf8: Option[String] = {
+      val dec = UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try {
+        val s = dec.decode(java.nio.ByteBuffer.wrap(arr, 0, len)).toString
+        Some(s.filterNot(_ == '\uFFFD'))
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => None
+      }
+    }
+  }
 }
 
 class IvefSocketProvider extends TableProvider {
@@ -109,17 +168,6 @@ class IvefSocketStream(host: String, port: Int, name: String, password: String,
 
   @volatile private var socket: Socket = _
 
-  private def tailMatches(sb: StringBuilder, suf: String): Boolean = {
-    val n = sb.length
-    val m = suf.length
-    n >= m && {
-      var i = 0
-      var ok = true
-      while (ok && i < m) { ok = sb.charAt(n - m + i) == suf.charAt(i); i += 1 }
-      ok
-    }
-  }
-
   private def handleDoc(doc: String, out: java.io.OutputStream,
       pinged: () => Unit): Unit = {
     if (doc.contains("<Ping")) {
@@ -144,7 +192,7 @@ class IvefSocketStream(host: String, port: Int, name: String, password: String,
         out.write(IvefSocket.loginXml(name, password).getBytes(UTF_8))
         out.flush()
         val in = new BufferedInputStream(s.getInputStream)
-        val sb = new StringBuilder
+        val buf = new IvefSocket.FrameBuf
         var lastPing = System.currentTimeMillis()
         var alive = true
         while (alive && !stopped) {
@@ -153,18 +201,18 @@ class IvefSocketStream(host: String, port: Int, name: String, password: String,
           } else {
             val b = try in.read() catch { case _: SocketTimeoutException => -2 }
             if (b == -1) alive = false
-            else if (b >= 0 && b != 0xEF && b != 0xBF && b != 0xBD) {
-              sb.append(b.toChar)
+            else if (b >= 0) {
+              buf.add(b)
               // cut exactly at the closing tag (the reference's newline
               // trigger re-accumulates on a parse failure mid-document —
               // same net framing); newlines only flush inter-doc space
-              if (b == '>' && tailMatches(sb, "</MSG_IVEF>")) {
-                val doc = sb.toString.trim
-                sb.clear()
+              if (b == '>' && buf.tailIs(IvefSocket.CloseTag)) {
+                val doc = buf.decodeUtf8.map(_.trim).getOrElse("")
+                buf.clear()
                 if (doc.nonEmpty) handleDoc(doc, out, () =>
                   lastPing = System.currentTimeMillis())
-              } else if (b == '\n' && sb.forall(_.isWhitespace)) {
-                sb.clear()
+              } else if (b == '\n' && buf.allWhitespace) {
+                buf.clear()
               }
             }
           }

@@ -81,8 +81,19 @@ case class LineOffset(n: Long) extends Offset {
 
 /** Shared shape of the push-feed sources (S2 NMEA, S10 IVEF): a driver
   * daemon fills a string buffer; offsets are absolute element counts;
-  * `commit` trims the buffer. Subclasses own the protocol loop and the
+  * `commit` trims the buffer.  Subclasses own the protocol loop and the
   * row shape.
+  *
+  * Recovery contract (dev/edge ingest — the feed itself is not
+  * replayable): the buffer lives in driver memory only, so a driver
+  * restart loses any elements received after the last commit, and a
+  * planned-but-uncommitted batch replays EMPTY. What the source does
+  * guarantee is that offsets never regress: restoring a checkpointed
+  * offset (via [[deserializeOffset]]) fast-forwards `base` so that
+  * elements received after the restart are numbered from the restored
+  * offset upward — `latestOffset` can never fall below a committed
+  * offset. Durable replay at scale is S1's file/log path, not this
+  * source.
   */
 abstract class PushBufferStream extends MicroBatchStream {
   protected val buffered = new ArrayBuffer[String]()
@@ -94,7 +105,19 @@ abstract class PushBufferStream extends MicroBatchStream {
   override def initialOffset(): Offset = LineOffset(0L)
   override def latestOffset(): Offset =
     buffered.synchronized { LineOffset(base + buffered.size) }
-  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+
+  /** Restores a checkpointed offset. A fresh instance starts at base 0;
+    * if the restored offset is ahead of everything this instance has
+    * seen, fast-forward `base` so buffered (post-restart) elements are
+    * numbered from the restored offset — offsets monotone across
+    * restarts, lost-in-restart elements surface as an empty replay
+    * rather than a regressed watermark.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buffered.synchronized { if (n > base + buffered.size) base = n }
+    LineOffset(n)
+  }
 
   /** (absolute index of the first element, the slice) for a batch. */
   protected def sliceFor(start: Offset, end: Offset): (Long, Array[String]) = {

@@ -66,6 +66,26 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(planted.subsetOf(capped), "identical planted pairs must be kept")
   }
 
+  test("bigram flood guard excludes hot keys BEFORE aggregation") {
+    import spark.implicits._
+    val docs = skewedCorpus
+    val df = Dedup.bigramJaccardPairs(docs, minJaccard = 0.5, maxBucket = 100)
+    val pairs = df.select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a >= 1000 && b >= 1000 },
+      "flooded (k1,k2) bucket must be excluded from pair generation")
+    val planted = (0 until 50).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(planted.subsetOf(pairs), "honest near-dup pairs must be kept")
+    // structural contract: the hot-key anti-join sits BELOW the
+    // collect_list aggregate (parents print before children), so a
+    // flood bucket is never materialized in an aggregation buffer —
+    // a post-aggregation size filter would OOM exactly on floods
+    val p = df.queryExecution.executedPlan.toString
+    val aggIdx = p.indexOf("collect_list")
+    val antiIdx = p.indexOf("LeftAnti")
+    assert(aggIdx >= 0, p.take(3000))
+    assert(antiIdx > aggIdx, "anti-join must be below the aggregate:\n" + p.take(3000))
+  }
+
   test("composite fuzzy block bounds buckets without changing results") {
     import spark.implicits._
     // one shared first token, lengths spread 8..47: first-token-only

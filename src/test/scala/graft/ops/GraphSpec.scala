@@ -100,6 +100,17 @@ class GraphSpec extends AnyFunSuite {
     assert(t2 === expectedCC)
   }
 
+  test("connected components: unconverged labels fail loudly") {
+    import spark.implicits._
+    // a 5-node path needs ~4 min-label rounds; 1 round cannot converge.
+    // Unconverged labels LOOK valid (every node gets one), so returning
+    // them silently is the failure mode this guards against.
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    assertThrows[IllegalStateException] {
+      Graph.connectedComponents(spark, path, maxIters = 1, driverEdgeLimit = 0L)
+    }
+  }
+
   test("mid-BFS spill from tier 1 to tier 2 matches") {
     // limit 6: tier 1 runs a few rounds, then the growing closure
     // overflows the driver budget and tier 2 finishes the fixpoint

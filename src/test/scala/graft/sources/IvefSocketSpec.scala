@@ -116,4 +116,28 @@ class IvefSocketSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("frame decode: UTF-8 multi-byte intact, U+FFFD stripped, malformed dropped") {
+    def feed(bytes: Array[Byte]): Option[String] = {
+      val buf = new IvefSocket.FrameBuf
+      bytes.foreach(b => buf.add(b & 0xFF))
+      assert(buf.tailIs(IvefSocket.CloseTag))
+      buf.decodeUtf8
+    }
+    // multi-byte content (Ø = C3 98 shares no bytes with the EF/BF/BD
+    // skip, é = C3 A9) survives the byte-accumulate + frame decode —
+    // the per-byte toChar path would emit mojibake here
+    val doc = "<MSG_IVEF><Body><ObjectData Name=\"SØRØYA é\"/></Body></MSG_IVEF>"
+    assert(feed(doc.getBytes(UTF_8)) === Some(doc))
+    // encoded replacement chars (EF BF BD) are stripped AFTER decoding,
+    // mirroring the reference's skip without corrupting real sequences
+    val withFffd = "<MSG_IVEF><Body a=\"x�y\"/></MSG_IVEF>"
+    assert(feed(withFffd.getBytes(UTF_8)) ===
+      Some("<MSG_IVEF><Body a=\"xy\"/></MSG_IVEF>"))
+    // a frame that is not valid UTF-8 is dropped (reference parity with
+    // its failed per-byte decode), not emitted as mojibake
+    val malformed = "<MSG_IVEF><Body a=\"".getBytes(UTF_8) ++
+      Array(0xC3.toByte) ++ "\"/></MSG_IVEF>".getBytes(UTF_8)
+    assert(feed(malformed) === None)
+  }
 }

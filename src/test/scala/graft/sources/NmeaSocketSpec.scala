@@ -97,4 +97,34 @@ class NmeaSocketSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("restart restore fast-forwards offsets — no regression, no phantom replay") {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.connector.read.streaming.Offset
+    class TestStream extends PushBufferStream {
+      def push(s: String): Unit = append(s)
+      def slice(a: Long, b: Long): Array[String] =
+        sliceFor(LineOffset(a), LineOffset(b))._2
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        Array.empty
+      override def createReaderFactory(): PartitionReaderFactory = null
+      override def stop(): Unit = ()
+    }
+    // fresh instance = post-restart state: base 0, two lines already
+    // received before the engine restores its checkpoint
+    val st = new TestStream
+    st.push("a"); st.push("b")
+    // checkpoint said 10 lines were committed pre-restart
+    st.deserializeOffset("10")
+    // latestOffset must not regress below the committed watermark
+    assert(st.latestOffset().asInstanceOf[LineOffset].n === 12L)
+    // a replayed pre-restart batch is EMPTY (documented loss), never
+    // other lines' data
+    assert(st.slice(8, 10).isEmpty)
+    // post-restart lines are renumbered from the restored offset up
+    assert(st.slice(10, 12).toSeq === Seq("a", "b"))
+    st.commit(LineOffset(12))
+    assert(st.latestOffset().asInstanceOf[LineOffset].n === 12L)
+    assert(st.slice(10, 12).isEmpty, "commit trims the delivered lines")
+  }
 }
