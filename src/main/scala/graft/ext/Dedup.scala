@@ -255,6 +255,37 @@ object Dedup {
       .toDF("doc1", "doc2", "jaccard")
   }
 
+  /** (doc_id, tset) distinct 5-gram shingle sets — one kernel pass; the
+    * dedup and decontamination primitives share it.
+    */
+  def shingleSets(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), signatureUdf(coalesce(col(textCol), lit(""))).as("s"))
+      .select(col("doc_id"), col("s._1").as("tset"))
+
+  /** Test-set decontamination: for every train document, the number of
+    * distinct 5-gram shingles it shares with ANY test document — the
+    * standard n-gram-overlap contamination check run before training on
+    * a corpus that might contain evaluation data.
+    *
+    * Scale shape: both sides explode to (doc_id, code) pairs — ids and
+    * 64-bit codes only, never text — and meet in an equi-join on the
+    * shingle code, whose hash distribution is uniform by construction
+    * (no skewed key). Real benchmark sets are tiny relative to the
+    * corpus, so AQE turns the distinct test-shingle side into a
+    * broadcast; the count aggregates map-side. Left as a plain join (no
+    * forced broadcast hint) so a genuinely large holdout degrades to a
+    * shuffled join instead of a driver OOM.
+    */
+  def contamination(train: DataFrame, test: DataFrame): DataFrame = {
+    val trCodes = shingleSets(train)
+      .select(col("doc_id"), explode(col("tset")).as("code"))
+    val teCodes = shingleSets(test)
+      .select(explode(col("tset")).as("code")).distinct()
+    trCodes.join(teCodes, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
     array((0 until K).map { i =>

@@ -85,6 +85,39 @@ object TextStats {
   val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is",
     "for", "on", "with")
 
+  /** Repetition statistics per document (Gopher-style quality filter
+    * ingredients): token count, distinct-token count, the frequency of
+    * the most common token and of the most common word-bigram. One
+    * tight JVM pass per row — mode-of-a-list in column algebra is a
+    * quadratic CodegenFallback HOF chain (count each distinct against
+    * the whole list), the measured ~100x trap the other kernels avoid.
+    * Returns (n_tokens, n_distinct, top_tok_freq, top_bigram_freq).
+    */
+  private def repStatsScala(text: String): (Long, Long, Long, Long) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    val cnt = new java.util.HashMap[String, Int]()
+    toks.foreach(t => cnt.merge(t, 1, Integer.sum))
+    var maxTok = 0
+    cnt.values.forEach(v => if (v > maxTok) maxTok = v)
+    val big = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + 1 < n) {
+      big.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+      i += 1
+    }
+    var maxBig = 0
+    big.values.forEach(v => if (v > maxBig) maxBig = v)
+    (n.toLong, cnt.size.toLong, maxTok.toLong, maxBig.toLong)
+  }
+
+  private val repStatsUdf =
+    org.apache.spark.sql.functions.udf((text: String) => repStatsScala(text))
+
+  /** (n_tokens, n_distinct, top_tok_freq, top_bigram_freq) struct. */
+  def repetitionStats(text: Column): Column =
+    repStatsUdf(coalesce(text, lit("")))
+
   /** Quality heuristics bundle; every double rounded for oracle parity. */
   def statsColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)

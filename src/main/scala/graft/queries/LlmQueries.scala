@@ -163,6 +163,67 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Test-set decontamination: q51's hash split carves a 10% holdout;
+    // every train doc reports how many distinct 5-gram shingles it
+    // shares with ANY holdout doc — the n-gram-overlap contamination
+    // check run before training when the corpus may contain eval data.
+    // Ids + shingle codes only through the join; see Dedup.contamination.
+    "q66_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
+      Dedup.contamination(
+        docs.filter($"bucket" < 90), docs.filter($"bucket" >= 90))
+    }),
+
+    // Gopher-style repetition quality filter: top-token / top-bigram /
+    // distinct-token ratios per doc, plus the keep decision. Narrow
+    // one-kernel-pass map, no shuffle; thresholds compare the ROUNDED
+    // ratios so the keep flag can't straddle a ULP between engines.
+    "q67_repetition_filter" -> ((s, d) => {
+      import s.implicits._
+      val st = Tables.documents(s, d)
+        .select($"doc_id", TextStats.repetitionStats($"text").as("r"))
+        .select($"doc_id", $"r._1".as("n_tokens"), $"r._2".as("n_distinct"),
+          $"r._3".as("top_tok_freq"), $"r._4".as("top_bigram_freq"))
+      val topTokRatio = rnd($"top_tok_freq".cast("double") /
+        nullif($"n_tokens", lit(0L)).cast("double"), 4)
+      val distinctRatio = rnd($"n_distinct".cast("double") /
+        nullif($"n_tokens", lit(0L)).cast("double"), 4)
+      val topBigramRatio = rnd($"top_bigram_freq".cast("double") /
+        nullif($"n_tokens" - 1L, lit(0L)).cast("double"), 4)
+      st.select($"doc_id", $"n_tokens", $"n_distinct",
+        $"top_tok_freq", $"top_bigram_freq",
+        topTokRatio.as("top_tok_ratio"),
+        distinctRatio.as("distinct_ratio"),
+        topBigramRatio.as("top_bigram_ratio"),
+        (topTokRatio <= 0.2 && distinctRatio >= 0.3).as("keep"))
+    }),
+
+    // Weighted domain mixing: per-source sampling thresholds computed
+    // from the corpus itself (uniform target share per source, capped
+    // at keeping everything), applied as a deterministic hash filter.
+    // The threshold table is a per-source aggregate (tiny) broadcast
+    // back onto the corpus — two scans, one shuffle of counts, the
+    // sample filter itself pure map-side. Integer permille thresholds
+    // (DIV) keep both engines bit-exact.
+    "q68_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val docs = Tables.documents(s, d)
+      val thr = docs.groupBy($"source").agg(count(lit(1)).as("n_before"))
+        .withColumn("total", sum($"n_before").over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("thr",
+          least(lit(1000L), expr("(total * 1000) DIV (k * n_before)")))
+        .select($"source", $"n_before", $"thr")
+      docs.join(broadcast(thr), Seq("source"))
+        .filter(pmod($"doc_id" * 2654435761L + 131L, lit(1000L)) < $"thr")
+        .groupBy($"source", $"n_before", $"thr")
+        .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -226,15 +287,22 @@ object LlmQueries {
     s"(CASE WHEN embedding[${dd + 1}] > 0 THEN ${1L << dd} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** (doc_id, tset) 5-gram shingle-set CTEs — shared by the q21 LSH
+    * replay and the q66 decontamination replay (one arithmetic, three
+    * consumers, zero drift).
+    */
+  private val shingleCtes =
+    s"""c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+        t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
+          THEN list_transform(generate_series(1, len(codes) - 4), i ->
+            (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
+          ELSE [] END) AS tset FROM c)"""
+
   /** q21's full LSH pair replay — shared with q65, which clusters the
     * same pair list into components.
     */
   private val q21Sql =
-    s"""SELECT * FROM (WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
-        t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
-          THEN list_transform(generate_series(1, len(codes) - 4), i ->
-            (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
-          ELSE [] END) AS tset FROM c),
+    s"""SELECT * FROM (WITH $shingleCtes,
         sig AS (SELECT doc_id, tset, $minhashCols FROM t),
         bands0 AS (
           SELECT doc_id, tset, band, $bandKeyCase AS key
@@ -373,6 +441,51 @@ object LlmQueries {
          SELECT lang, bin, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
          FROM p GROUP BY lang, bin""",
+    "q66_decontaminate" ->
+      s"""WITH $shingleCtes,
+          b AS (SELECT doc_id, tset, (doc_id * 2654435761) % 100 AS bucket FROM t),
+          tr AS (SELECT doc_id, unnest(tset) AS code FROM b WHERE bucket < 90),
+          te AS (SELECT DISTINCT unnest(tset) AS code FROM b WHERE bucket >= 90)
+          SELECT tr.doc_id, count(*) AS n_shared
+          FROM tr JOIN te USING (code) GROUP BY tr.doc_id""",
+    "q67_repetition_filter" -> {
+      val topTok = Num.rSql(
+        "CAST(top_tok_freq AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+      val dist = Num.rSql(
+        "CAST(n_distinct AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+      val topBig = Num.rSql(
+        "CAST(top_bigram_freq AS DOUBLE) / CAST(nullif(n_tokens - 1, 0) AS DOUBLE)", 4)
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+          c AS (SELECT doc_id, toks,
+            list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1]) AS bgs FROM t),
+          m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+              list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) END AS BIGINT) AS top_tok_freq,
+            CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE
+              list_max(list_transform(list_distinct(bgs),
+                u -> len(list_filter(bgs, x -> x = u)))) END AS BIGINT) AS top_bigram_freq
+          FROM c)
+          SELECT *, (top_tok_ratio <= 0.2 AND distinct_ratio >= 0.3) AS keep
+          FROM (SELECT doc_id, n_tokens, n_distinct, top_tok_freq, top_bigram_freq,
+            $topTok AS top_tok_ratio, $dist AS distinct_ratio,
+            $topBig AS top_bigram_ratio FROM m)"""
+    },
+    "q68_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+         t AS (SELECT source, CAST(n_before AS BIGINT) AS n_before,
+           CAST(sum(n_before) OVER () AS BIGINT) AS total,
+           CAST(count(*) OVER () AS BIGINT) AS k FROM c),
+         thr AS (SELECT source, n_before,
+           CAST(least(1000, (total * 1000) // (k * n_before)) AS BIGINT) AS thr FROM t),
+         s AS (SELECT d.source, d.doc_id, t2.n_before, t2.thr
+               FROM documents d JOIN thr t2 USING (source)
+               WHERE (d.doc_id * 2654435761 + 131) % 1000 < t2.thr)
+         SELECT source, n_before, thr, count(*) AS n_sampled, min(doc_id) AS first_doc
+         FROM s GROUP BY source, n_before, thr""",
     "q23_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, label, ${cosSql("embedding", "qvec")} AS cos

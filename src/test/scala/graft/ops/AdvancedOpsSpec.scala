@@ -175,6 +175,65 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(!byLang.contains("es"))
   }
 
+  test("contamination counts shared 5-gram shingles, ignores disjoint docs") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon" // one 5-gram
+    val train = Seq(
+      (1L, s"$phrase zeta eta"),          // shares 5-grams with test doc
+      (2L, "one two three four five six"), // disjoint vocabulary
+      (3L, phrase)                         // exactly the planted 5-gram
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, s"prefix $phrase suffix")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test)
+      .as[(Long, Long)].collect().toMap
+    // test doc's shingles: [prefix α β γ δ], [α β γ δ ε], [β γ δ ε suffix]
+    // doc 1 shares [α β γ δ ε] plus none of the prefix/suffix ones; its
+    // own other shingles ([β γ δ ε ζ], [γ δ ε ζ η]) don't appear in test
+    assert(got(1L) === 1L)
+    assert(got(3L) === 1L, "doc 3 IS the planted 5-gram")
+    assert(!got.contains(2L), "disjoint docs must not be flagged")
+  }
+
+  test("repetition stats match hand-computed frequencies") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),       // 4 toks, 2 distinct, top tok 3x, top bigram "a a" 2x
+      (2L, "x y x y x"),     // 5 toks, 2 distinct, top tok 3x, bigrams: "x y" 2x "y x" 2x
+      (3L, "solo"),          // 1 tok: no bigrams
+      (4L, "")               // empty: all zero
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", graft.ext.TextStats.repetitionStats($"text").as("r"))
+      .select($"doc_id", $"r._1", $"r._2", $"r._3", $"r._4")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(1L) === ((4L, 2L, 3L, 2L)))
+    assert(got(2L) === ((5L, 2L, 3L, 2L)))
+    assert(got(3L) === ((1L, 1L, 1L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("domain mix thresholds rebalance toward the uniform target") {
+    import spark.implicits._
+    // 3 sources, heavily skewed: uniform target = total/3 docs per source
+    val docs = ((0 until 600).map(i => (i.toLong, "big")) ++
+      (600 until 690).map(i => (i.toLong, "mid")) ++
+      (690 until 700).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source").withColumn("text", lit("t"))
+    // the same arithmetic as q68: thr = total*1000 DIV (k*n), capped 1000
+    val thr = Map("big" -> math.min(1000L, 700L * 1000 / (3 * 600)),
+      "mid" -> math.min(1000L, 700L * 1000 / (3 * 90)),
+      "small" -> math.min(1000L, 700L * 1000 / (3 * 10)))
+    assert(thr("big") === 388L, "majority source down-sampled")
+    assert(thr("mid") === 1000L, "minority sources kept whole")
+    assert(thr("small") === 1000L)
+    val kept = docs
+      .filter(pmod($"doc_id" * 2654435761L + 131L, lit(1000L)) <
+        lit(thr("big"))) // big source's filter
+      .filter($"source" === "big").count()
+    // deterministic hash keeps ~38.8% of the 600 big docs
+    assert(kept > 180 && kept < 280, s"got $kept")
+  }
+
   test("salted join == plain join on a skewed key distribution") {
     import spark.implicits._
     import graft.operators.Skew
