@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
 
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       // one query per table/kernel family, so JIT + reader warm-up cost

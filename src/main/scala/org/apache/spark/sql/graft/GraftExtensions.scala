@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -59,6 +60,52 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: inside Filter conditions, rewrite
+  * `point_in_polygon(lon, lat)` into
+  * `lon BETWEEN minX AND maxX AND lat BETWEEN minY AND maxY AND pip` —
+  * semantics-preserving for every input (a point inside the polygon is
+  * inside its bounding box; null/NaN coordinates fail both forms
+  * identically).
+  *
+  * Why it matters at scale: the bounds are PLAIN comparisons on the
+  * coordinate columns, so when the filter sits over a parquet scan they
+  * reach the reader as PushedFilters — row groups whose lon/lat min/max
+  * statistics fall outside the zone's bounding box are skipped without
+  * being read. The ray cast itself is an opaque engine expression no
+  * format can evaluate; the rewrite extracts the part of its geometry
+  * that IS pushable. Rows that survive pushdown short-circuit on four
+  * comparisons before the O(vertices) cast. Scoped to Filter conditions
+  * only — in a projection the conjunction is pure overhead.
+  */
+object PipBoundingBox extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ logical.Filter(cond, _) =>
+      val newCond = cond.transformUp {
+        case p @ PointInPolygon(lon, lat, poly, false)
+            if lon.deterministic && lat.deterministic && poly.length >= 6 =>
+          var minX = Double.MaxValue; var maxX = -Double.MaxValue
+          var minY = Double.MaxValue; var maxY = -Double.MaxValue
+          var i = 0
+          while (i + 1 < poly.length) {
+            val x = poly(i); val y = poly(i + 1)
+            if (x < minX) minX = x
+            if (x > maxX) maxX = x
+            if (y < minY) minY = y
+            if (y > maxY) maxY = y
+            i += 2
+          }
+          And(
+            And(GreaterThanOrEqual(lon, Literal(minX)),
+              LessThanOrEqual(lon, Literal(maxX))),
+            And(
+              And(GreaterThanOrEqual(lat, Literal(minY)),
+                LessThanOrEqual(lat, Literal(maxY))),
+              p.copy(bboxApplied = true)))
+      }
+      if (newCond eq cond) f else f.copy(condition = newCond)
+  }
+}
+
 /** Session extensions: the production registration path
   * (`spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`)
   * injecting the optimizer rule and the native kernels as SQL
@@ -68,6 +115,7 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    ext.injectOptimizerRule(_ => PipBoundingBox)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }
@@ -96,11 +144,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (es: Seq[Expression]) => RollingHash(es(0))))
 
-  /** Register the rule + SQL functions on a live session. */
+  /** Register the rules + SQL functions on a live session. */
   def install(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations.contains(RewriteHofCosine))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteHofCosine
+    Seq(RewriteHofCosine, PipBoundingBox).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)

@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, Dat
   * along as a per-task reference object. Boundary semantics are even-odd
   * ray casting (shapely 'within' excludes exact-boundary points — a
   * measure-zero difference on float data; documented deviation).
+  *
+  * `bboxApplied` is the [[PipBoundingBox]] rewrite marker: once the
+  * optimizer has prepended the bounding-box predicates it flips the flag
+  * so the (fixed-point) rule batch cannot re-expand the same node.
   */
-case class PointInPolygon(left: Expression, right: Expression, poly: Array[Double])
+case class PointInPolygon(left: Expression, right: Expression, poly: Array[Double],
+    bboxApplied: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)

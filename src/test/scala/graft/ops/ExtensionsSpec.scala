@@ -50,6 +50,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pip filter gains bounding-box predicates that push into the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pip_bbox").toString
+    // raw coordinate columns in parquet — the at-scale layout (gold
+    // tables store lon/lat); row-group stats make the bbox prunable
+    (0 until 2000).map { i =>
+      (i.toLong, (i % 50).toDouble / 5.0, (i / 50).toDouble / 5.0)
+    }.toDF("id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val poly = Array(2.0, 2.0, 5.0, 2.5, 4.5, 6.0, 2.2, 5.5) // quad
+    val filtered = pts.filter(
+      org.apache.spark.sql.graft.GraftColumns.pointInPolygon($"lon", $"lat", poly))
+
+    // 1) the optimized plan carries the bbox conjuncts + the marked pip
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("point_in_polygon"), opt)
+    assert(opt.contains(">= 2.0") && opt.contains("<= 5.0"), opt)
+    // 2) the bounds reach the parquet reader as pushed filters — the
+    //    100 TB payoff: row groups outside the zone bbox never load
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      phys.contains("GreaterThanOrEqual(lon,2.0)"), phys.take(2000))
+    // 3) semantics preserved vs the un-rewritten evaluation
+    val expected = (0 until 2000).filter { i =>
+      graft.ops.GeoMath.rayCast((i % 50).toDouble / 5.0,
+        (i / 50).toDouble / 5.0, poly)
+    }.map(_.toLong).toSet
+    assert(filtered.select($"id").as[Long].collect().toSet === expected)
+    assert(expected.nonEmpty, "polygon must contain grid points")
+    // 4) idempotent under the fixed-point rule batch: exactly one pip,
+    //    one pair of lon bounds (no repeated expansion)
+    assert("point_in_polygon".r.findAllIn(opt).size === 1, opt)
+    assert("\\(lon#\\d+ >= 2\\.0\\)".r.findAllIn(opt).size === 1, opt)
+  }
+
   test("native kernels callable from SQL") {
     vecsDf.createOrReplaceTempView("vecs_ext")
     val r = spark.sql(
