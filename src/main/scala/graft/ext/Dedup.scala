@@ -277,10 +277,18 @@ object Dedup {
     * shuffled join instead of a driver OOM.
     */
   def contamination(train: DataFrame, test: DataFrame): DataFrame = {
+    // explode_outer + post-generate null filter, NOT explode: a plain
+    // explode infers `size(tset) > 0 AND isnotnull(tset)` and pushes it
+    // below the projection, substituting the signature-kernel expression
+    // into the filter — the kernel would run three times per row
+    // (observed in the plan). The outer variant generates one null row
+    // for empty sets instead, filtered on the GENERATED column.
     val trCodes = shingleSets(train)
-      .select(col("doc_id"), explode(col("tset")).as("code"))
+      .select(col("doc_id"), explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull)
     val teCodes = shingleSets(test)
-      .select(explode(col("tset")).as("code")).distinct()
+      .select(explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull).distinct()
     trCodes.join(teCodes, Seq("code"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

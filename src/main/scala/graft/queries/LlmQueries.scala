@@ -224,6 +224,27 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"))
     }),
 
+    // Boilerplate mining — the span-level complement of document-level
+    // near-dup: 5-gram shingles appearing in >= 2 distinct documents,
+    // ranked by document frequency (the spans exact-substring dedup
+    // would cut). Shares the shingle kernel with q21/q66; ids + codes
+    // only through the one shuffle; count aggregates map-side; top-k
+    // with a total-order tiebreak.
+    "q69_dup_ngrams" -> ((s, d) => {
+      import s.implicits._
+      // explode_outer + null filter: plain explode pushes its implied
+      // size/isnotnull predicates below the projection and re-evaluates
+      // the shingle kernel per predicate (see Dedup.contamination)
+      Dedup.shingleSets(Tables.documents(s, d))
+        .select(explode_outer($"tset").as("code"))
+        .filter($"code".isNotNull)
+        .groupBy($"code")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"code")
+        .limit(20)
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -441,6 +462,12 @@ object LlmQueries {
          SELECT lang, bin, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
          FROM p GROUP BY lang, bin""",
+    "q69_dup_ngrams" ->
+      s"""WITH $shingleCtes
+          SELECT code, count(*) AS n_docs
+          FROM (SELECT doc_id, unnest(tset) AS code FROM t)
+          GROUP BY code HAVING count(*) >= 2
+          ORDER BY n_docs DESC, code LIMIT 20""",
     "q66_decontaminate" ->
       s"""WITH $shingleCtes,
           b AS (SELECT doc_id, tset, (doc_id * 2654435761) % 100 AS bucket FROM t),
