@@ -64,6 +64,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch retrieval: exact top-k neighbors for EVERY query vector with
+    * vec_id < queryMaxId, in one pass — the RAG-retrieval shape (a
+    * batch of queries against the corpus, not one vector).
+    *
+    * Scale shape: the query set broadcasts (Q vectors); each corpus row
+    * scores against all Q in a narrow map; the per-query top-k is a
+    * MERGEABLE bounded aggregation ([[TopKByScore]]), so partial
+    * aggregation runs map-side and the shuffle carries Q×k tuples per
+    * partition — the window-function formulation (row_number over all
+    * scored rows) would shuffle N×Q rows instead. Deterministic via
+    * (rounded cosine desc, vec_id asc) total order.
+    */
+  def batchTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val topk = udaf(new TopKByScore(k))
+    embeddings
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        rnd(cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("query_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("r._2").as("vec_id"), col("r._1").as("cos"))
+  }
+
   /** ANN: same query, but only candidates in the query's sign bucket. */
   def bucketedTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val withBucket = embeddings.withColumn("bucket", signBucket(col("embedding")))

@@ -15,6 +15,36 @@ import org.apache.spark.sql.expressions.Aggregator
   * cross-corpus Jaccard as (# agreeing components)/K without ever
   * joining the corpora.
   */
+/** Bounded top-k as a mergeable aggregation state: the per-group buffer
+  * is at most k (score, id) pairs kept in (score desc, id asc) order, so
+  * partial aggregation does the real work map-side and the shuffle
+  * carries k tuples per (group × partition) — the shape a per-query
+  * top-k needs at corpus scale, where the window-function formulation
+  * (row_number over everything) would shuffle every scored row. The
+  * total order (score desc, id asc) makes the result independent of
+  * merge order.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size == k && ord.lteq(buf.last, x)) buf
+    else (buf :+ x).sorted(ord).take(k)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
 class MinhashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   import Dedup.{A, B, K}
   private val P = TextStats.P

@@ -253,6 +253,11 @@ object LlmQueries {
     "q24_ann_bucketed" -> ((s, d) =>
       Similarity.bucketedTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 5)),
 
+    // Batch retrieval: top-5 for every query vector id < 3 in one pass
+    // (mergeable bounded top-k aggregation — see Similarity.batchTopK).
+    "q70_batch_ann" -> ((s, d) =>
+      Similarity.batchTopK(Tables.embeddings(s, d), queryMaxId = 3L, k = 5)),
+
     // Embedding near-duplicate pairs within sign buckets.
     "q25_embedding_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.3)),
@@ -526,6 +531,17 @@ object LlmQueries {
           FROM b JOIN q ON b.bucket = q.bucket
           WHERE b.vec_id != 0
           ORDER BY cos DESC, b.vec_id ASC LIMIT 5""",
+    "q70_batch_ann" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 3),
+          s AS (SELECT q.query_id, e.vec_id,
+              ${cosSql("e.embedding", "q.qvec")} AS cos
+            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+            SELECT query_id, vec_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS rank
+            FROM s) WHERE rank <= 5""",
     "q25_embedding_near_dup" ->
       s"""SELECT * FROM (WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
           SELECT l.vec_id AS vec1, r.vec_id AS vec2,

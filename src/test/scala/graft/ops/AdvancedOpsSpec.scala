@@ -234,6 +234,30 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(kept > 180 && kept < 280, s"got $kept")
   }
 
+  test("mergeable top-k aggregation == window-function top-k") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd2.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.batchTopK(df, queryMaxId = 3L, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // ground truth: the shuffle-everything window formulation
+    val q = df.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val exp = df.join(q, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", graft.queries.Num.r(
+        graft.ext.Similarity.cosine($"embedding", $"qvec"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === exp)
+    assert(got.size === 15, "3 queries x top-5")
+  }
+
   test("salted join == plain join on a skewed key distribution") {
     import spark.implicits._
     import graft.operators.Skew
