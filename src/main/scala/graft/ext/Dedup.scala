@@ -262,6 +262,12 @@ object Dedup {
     docs.select(col("doc_id"), signatureUdf(coalesce(col(textCol), lit(""))).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"))
 
+  /** Column form of the 5-gram shingle set (streaming pipelines compose
+    * it against their own watermark/selection).
+    */
+  def shingleCol(text: Column): Column =
+    signatureUdf(coalesce(text, lit(""))).getField("_1")
+
   /** Test-set decontamination: for every train document, the number of
     * distinct 5-gram shingles it shares with ANY test document — the
     * standard n-gram-overlap contamination check run before training on

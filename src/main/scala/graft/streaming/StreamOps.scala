@@ -78,6 +78,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming contamination guard — the stream-static join shape: a
+    * STATIC holdout corpus is indexed once (distinct 5-gram shingle
+    * codes, a plain DataFrame Spark re-reads per micro-batch and
+    * broadcast-joins when small), and the document stream is flagged by
+    * a LEFT SEMI join on the code. Emits each contaminated doc once
+    * within the watermark horizon (dropDuplicatesWithinWatermark keyed
+    * on doc_id — bounded state, like the dedup op above).
+    *
+    * At 100 TB the static side is a benchmark suite (tiny, broadcast);
+    * the stream side explodes ids + codes only — the same shape as the
+    * batch `Dedup.contamination`, with the count aggregation traded for
+    * once-per-doc flagging (streaming counts over an unbounded doc's
+    * shingles would need a per-doc watermark anyway; the flag is the
+    * actionable signal).
+    */
+  def contaminationStream(docs: DataFrame, testDocs: DataFrame,
+                          tsCol: String, watermarkDelay: String): DataFrame = {
+    val testCodes = graft.ext.Dedup.shingleSets(testDocs)
+      .select(explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull).distinct()
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col("doc_id"), col(tsCol),
+        explode_outer(graft.ext.Dedup.shingleCol(col("text"))).as("code"))
+      .filter(col("code").isNotNull)
+      .join(testCodes, Seq("code"), "left_semi")
+      .select(col("doc_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+  }
+
   /** Session windows (built-in state merge): a session extends while the
     * next event arrives strictly before last_ts + gap; window end is
     * last_ts + gap. The streaming twin of the batch gaps-and-islands

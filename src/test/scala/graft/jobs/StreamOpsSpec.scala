@@ -103,6 +103,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static contamination guard flags docs once, skips clean docs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val phrase = "alpha beta gamma delta epsilon"
+    val testDocs = Seq((100L, s"prefix $phrase suffix")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.contaminationStream(
+      in.toDF().toDF("doc_id", "ts", "text"), testDocs,
+      tsCol = "ts", watermarkDelay = "2 minutes")
+    val ckpt = Files.createTempDirectory("cg_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("contam").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // doc 1 shares the planted 5-gram; doc 2 is disjoint
+      in.addData((1L, ts(0), s"$phrase zeta eta"),
+        (2L, ts(1), "one two three four five six"))
+      q.processAllAvailable()
+      // doc 1 re-arrives within the watermark horizon: flagged ONCE
+      in.addData((1L, ts(2), s"$phrase zeta eta"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam").select($"doc_id")
+        .as[Long].collect().toSeq
+      assert(flagged === Seq(1L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink keeps the latest row per key across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

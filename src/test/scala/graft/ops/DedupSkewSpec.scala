@@ -86,6 +86,26 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(antiIdx > aggIdx, "anti-join must be below the aggregate:\n" + p.take(3000))
   }
 
+  test("clearSignatureCaches releases the pair generators' cached tables") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    Dedup.clearSignatureCaches()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val pairs1 = Dedup.minhashPairs(docs, minJaccard = 0.5).collect()
+    Dedup.bigramJaccardPairs(docs, minJaccard = 0.5).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "signature tables must be cached while in use")
+    Dedup.clearSignatureCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size === base,
+      "explicit release must drop every registered cache entry")
+    // results survive the release (dependencies recompute)
+    assert(Dedup.minhashPairs(docs, minJaccard = 0.5).collect().toSeq
+      === pairs1.toSeq)
+    Dedup.clearSignatureCaches()
+  }
+
   test("composite fuzzy block bounds buckets without changing results") {
     import spark.implicits._
     // one shared first token, lengths spread 8..47: first-token-only
