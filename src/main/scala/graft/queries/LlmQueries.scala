@@ -253,6 +253,39 @@ object LlmQueries {
     "q24_ann_bucketed" -> ((s, d) =>
       Similarity.bucketedTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 5)),
 
+    // TF-IDF keyword extraction: per-doc top-3 token codes by
+    // tf * ln(N/df). Shape: explode ids+codes (narrow), two map-side-
+    // combined aggregates (tf, then df over the tf table — each
+    // (doc, code) appears once, so df is a plain count), a join on the
+    // uniformly-hashed code, and the mergeable bounded top-k aggregator
+    // instead of a row_number window (Q x k tuples per partition, not
+    // every scored row). The idf is ROUNDED EARLY (per distinct df
+    // value): JVM Math.log and libm ln disagree by 1 ULP on ~0.1% of
+    // inputs, so raw log comparisons would be flaky; rounding at the
+    // (few) distinct idf values first confines the risk to exact
+    // boundary ties, then tf * idf_r and the final rounding are IEEE-
+    // deterministic on both engines.
+    "q71_tfidf_keywords" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
+        .filter($"code".isNotNull)
+        .groupBy($"doc_id", $"code").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"code").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("code")).join(broadcast(n))
+        .withColumn("idf_r", rnd(log($"n".cast("double") / $"df".cast("double")), 4))
+        .select($"doc_id", $"code",
+          rnd($"tf".cast("double") * $"idf_r", 4).as("score"))
+      val topk = udaf(new graft.ext.TopKByScore(3))
+      scored.groupBy($"doc_id")
+        .agg(topk($"score", $"code").as("top"))
+        .select($"doc_id", posexplode($"top").as(Seq("rank0", "r")))
+        .select($"doc_id", ($"rank0" + 1).cast("long").as("rank"),
+          $"r._2".as("code"), $"r._1".as("score"))
+    }),
+
     // Batch retrieval: top-5 for every query vector id < 3 in one pass
     // (mergeable bounded top-k aggregation — see Similarity.batchTopK).
     "q70_batch_ann" -> ((s, d) =>
@@ -531,6 +564,22 @@ object LlmQueries {
           FROM b JOIN q ON b.bucket = q.bucket
           WHERE b.vec_id != 0
           ORDER BY cos DESC, b.vec_id ASC LIMIT 5""",
+    "q71_tfidf_keywords" -> {
+      val idfR = Num.rSql("ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))", 4)
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          e AS (SELECT doc_id, unnest(codes) AS code FROM c),
+          tf AS (SELECT doc_id, code, count(*) AS tf FROM e GROUP BY doc_id, code),
+          dft AS (SELECT code, count(*) AS df FROM tf GROUP BY code),
+          nt AS (SELECT count(*) AS n FROM documents),
+          s AS (SELECT tf.doc_id, tf.code,
+              ${Num.rSql(s"CAST(tf AS DOUBLE) * ($idfR)", 4)} AS score
+            FROM tf JOIN dft ON tf.code = dft.code CROSS JOIN nt)
+          SELECT doc_id, CAST(rank AS BIGINT) AS rank, code, score FROM (
+            SELECT doc_id, code, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, code) AS rank
+            FROM s) WHERE rank <= 3"""
+    },
     "q70_batch_ann" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
             FROM embeddings WHERE vec_id < 3),
