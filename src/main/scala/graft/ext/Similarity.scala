@@ -199,6 +199,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 random hyperplanes for RP-LSH: sign of a Knuth
+    * multiplicative hash of (plane, dim). Unlike the raw sign-bucket
+    * quantizer (which reads only the first 8 dimensions), every plane
+    * mixes ALL dimensions, so bucket balance doesn't depend on any
+    * single coordinate's distribution. Constants are generated once
+    * here and injected verbatim into the oracle SQL — zero drift.
+    */
+  def rpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes) { p =>
+      Seq.tabulate(dim) { i =>
+        if (((2654435761L * (p * 131L + i + 1)) % TextStats.P) % 2 == 1) 1.0 else -1.0
+      }
+    }
+
+  /** RP-LSH bucket id: bit p set when dot(vec, plane_p) > 0. The ±1
+    * weights make each dot an exact signed sum of the (float→double)
+    * inputs, so both engines classify identically without rounding.
+    * HOF form (one sequential-fold aggregate per plane) — index-build
+    * cost, paid once per row when the bucket column is written; a
+    * native kernel (the cosine pattern) is the swap-in if bucketing
+    * ever lands in a per-query hot path.
+    */
+  def rpBucket(vec: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+    rpPlanes(nPlanes, dim).zipWithIndex.map { case (pl, p) =>
+      when(
+        aggregate(zip_with(vec, typedLit(pl), (x, w) => x.cast("double") * w),
+          lit(0.0), (a, v) => a + v) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-probe RP-LSH retrieval: top-k by cosine for every query with
+    * vec_id < queryMaxId, probing the query's bucket plus all 8
+    * Hamming-1 neighbor buckets (the standard recall fix for LSH's
+    * boundary losses — a vector one sign-flip away is still a
+    * candidate). Probes are distinct bucket ids, so each candidate
+    * joins at most once per query; the per-query top-k is the
+    * mergeable bounded aggregation (k tuples per group × partition
+    * through the shuffle). At 100 TB the corpus is written bucketed by
+    * `bucket` and the 9-value probe list becomes a partition-pruning
+    * IN predicate — same layout story as IVF cells.
+    */
+  def rpTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val b = embeddings.withColumn("bucket", rpBucket(col("embedding")))
+    val flips = typedLit(0L +: Seq.tabulate(8)(j => 1L << j))
+    val q = b.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qb"), explode(flips).as("flip"))
+      .select(col("query_id"), col("qvec"),
+        col("qb").bitwiseXOR(col("flip")).as("bucket"))
+    val topk = udaf(new TopKByScore(k))
+    b.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        rnd(cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("query_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("r._2").as("vec_id"), col("r._1").as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: bucket-join then cosine >= threshold
     * (vec1 < vec2; cosine rounded 6). The bucket prune is what makes this
     * viable at scale — all-pairs would be O(n^2).
