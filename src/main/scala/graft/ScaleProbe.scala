@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-path scale probe (SCALE.md): replicate the documents table
+  * K× and time the pair-generator queries at each multiplier, proving
+  * the `maxBucket` guards and ids-only candidate shuffles hold the
+  * growth near-linear.
+  *
+  * Replication puts each replica's tokens in a PRIVATE namespace
+  * (`r<k>_` prefix) so replicas are mutually shingle-disjoint: K× data
+  * is K independent copies of the same near-dup problem — runtime
+  * should scale ~K while output row counts scale exactly K. Verbatim
+  * duplication would instead make every doc an exact dup of its K-1
+  * replicas and grow the TRUE pair count quadratically in K, measuring
+  * output explosion rather than engine scaling.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> [multipliers, default 1,2,5,10]
+  * Prints one JSON line per (query, multiplier) and a summary table.
+  */
+object ScaleProbe {
+
+  private val Queries = Seq("q21_minhash_pairs", "q22_bigram_jaccard",
+    "q33_simhash64_pairs", "q65_dedup_components")
+
+  private def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = lit(1000000L) // id stride safely above any sf0.1 doc_id
+    (0 until k).map { rep =>
+      docs.select(
+        (col("doc_id") + n * rep).as("doc_id"),
+        col("lang"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"r${rep}_"), t)), " ").as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+                else Seq(1, 2, 5, 10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+
+    val results = for (k <- mults) yield {
+      val dir = Files.createTempDirectory(s"scale_${k}x").toString
+      scaled(spark, sfDir, k).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val rows = for (q <- Queries) yield {
+        graft.ext.Dedup.clearSignatureCaches()
+        val fn = SparkEntry.queries(q)
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"query":"$q","mult":$k,"sec":${f"$sec%.3f"},"rows":$n}""")
+        (q, k, sec, n)
+      }
+      rows
+    }
+
+    println(f"\n${"query"}%-22s" + mults.map(k => f"${s"${k}x"}%10s").mkString)
+    for (q <- Queries) {
+      val line = results.flatten.filter(_._1 == q)
+      println(f"$q%-22s" + line.map(r => f"${r._3}%9.2fs").mkString)
+      println(f"${"  rows"}%-22s" + line.map(r => f"${r._4}%10d").mkString)
+    }
+    spark.stop()
+  }
+}

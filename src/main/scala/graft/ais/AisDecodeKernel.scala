@@ -33,7 +33,9 @@ object AisDecodeKernel {
     ThreadLocal.withInitial[ExpressionEncoder.Serializer[AisDecoded]](
       () => encoder.createSerializer())
 
-  def decodeRow(arr: ArrayData): InternalRow = {
+  def decodeRow(arr: ArrayData): InternalRow = decodeRow(arr, false)
+
+  def decodeRow(arr: ArrayData, extended: Boolean): InternalRow = {
     if (arr == null) return null
     val n = arr.numElements()
     val sentences = new Array[String](n)
@@ -43,7 +45,7 @@ object AisDecodeKernel {
       sentences(i) = if (u == null) null else u.toString
       i += 1
     }
-    AisDecoder.decode(sentences.toSeq) match {
+    AisDecoder.decode(sentences.toSeq, extended) match {
       case Some(d) => ser.get()(d).copy()
       case None => null
     }

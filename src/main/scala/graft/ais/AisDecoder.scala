@@ -106,8 +106,11 @@ object AisDecoder {
   @inline private def g(b: BitVec, minLen: Int, start: Int, len: Int): Option[Int] =
     Some(if (b.length >= minLen) b.uintI(start, len) else 0)
 
-  /** Type 6 header + vendor dispatch (ais_parser.py:365-415). */
-  private def parseAddressed(b: BitVec): Addressed = {
+  /** Type 6 header + vendor dispatch (ais_parser.py:365-415). With
+    * `extended` the reference's commented-out zenilite branch
+    * (ais_parser.py:350-361, dispatch :384-387) is enabled too.
+    */
+  private def parseAddressed(b: BitVec, extended: Boolean): Addressed = {
     val dac = b.uintI(72, 10)
     val fid = b.uintI(82, 6)
     val base = Addressed(
@@ -180,11 +183,23 @@ object AisDecoder {
         buoy_errled_vinlow = g(b, 135, 134, 1), buoy_errled_power = g(b, 136, 135, 1),
         buoy_adjmaxpower = g(b, 137, 136, 1), buoy_sensor_interrupt = g(b, 138, 137, 1),
         buoy_solarcharging = g(b, 139, 138, 1))
+    } else if (extended && dac == 10 && fid == 6) {
+      // Zenilite lantern telemetry (ais_parser.py:350-361) — dead code in
+      // the reference (dispatch commented at :384-387), parsed here only
+      // under the extended flag; default-off keeps drop-for-drop parity.
+      base.copy(
+        app_id = Some(b.uintI(88, 16)), voltage = Some(b.uintI(104, 12)),
+        current = Some(b.uintI(116, 10)),
+        supply_type = g(b, 127, 126, 1), light = g(b, 128, 127, 1),
+        batt_stat = g(b, 129, 128, 1), off_pos = g(b, 130, 129, 1))
     } else base
   }
 
-  /** Type 8 (ais_parser.py:420-441); meteo DAC1/FID31 (:143-213). */
-  private def parseBinaryBroadcast(b: BitVec): BinaryBroadcast = {
+  /** Type 8 (ais_parser.py:420-441); meteo DAC1/FID31 (:143-213). With
+    * `extended` the commented-out DAC200/FID24 water-level branch
+    * (ais_parser.py:216-221, dispatch :437-439) is enabled too.
+    */
+  private def parseBinaryBroadcast(b: BitVec, extended: Boolean): BinaryBroadcast = {
     val dac = b.uintI(40, 10)
     val fid = b.uintI(50, 6)
     val base = BinaryBroadcast(dac = dac, fid = fid)
@@ -233,6 +248,10 @@ object AisDecoder {
         precipitationDesc = Some(Dims.precipitation(if (precip <= 7) precip else 7)),
         salinity = Some(b.uintI(339, 9)), ice = Some(ice),
         iceDesc = Some(Dims.commonIndicatorYesNo(if (ice <= 3) ice else 3)))
+    } else if (extended && dac == 200 && fid == 24) {
+      // Water level / country (ais_parser.py:216-221) — dead code in the
+      // reference (dispatch commented at :437-439); extended-only.
+      base.copy(country = Some(b.sixBit(56, 12)))
     } else base
   }
 
@@ -366,8 +385,13 @@ object AisDecoder {
 
   // --- dispatch & sentence-level decode --------------------------------
 
-  /** Decode an already-assembled payload bit vector (ais_analysis.py:170-245). */
-  def parseBits(b: BitVec, meta: (String, Int, String)): AisDecoded = {
+  /** Decode an already-assembled payload bit vector (ais_analysis.py:170-245).
+    * `extended = true` additionally enables the reference's commented-out
+    * DAC10/FID6 + DAC200/FID24 vendor parsers; default off = strict
+    * drop-for-drop parity with the reference as shipped.
+    */
+  def parseBits(b: BitVec, meta: (String, Int, String),
+                extended: Boolean = false): AisDecoded = {
     val msgType = b.uintI(0, 6)
     val desc = Dims.messageType.getOrElse(msgType,
       throw new DecodeException(s"unknown message type $msgType"))
@@ -381,8 +405,8 @@ object AisDecoder {
       position = if (msgType >= 1 && msgType <= 3) Some(parsePosition(b)) else None,
       baseStation = if (msgType == 4) Some(parseBaseStation(b)) else None,
       staticVoyage = if (msgType == 5) Some(parseStatic(b)) else None,
-      addressed = if (msgType == 6) Some(parseAddressed(b)) else None,
-      binaryBroadcast = if (msgType == 8) Some(parseBinaryBroadcast(b)) else None,
+      addressed = if (msgType == 6) Some(parseAddressed(b, extended)) else None,
+      binaryBroadcast = if (msgType == 8) Some(parseBinaryBroadcast(b, extended)) else None,
       aircraft = if (msgType == 9) Some(parseAircraft(b)) else None,
       safety = if (msgType == 12) Some(parseSafety(b, addressed = true))
                else if (msgType == 14) Some(parseSafety(b, addressed = false)) else None,
@@ -399,7 +423,8 @@ object AisDecoder {
     * reference's validation rules (ais_analysis.py:248-305). Any validation
     * failure or parse error yields None (-> null row in SQL).
     */
-  def decode(sentences: Seq[String]): Option[AisDecoded] = {
+  def decode(sentences: Seq[String],
+             extended: Boolean = false): Option[AisDecoded] = {
     if (sentences == null || sentences.isEmpty) return None
     try {
       var prev: Sentence = null
@@ -416,7 +441,7 @@ object AisDecoder {
         prev = s
       }
       val bits = Armor.payloadBits(sentences.map(r => parseSentence(r).payload))
-      Some(parseBits(bits, meta))
+      Some(parseBits(bits, meta, extended))
     } catch {
       case _: DecodeException | _: NumberFormatException |
            _: IndexOutOfBoundsException => None
@@ -425,9 +450,10 @@ object AisDecoder {
 
   /** array<string> of fragment sentences -> AisDecoded struct, as a
     * native codegen'd expression (see AisDecodeKernel / AisDecode).
+    * `extended` opts into the reference's commented-out vendor parsers.
     */
-  def ais_decode(sentences: Column): Column =
-    org.apache.spark.sql.graft.GraftColumns.aisDecode(sentences)
+  def ais_decode(sentences: Column, extended: Boolean = false): Column =
+    org.apache.spark.sql.graft.GraftColumns.aisDecode(sentences, extended)
 
   /** Checksum validity as a standalone UDF (E1). */
   val checksumValidUdf: UserDefinedFunction =

@@ -80,7 +80,13 @@ final case class Addressed(
     buoy_errled_open: Option[Int] = None, buoy_errled_voltlow: Option[Int] = None,
     buoy_errled_vinlow: Option[Int] = None, buoy_errled_power: Option[Int] = None,
     buoy_adjmaxpower: Option[Int] = None, buoy_sensor_interrupt: Option[Int] = None,
-    buoy_solarcharging: Option[Int] = None)
+    buoy_solarcharging: Option[Int] = None,
+    // DAC10/FID6 zenilite (ais_parser.py:350-361 — dispatch commented out
+    // at :384-387; populated only under extended vendor dispatch).
+    // `light`/`off_pos` above are shared with the other vendor branches.
+    app_id: Option[Int] = None, voltage: Option[Int] = None,
+    current: Option[Int] = None, supply_type: Option[Int] = None,
+    batt_stat: Option[Int] = None)
 
 /** Type 8 header + DAC1/FID29 text + DAC1/FID31 meteo/hydro
   * (ref: ais_parser.py:420-441, meteo :143-213).
@@ -111,7 +117,10 @@ final case class BinaryBroadcast(
     seaState: Option[Int] = None, seaStateDesc: Option[String] = None,
     waterTemperature: Option[Int] = None,
     precipitation: Option[Int] = None, precipitationDesc: Option[String] = None,
-    salinity: Option[Int] = None, ice: Option[Int] = None, iceDesc: Option[String] = None)
+    salinity: Option[Int] = None, ice: Option[Int] = None, iceDesc: Option[String] = None,
+    // DAC200/FID24 water level (ais_parser.py:216-221 — dispatch commented
+    // out at :437-439; populated only under extended vendor dispatch)
+    country: Option[String] = None)
 
 /** Type 9 (ref: ais_parser.py:445-472). */
 final case class Aircraft(

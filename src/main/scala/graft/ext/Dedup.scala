@@ -176,6 +176,21 @@ object Dedup {
     df
   }
 
+  /** Snapshot of the currently registered signature caches. Test hook:
+    * `df.storageLevel` reads the cache-manager entry synchronously, so
+    * specs can assert release without racing the async block sweep that
+    * a global `getPersistentRDDs` count is subject to.
+    */
+  private[graft] def signatureCacheSnapshot: Seq[DataFrame] = {
+    val it = cachedSigTables.iterator()
+    val buf = Seq.newBuilder[DataFrame]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
+  /** Number of signature tables currently registered (not yet released). */
+  def registeredSignatureCacheCount: Int = cachedSigTables.size()
+
   /** Unpersist every signature table the pair generators have cached.
     * Safe while results are outstanding — an unpersisted dependency is
     * recomputed, not lost.

@@ -23,19 +23,52 @@ import org.apache.spark.sql.expressions.Aggregator
   * (row_number over everything) would shuffle every scored row. The
   * total order (score desc, id asc) makes the result independent of
   * merge order.
+  *
+  * NaN scores rank FIRST (`java.lang.Double.compare` descending treats
+  * NaN as greater than +Inf) — the same placement `ORDER BY score DESC`
+  * gives NaN in both Spark's window sort and DuckDB, so the mergeable
+  * and window formulations agree on ALL inputs, including a NaN cosine
+  * from a zero-norm embedding.
+  *
+  * Cost: the buffer keeps its sort invariant, so `reduce` is a single
+  * O(k) positional insert (common case: one comparison against the
+  * current worst, no allocation) and `merge` is a linear two-pointer
+  * merge — vs the previous re-sort-per-row O(k log k) + full copy. At
+  * k=100 that is ~10× less comparison work per surviving row and zero
+  * work for the (overwhelming at corpus scale) below-threshold rows.
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-  private val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // score desc, NaN first
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
     if (buf.size == k && ord.lteq(buf.last, x)) buf
-    else (buf :+ x).sorted(ord).take(k)
+    else {
+      val i = buf.indexWhere(e => ord.gt(e, x))
+      val pos = if (i < 0) buf.size else i
+      val out = (buf.take(pos) :+ x) ++ buf.drop(pos)
+      if (out.size > k) out.take(k) else out
+    }
 
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (a ++ b).sorted(ord).take(k)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val av = a.toIndexedSeq; val bv = b.toIndexedSeq
+    val out = Seq.newBuilder[(Double, Long)]
+    var ai = 0; var bi = 0; var n = 0
+    while (n < k && (ai < av.length || bi < bv.length)) {
+      val takeA = bi >= bv.length ||
+        (ai < av.length && ord.lteq(av(ai), bv(bi)))
+      if (takeA) { out += av(ai); ai += 1 } else { out += bv(bi); bi += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 

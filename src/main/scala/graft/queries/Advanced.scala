@@ -473,17 +473,27 @@ object Advanced {
     // Approximate sketches — the 100 TB substitutes for q6's exact
     // distinct and q29's exact percentiles (HLL++ and KLL-style
     // mergeable state instead of per-key sets / full sorts). Sketch
-    // internals differ per engine, so there is no DuckDB oracle; the
-    // driver records a rows-only check and ApproxSpec bounds the error
-    // against the exact answers.
+    // internals are engine-specific, so the query emits ENGINE-
+    // INDEPENDENT outputs: the exact counts (oracle-computable) plus
+    // within-bound booleans for each sketch — HLL vs exact distinct
+    // within 3×rsd, approx p50 between the exact p40/p60 (rank error
+    // 1/accuracy ≪ 0.1). The exact sides exist to VALIDATE the sketch
+    // (at 100 TB production uses the sketch alone); a sketch drifting
+    // out of bounds flips a boolean and fails the hash gate.
     "q38_approx_sketches" -> ((s, d) => {
       import s.implicits._
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(
-          approx_count_distinct($"user_id", rsd = 0.02).as("n_users_hll"),
-          expr("approx_percentile(value, 0.5, 1000)").as("p50_value_sketch"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users_exact"),
+          (abs(approx_count_distinct($"user_id", rsd = 0.02).cast("double")
+              - countDistinct($"user_id").cast("double"))
+            <= greatest(lit(1.0), countDistinct($"user_id") * lit(0.06)))
+            .as("hll_ok"),
+          expr("approx_percentile(value, 0.5, 1000)")
+            .between(expr("percentile(value, 0.4)"),
+              expr("percentile(value, 0.6)")).as("p50_ok"))
     }),
   )
 
@@ -819,5 +829,14 @@ object Advanced {
             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
           FROM s l JOIN s r ON l.doc_id < r.doc_id
           WHERE bit_count(xor(l.sig, r.sig)) <= 3""",
+    // q38's sketch values are engine-specific; the ORACLE-ABLE contract
+    // is the exact counts plus the sketches landing inside their error
+    // bounds (the Spark side computes the booleans, the oracle asserts
+    // they must all be TRUE).
+    "q38_approx_sketches" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS hll_ok, TRUE AS p50_ok
+         FROM events GROUP BY event_type""",
   )
 }

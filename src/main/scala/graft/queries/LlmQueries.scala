@@ -17,6 +17,12 @@ object LlmQueries {
 
   private val P = TextStats.P
 
+  /** q63 sub-shard width (docs per packing shard): bounds the
+    * flatMapGroups buffer regardless of language skew; shared verbatim
+    * with the oracle CTE's PARTITION BY.
+    */
+  private val Q63_SHARD = 100L
+
   val queries: Map[String, Q] = Map(
     // Text quality / token statistics (narrow, codegen'd, no shuffle).
     "q17_doc_stats" -> ((s, d) => {
@@ -97,35 +103,42 @@ object LlmQueries {
           least(size($"toks") - $"start", lit(20)).cast("long").as("n_chunk_tokens"))
     }),
 
-    // Greedy sequence packing: per language, docs in doc_id order are
-    // packed first-fit into bins of capacity 64 tokens (a doc longer
-    // than the capacity gets its own bin). The in-group kernel runs per
-    // (lang) shard — at 100 TB packing is per-shard by definition (a
-    // global greedy order would serialize the corpus); the oracle
-    // replays the same recurrence as a recursive CTE.
+    // Greedy sequence packing: docs in doc_id order are packed first-fit
+    // into bins of capacity 64 tokens (a doc longer than the capacity
+    // gets its own bin), with the greedy recurrence scoped to a
+    // (lang, doc_id DIV 100) SUB-SHARD. Packing is per-shard by
+    // definition (a global greedy order would serialize the corpus) —
+    // but `lang` alone is a handful of shards at 100 TB, so one group
+    // would buffer ~corpus/5 rows in a single flatMapGroups task. The
+    // doc_id-range sub-shard bounds every group at 100 docs no matter
+    // how skewed the language mix is, and the oracle CTE restarts its
+    // recurrence per sub-shard identically.
     "q63_sequence_packing" -> ((s, d) => {
       import s.implicits._
       val cap = 64L
       Tables.documents(s, d)
-        .select($"lang", $"doc_id", size(TextStats.tokens($"text")).cast("long").as("n_tok"))
-        .as[(String, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups { (lang, rows) =>
+        .select($"lang", expr(s"doc_id DIV $Q63_SHARD").as("shard"),
+          $"doc_id", size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(t => (t._1, t._2))
+        .flatMapGroups { (key, rows) =>
+          val (lang, shard) = key
           // exact recurrence of the oracle CTE: first doc opens bin 0;
-          // then (bin, fill+n) if it fits, else (bin+1, n)
-          val docs = rows.toArray.sortBy(_._2)
+          // then (bin, fill+n) if it fits, else (bin+1, n). Buffer is
+          // <= Q63_SHARD rows by construction of the sub-shard key.
+          val docs = rows.toArray.sortBy(_._3)
           var bin = 0L
           var fill = 0L
           var first = true
-          docs.iterator.map { case (_, docId, n) =>
+          docs.iterator.map { case (_, _, docId, n) =>
             if (first) { fill = n; first = false }
             else if (fill + n <= cap) fill += n
             else { bin += 1; fill = n }
-            (lang, docId, n, bin)
+            (lang, shard, docId, n, bin)
           }
         }
-        .toDF("lang", "doc_id", "n_tok", "bin")
-        .groupBy($"lang", $"bin")
+        .toDF("lang", "shard", "doc_id", "n_tok", "bin")
+        .groupBy($"lang", $"shard", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_sum"),
           min($"doc_id").as("first_doc"))
     }),
@@ -290,6 +303,12 @@ object LlmQueries {
     // (mergeable bounded top-k aggregation — see Similarity.batchTopK).
     "q70_batch_ann" -> ((s, d) =>
       Similarity.batchTopK(Tables.embeddings(s, d), queryMaxId = 3L, k = 5)),
+
+    // Multi-probe RP-LSH retrieval: top-5 for every query id < 3,
+    // probing the query's bucket plus all 8 Hamming-1 neighbors
+    // (see Similarity.rpTopK for the 100 TB layout story).
+    "q72_rp_lsh_topk" -> ((s, d) =>
+      Similarity.rpTopK(Tables.embeddings(s, d), queryMaxId = 3L, k = 5)),
 
     // Embedding near-duplicate pairs within sign buckets.
     "q25_embedding_near_dup" -> ((s, d) =>
@@ -484,22 +503,23 @@ object LlmQueries {
             CAST(least(len(toks) - starts[i] + 1, 20) AS BIGINT) AS n_chunk_tokens
           FROM t3, UNNEST(generate_series(1, len(starts))) AS u(i)""",
     "q63_sequence_packing" ->
-      """WITH RECURSIVE d AS (
-           SELECT lang, doc_id,
+      s"""WITH RECURSIVE d AS (
+           SELECT lang, doc_id // $Q63_SHARD AS shard, doc_id,
              CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
-             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             row_number() OVER (PARTITION BY lang, doc_id // $Q63_SHARD
+               ORDER BY doc_id) AS rn
            FROM documents),
          p AS (
-           SELECT lang, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+           SELECT lang, shard, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
            FROM d WHERE rn = 1
            UNION ALL
-           SELECT d.lang, d.doc_id, d.n_tok, d.rn,
+           SELECT d.lang, d.shard, d.doc_id, d.n_tok, d.rn,
              CASE WHEN p.fill + d.n_tok <= 64 THEN p.bin ELSE p.bin + 1 END,
              CASE WHEN p.fill + d.n_tok <= 64 THEN p.fill + d.n_tok ELSE d.n_tok END
-           FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
-         SELECT lang, bin, count(*) AS n_docs,
+           FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+         SELECT lang, shard, bin, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
-         FROM p GROUP BY lang, bin""",
+         FROM p GROUP BY lang, shard, bin""",
     "q69_dup_ngrams" ->
       s"""WITH $shingleCtes
           SELECT code, count(*) AS n_docs
@@ -591,6 +611,32 @@ object LlmQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, vec_id) AS rank
             FROM s) WHERE rank <= 5""",
+    "q72_rp_lsh_topk" -> {
+      // plane constants injected verbatim from Similarity.rpPlanes —
+      // ±1 weights make each dot an exact signed sum, so both engines
+      // classify buckets identically without rounding
+      val planeSql = Similarity.rpPlanes(8, 64).zipWithIndex.map { case (pl, p) =>
+        val plLit = pl.map(w => if (w > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(embedding[i] AS DOUBLE) * ($plLit)[i])) > 0
+           THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      val flips = (0L +: Seq.tabulate(8)(j => 1L << j)).mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, $planeSql AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb
+            FROM b WHERE vec_id < 3),
+          pr AS (SELECT query_id, qvec, xor(qb, f) AS bucket
+            FROM q, UNNEST(CAST($flips AS BIGINT[])) AS u(f)),
+          s AS (SELECT pr.query_id, b.vec_id,
+              ${cosSql("b.embedding", "pr.qvec")} AS cos
+            FROM b JOIN pr USING (bucket) WHERE b.vec_id != pr.query_id)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+            SELECT query_id, vec_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS rank
+            FROM s) WHERE rank <= 5"""
+    },
     "q25_embedding_near_dup" ->
       s"""SELECT * FROM (WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
           SELECT l.vec_id AS vec1, r.vec_id AS vec2,

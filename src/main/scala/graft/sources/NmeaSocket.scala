@@ -98,24 +98,45 @@ case class LineOffset(n: Long) extends Offset {
 abstract class PushBufferStream extends MicroBatchStream {
   protected val buffered = new ArrayBuffer[String]()
   private var base = 0L
+  /** Highest offset this instance has ever issued via [[latestOffset]].
+    * Discriminates restored-from-checkpoint offsets (restart recovery)
+    * from offsets flowing back through the engine's normal
+    * offset-log read-back — the latter are always <= maxIssued.
+    */
+  private var maxIssued = 0L
   @volatile protected var stopped = false
 
   protected def append(s: String): Unit = buffered.synchronized { buffered += s }
 
   override def initialOffset(): Offset = LineOffset(0L)
   override def latestOffset(): Offset =
-    buffered.synchronized { LineOffset(base + buffered.size) }
+    buffered.synchronized {
+      val n = base + buffered.size
+      if (n > maxIssued) maxIssued = n
+      LineOffset(n)
+    }
 
-  /** Restores a checkpointed offset. A fresh instance starts at base 0;
-    * if the restored offset is ahead of everything this instance has
-    * seen, fast-forward `base` so buffered (post-restart) elements are
-    * numbered from the restored offset — offsets monotone across
-    * restarts, lost-in-restart elements surface as an empty replay
-    * rather than a regressed watermark.
+  /** Restores a checkpointed offset. An offset beyond anything THIS
+    * instance has issued can only come from a previous incarnation's
+    * checkpoint: fast-forward `base` so post-restart elements are
+    * numbered from the restored offset upward — offsets monotone across
+    * restarts, the uncommitted batch replays EMPTY. Comparing against
+    * `maxIssued` (not `base + buffered.size`) makes the restore
+    * order-insensitive: whether the engine deserializes the smaller
+    * start or the larger end first, and however many post-restart lines
+    * the reader thread has already buffered, every restored offset wins
+    * over a fresh instance's maxIssued=0 and `base` lands on their max.
+    * During normal running the engine re-deserializes offsets it read
+    * from its own offset log before committing a batch — those were
+    * issued by this instance, so they are <= maxIssued and must NOT
+    * move `base` (an un-trimmed fast-forward would renumber buffered
+    * lines as new data every trigger).
     */
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
-    buffered.synchronized { if (n > base + buffered.size) base = n }
+    buffered.synchronized {
+      if (n > maxIssued) { if (n > base) base = n; maxIssued = n }
+    }
     LineOffset(n)
   }
 

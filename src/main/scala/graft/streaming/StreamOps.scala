@@ -78,13 +78,42 @@ object StreamOps {
       }
   }
 
+  /** Static shingle indexes persisted by [[contaminationStream]]; one
+    * entry per guard. [[clearStaticIndexes]] releases them when a guard's
+    * query stops (same lifecycle pattern as Dedup.clearSignatureCaches).
+    */
+  private val staticIndexes =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Test hook: snapshot of the persisted holdout indexes. */
+  private[graft] def staticIndexSnapshot: Seq[DataFrame] = {
+    val it = staticIndexes.iterator()
+    val buf = Seq.newBuilder[DataFrame]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
+  /** Unpersist every holdout index registered by running guards. Call
+    * after stopping the streaming queries that use them; an unpersisted
+    * dependency recomputes, so calling early is safe, just slow.
+    */
+  def clearStaticIndexes(): Unit = {
+    var df = staticIndexes.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = staticIndexes.poll()
+    }
+  }
+
   /** Streaming contamination guard — the stream-static join shape: a
     * STATIC holdout corpus is indexed once (distinct 5-gram shingle
-    * codes, a plain DataFrame Spark re-reads per micro-batch and
-    * broadcast-joins when small), and the document stream is flagged by
-    * a LEFT SEMI join on the code. Emits each contaminated doc once
-    * within the watermark horizon (dropDuplicatesWithinWatermark keyed
-    * on doc_id — bounded state, like the dedup op above).
+    * codes, PERSISTED so the shingle kernel + distinct run on the first
+    * micro-batch only — an unpersisted static side is re-evaluated every
+    * batch), and the document stream is flagged by a LEFT SEMI join on
+    * the code. Emits each contaminated doc once within the watermark
+    * horizon (dropDuplicatesWithinWatermark keyed on doc_id — bounded
+    * state, like the dedup op above). Release the index with
+    * [[clearStaticIndexes]] once the query stops.
     *
     * At 100 TB the static side is a benchmark suite (tiny, broadcast);
     * the stream side explodes ids + codes only — the same shape as the
@@ -98,6 +127,8 @@ object StreamOps {
     val testCodes = graft.ext.Dedup.shingleSets(testDocs)
       .select(explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull).distinct()
+      .persist()
+    staticIndexes.add(testCodes)
     docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col("doc_id"), col(tsCol),

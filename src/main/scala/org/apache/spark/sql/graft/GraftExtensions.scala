@@ -62,10 +62,16 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
 
 /** Optimizer rule: inside Filter conditions, rewrite
   * `point_in_polygon(lon, lat)` into
-  * `lon BETWEEN minX AND maxX AND lat BETWEEN minY AND maxY AND pip` —
-  * semantics-preserving for every input (a point inside the polygon is
-  * inside its bounding box; null/NaN coordinates fail both forms
-  * identically).
+  * `lon BETWEEN minX AND maxX AND lat BETWEEN minY AND maxY AND pip`.
+  *
+  * Three-valued-logic scope: with one coordinate NULL and the other
+  * outside the bbox, pip evaluates NULL while the expanded conjunction
+  * evaluates FALSE. A Filter treats both as "drop", so the rewrite is
+  * safe exactly where NULL and FALSE are indistinguishable — positions
+  * reachable from the Filter root through And/Or ONLY. Under
+  * null-sensitive wrappers (NOT, isnull, <=>, coalesce) the two differ
+  * (e.g. NOT(NULL)=NULL drops, NOT(FALSE)=TRUE keeps), so the rewrite
+  * deliberately does NOT descend past anything but And/Or.
   *
   * Why it matters at scale: the bounds are PLAIN comparisons on the
   * coordinate columns, so when the filter sits over a parquet scan they
@@ -78,31 +84,44 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
   * only — in a projection the conjunction is pure overhead.
   */
 object PipBoundingBox extends Rule[LogicalPlan] {
+  private def expand(p: PointInPolygon): Expression = {
+    val poly = p.poly
+    var minX = Double.MaxValue; var maxX = -Double.MaxValue
+    var minY = Double.MaxValue; var maxY = -Double.MaxValue
+    var i = 0
+    while (i + 1 < poly.length) {
+      val x = poly(i); val y = poly(i + 1)
+      if (x < minX) minX = x
+      if (x > maxX) maxX = x
+      if (y < minY) minY = y
+      if (y > maxY) maxY = y
+      i += 2
+    }
+    And(
+      And(GreaterThanOrEqual(p.left, Literal(minX)),
+        LessThanOrEqual(p.left, Literal(maxX))),
+      And(
+        And(GreaterThanOrEqual(p.right, Literal(minY)),
+          LessThanOrEqual(p.right, Literal(maxY))),
+        p.copy(bboxApplied = true)))
+  }
+
+  /** Descend through And/Or only — every other node is a potentially
+    * null-sensitive context where FALSE-for-NULL changes the result.
+    */
+  private def rewriteCond(e: Expression): Expression = e match {
+    case And(l, r) => And(rewriteCond(l), rewriteCond(r))
+    case Or(l, r)  => Or(rewriteCond(l), rewriteCond(r))
+    case p @ PointInPolygon(lon, lat, poly, false)
+        if lon.deterministic && lat.deterministic && poly.length >= 6 =>
+      expand(p)
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ logical.Filter(cond, _) =>
-      val newCond = cond.transformUp {
-        case p @ PointInPolygon(lon, lat, poly, false)
-            if lon.deterministic && lat.deterministic && poly.length >= 6 =>
-          var minX = Double.MaxValue; var maxX = -Double.MaxValue
-          var minY = Double.MaxValue; var maxY = -Double.MaxValue
-          var i = 0
-          while (i + 1 < poly.length) {
-            val x = poly(i); val y = poly(i + 1)
-            if (x < minX) minX = x
-            if (x > maxX) maxX = x
-            if (y < minY) minY = y
-            if (y > maxY) maxY = y
-            i += 2
-          }
-          And(
-            And(GreaterThanOrEqual(lon, Literal(minX)),
-              LessThanOrEqual(lon, Literal(maxX))),
-            And(
-              And(GreaterThanOrEqual(lat, Literal(minY)),
-                LessThanOrEqual(lat, Literal(maxY))),
-              p.copy(bboxApplied = true)))
-      }
-      if (newCond eq cond) f else f.copy(condition = newCond)
+      val newCond = rewriteCond(cond)
+      if (newCond fastEquals cond) f else f.copy(condition = newCond)
   }
 }
 

@@ -158,7 +158,7 @@ case class RollingHash(child: Expression)
   * round-trip on both sides and sits directly in the whole-stage-
   * codegen stage — see graft.ais.AisDecodeKernel.
   */
-case class AisDecode(child: Expression)
+case class AisDecode(child: Expression, extended: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
@@ -168,11 +168,11 @@ case class AisDecode(child: Expression)
   override def prettyName: String = "ais_decode"
 
   override def nullSafeEval(a: Any): Any =
-    graft.ais.AisDecodeKernel.decodeRow(a.asInstanceOf[ArrayData])
+    graft.ais.AisDecodeKernel.decodeRow(a.asInstanceOf[ArrayData], extended)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      ${ev.value} = graft.ais.AisDecodeKernel.decodeRow($a);
+      ${ev.value} = graft.ais.AisDecodeKernel.decodeRow($a, $extended);
       ${ev.isNull} = ${ev.value} == null;""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -221,8 +221,9 @@ object GraftColumns {
   def rollingHash(codes: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(codes)))
 
-  def aisDecode(sentences: Column): Column =
-    ExpressionUtils.column(AisDecode(ExpressionUtils.expression(sentences)))
+  def aisDecode(sentences: Column, extended: Boolean = false): Column =
+    ExpressionUtils.column(
+      AisDecode(ExpressionUtils.expression(sentences), extended))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

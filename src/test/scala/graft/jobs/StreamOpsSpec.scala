@@ -104,10 +104,17 @@ class StreamOpsSpec extends AnyFunSuite {
   }
 
   test("stream-static contamination guard flags docs once, skips clean docs") {
+    import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     implicit val sc = spark.sqlContext
+    StreamOps.clearStaticIndexes()
     val phrase = "alpha beta gamma delta epsilon"
-    val testDocs = Seq((100L, s"prefix $phrase suffix")).toDF("doc_id", "text")
+    // instrument the holdout scan: the accumulator counts how many times
+    // the static side's rows flow through the shingle pipeline — the
+    // persisted index must evaluate it exactly ONCE across micro-batches
+    val holdoutScans = spark.sparkContext.longAccumulator("holdoutScans")
+    val testDocs = Seq((100L, s"prefix $phrase suffix"))
+      .toDS().map { r => holdoutScans.add(1); r }.toDF("doc_id", "text")
     val in = MemoryStream[(Long, Timestamp, String)]
     val out = StreamOps.contaminationStream(
       in.toDF().toDF("doc_id", "ts", "text"), testDocs,
@@ -128,7 +135,16 @@ class StreamOpsSpec extends AnyFunSuite {
       val flagged = spark.table("contam").select($"doc_id")
         .as[Long].collect().toSeq
       assert(flagged === Seq(1L), s"got $flagged")
-    } finally q.stop()
+      assert(holdoutScans.value === 1L,
+        "static holdout must be shingled once, not per micro-batch")
+      val idx = StreamOps.staticIndexSnapshot
+      assert(idx.nonEmpty && idx.forall(_.storageLevel != StorageLevel.NONE),
+        "holdout index must be persisted while the guard runs")
+    } finally {
+      q.stop()
+      StreamOps.clearStaticIndexes()
+      assert(StreamOps.staticIndexSnapshot.isEmpty)
+    }
   }
 
   test("foreachBatch upsert sink keeps the latest row per key across batches") {

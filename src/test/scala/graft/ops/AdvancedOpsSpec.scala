@@ -258,6 +258,96 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(got.size === 15, "3 queries x top-5")
   }
 
+  test("q63 packing sub-shards bound the group size under 90% lang skew") {
+    import spark.implicits._
+    // 1000 docs, 90% in one language — the 100 TB failure mode for a
+    // per-lang group. Sub-sharding must (a) cap every flatMapGroups
+    // buffer at the shard width and (b) reproduce the per-shard
+    // first-fit recurrence exactly.
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 1000).map { i =>
+      val lang = if (i % 10 == 9) "ms" else "en"
+      (i.toLong, lang, (0 until (1 + rnd.nextInt(40))).map(j => s"t$j").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q63_skew").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmQueries.queries("q63_sequence_packing")(spark, dir)
+      .select($"lang", $"shard", $"bin", $"n_docs", $"tok_sum", $"first_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+
+    // no sub-shard group ever holds more than the shard width of docs
+    val perShardDocs = got.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._4).sum)
+    assert(perShardDocs.values.max <= 100L,
+      "sub-shard must bound the packing group size")
+    assert(perShardDocs.keys.map(_._1).toSet === Set("en", "ms"))
+
+    // local reference: first-fit per (lang, doc_id DIV 100) in doc_id order
+    val cap = 64L
+    val expected = docs
+      .map { case (id, lang, text) =>
+        (lang, id / 100, id, text.split(" ").count(_.nonEmpty).toLong)
+      }
+      .groupBy(t => (t._1, t._2)).iterator.flatMap { case ((lang, shard), rows) =>
+        var bin = 0L; var fill = 0L; var first = true
+        rows.sortBy(_._3).map { case (_, _, id, n) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= cap) fill += n
+          else { bin += 1; fill = n }
+          (lang, shard, id, n, bin)
+        }
+      }.toSeq
+      .groupBy(t => (t._1, t._2, t._5)).map { case ((lang, shard, bin), rs) =>
+        (lang, shard, bin, rs.size.toLong, rs.map(_._4).sum, rs.map(_._3).min)
+      }.toSet
+    assert(got === expected)
+  }
+
+  test("TopKByScore ranks NaN first and is merge-order independent") {
+    // NaN cosine (zero-norm embedding) must land where ORDER BY score
+    // DESC puts it in Spark's window sort AND DuckDB: above everything.
+    val agg = new graft.ext.TopKByScore(3)
+    val xs = Seq((0.5, 10L), (Double.NaN, 7L), (0.9, 3L), (0.9, 1L), (0.1, 5L))
+    val full = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.reverse.foldLeft(agg.zero)(agg.reduce))
+    val expected = Seq((Double.NaN, 7L), (0.9, 1L), (0.9, 3L))
+    def bits(s: Seq[(Double, Long)]) =
+      s.map { case (d, i) => (java.lang.Double.doubleToLongBits(d), i) }
+    assert(bits(full) === bits(expected))
+    assert(bits(merged) === bits(expected), "merge order must not matter")
+    // below-threshold input against a full buffer is a no-op (same ref)
+    assert(agg.reduce(full, (0.05, 99L)) eq full)
+  }
+
+  test("rpTopK multi-probe LSH recalls planted duplicates == exact batchTopK") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 3 queries, each with 5 positive-scalar copies: a positive scale
+    // preserves every hyperplane dot's sign (identical bucket, probed at
+    // flip=0) and cosine ~= 1, so the exact top-5 is the copies and the
+    // multi-probe retrieval must recall ALL of them.
+    val base = (0 until 3).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val planted = base.flatMap { case (qid, v) =>
+      (1 to 5).map(j => (100L + qid * 10 + j, v.map(x => x * (1.0f + 0.5f * j))))
+    }
+    val noise = (0 until 200).map(i =>
+      (1000L + i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = (base ++ planted ++ noise).toDF("vec_id", "embedding")
+    val got = Similarity.rpTopK(df, queryMaxId = 3L, k = 5)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Long, Long)].collect()
+    val exact = Similarity.batchTopK(df, queryMaxId = 3L, k = 5)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Long, Long)].collect()
+    assert(got.toSet === exact.toSet,
+      "multi-probe retrieval must match the exact baseline on planted dups")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSet ===
+        (1 to 5).map(j => 100L + q * 10 + j).toSet, s"query $q")
+    }
+  }
+
   test("salted join == plain join on a skewed key distribution") {
     import spark.implicits._
     import graft.operators.Skew

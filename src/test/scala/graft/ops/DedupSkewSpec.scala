@@ -76,30 +76,48 @@ class DedupSkewSpec extends AnyFunSuite {
     val planted = (0 until 50).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
     assert(planted.subsetOf(pairs), "honest near-dup pairs must be kept")
     // structural contract: the hot-key anti-join sits BELOW the
-    // collect_list aggregate (parents print before children), so a
-    // flood bucket is never materialized in an aggregation buffer —
-    // a post-aggregation size filter would OOM exactly on floods
-    val p = df.queryExecution.executedPlan.toString
-    val aggIdx = p.indexOf("collect_list")
-    val antiIdx = p.indexOf("LeftAnti")
-    assert(aggIdx >= 0, p.take(3000))
-    assert(antiIdx > aggIdx, "anti-join must be below the aggregate:\n" + p.take(3000))
+    // collect_list aggregate, so a flood bucket is never materialized in
+    // an aggregation buffer — a post-aggregation size filter would OOM
+    // exactly on floods. Walk the optimized plan (stable vs AQE re-plan
+    // and physical-name drift) instead of comparing plan-string offsets.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = df.queryExecution.optimizedPlan
+    val agg = plan.collectFirst {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.collectFirst { case _: CollectList => () }.isDefined) => a
+    }
+    assert(agg.isDefined, "collect_list aggregate missing:\n" + plan.treeString)
+    val antiBelow = agg.get.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antiBelow.nonEmpty,
+      "anti-join must be a descendant of the aggregate:\n" + plan.treeString)
   }
 
   test("clearSignatureCaches releases the pair generators' cached tables") {
+    import org.apache.spark.storage.StorageLevel
     import spark.implicits._
-    spark.catalog.clearCache()
+    // Assert on the registered-cache queue and per-DataFrame storage level
+    // (cache-manager metadata, updated synchronously by unpersist) — NOT on
+    // getPersistentRDDs.size, whose baseline races the async ContextCleaner
+    // sweeping earlier suites' dead caches (order-dependent flake).
     Dedup.clearSignatureCaches()
-    val base = spark.sparkContext.getPersistentRDDs.size
+    assert(Dedup.registeredSignatureCacheCount === 0)
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
       (3L, "p q r s t u v")).toDF("doc_id", "text")
     val pairs1 = Dedup.minhashPairs(docs, minJaccard = 0.5).collect()
     Dedup.bigramJaccardPairs(docs, minJaccard = 0.5).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size > base,
+    val registered = Dedup.signatureCacheSnapshot
+    assert(registered.nonEmpty, "pair generators must register their caches")
+    assert(registered.forall(_.storageLevel != StorageLevel.NONE),
       "signature tables must be cached while in use")
     Dedup.clearSignatureCaches()
-    assert(spark.sparkContext.getPersistentRDDs.size === base,
-      "explicit release must drop every registered cache entry")
+    assert(Dedup.registeredSignatureCacheCount === 0,
+      "explicit release must drain the registered queue")
+    assert(registered.forall(_.storageLevel == StorageLevel.NONE),
+      "explicit release must uncache every registered entry")
     // results survive the release (dependencies recompute)
     assert(Dedup.minhashPairs(docs, minJaccard = 0.5).collect().toSeq
       === pairs1.toSeq)

@@ -85,6 +85,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert("\\(lon#\\d+ >= 2\\.0\\)".r.findAllIn(opt).size === 1, opt)
   }
 
+  test("pip bbox rewrite skips null-sensitive contexts, descends And/Or") {
+    import org.apache.spark.sql.graft.GraftColumns.pointInPolygon
+    import spark.implicits._
+    val poly = Array(2.0, 2.0, 5.0, 2.5, 4.5, 6.0, 2.2, 5.5)
+    // lat NULL + lon outside bbox: pip = NULL, expanded conjunction =
+    // FALSE. Under NOT these differ (NULL drops, TRUE keeps) — the rule
+    // must leave NOT(pip) alone.
+    // parquet-backed (a LocalRelation would be constant-folded before
+    // the rule's effect is observable in the plan)
+    val dir = java.nio.file.Files.createTempDirectory("pip_null").toString
+    Seq(
+      (1L, Some(100.0), None: Option[Double]), // lon outside, lat NULL
+      (2L, Some(3.0), Some(3.0)),              // inside polygon
+      (3L, Some(100.0), Some(100.0))           // outside, non-null
+    ).toDF("id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val negated = pts.filter(!pointInPolygon($"lon", $"lat", poly))
+    val optNeg = negated.queryExecution.optimizedPlan.toString
+    assert(!optNeg.contains(">= 2.0"),
+      "bbox must not be expanded under NOT:\n" + optNeg)
+    // NOT(NULL)=NULL drops row 1; only the honest outside row survives
+    assert(negated.select($"id").as[Long].collect().toSet === Set(3L))
+    // ...but pip under OR (null-insensitive position) still gains the bbox
+    val orCase = pts.filter(pointInPolygon($"lon", $"lat", poly) || $"id" === 3L)
+    val optOr = orCase.queryExecution.optimizedPlan.toString
+    assert(optOr.contains(">= 2.0"),
+      "bbox must be expanded under And/Or:\n" + optOr)
+    assert(orCase.select($"id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("native kernels callable from SQL") {
     vecsDf.createOrReplaceTempView("vecs_ext")
     val r = spark.sql(

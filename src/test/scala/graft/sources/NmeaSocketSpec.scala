@@ -126,5 +126,19 @@ class NmeaSocketSpec extends AnyFunSuite {
     st.commit(LineOffset(12))
     assert(st.latestOffset().asInstanceOf[LineOffset].n === 12L)
     assert(st.slice(10, 12).isEmpty, "commit trims the delivered lines")
+
+    // Order-insensitive restore: the engine may deserialize the replayed
+    // batch's START (smaller) before its END, while the reader thread has
+    // already buffered more post-restart lines than the start offset —
+    // the fast-forward must still land on the MAX restored offset, so the
+    // replayed batch is empty and new lines carry post-checkpoint numbers.
+    val st2 = new TestStream
+    (1 to 5).foreach(i => st2.push(s"x$i"))
+    st2.deserializeOffset("3")  // start first: below buffered size
+    st2.deserializeOffset("10") // then the checkpointed end
+    assert(st2.slice(3, 10).isEmpty,
+      "uncommitted pre-restart batch must replay EMPTY, not new lines")
+    assert(st2.latestOffset().asInstanceOf[LineOffset].n === 15L)
+    assert(st2.slice(10, 15).toSeq === (1 to 5).map(i => s"x$i"))
   }
 }
