@@ -216,12 +216,19 @@ object Similarity {
   /** RP-LSH bucket id: bit p set when dot(vec, plane_p) > 0. The ±1
     * weights make each dot an exact signed sum of the (float→double)
     * inputs, so both engines classify identically without rounding.
-    * HOF form (one sequential-fold aggregate per plane) — index-build
-    * cost, paid once per row when the bucket column is written; a
-    * native kernel (the cosine pattern) is the swap-in if bucketing
-    * ever lands in a per-query hot path.
+    * Native codegen'd kernel (one generated call per row) — the HOF
+    * form below is the declarative semantic reference; VecMathSpec pins
+    * them bit-equal. q72 moved bucketing into a per-query hot path, so
+    * the interpreted 8-fold ArrayAggregate chain got the same
+    * kernel-behind-expression treatment as cosine.
     */
   def rpBucket(vec: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+    GraftColumns.rpBucket(vec, nPlanes, dim)
+
+  /** Interpreted reference for [[rpBucket]] (one sequential-fold
+    * aggregate per plane); never in a hot path.
+    */
+  def rpBucketHof(vec: Column, nPlanes: Int = 8, dim: Int = 64): Column =
     rpPlanes(nPlanes, dim).zipWithIndex.map { case (pl, p) =>
       when(
         aggregate(zip_with(vec, typedLit(pl), (x, w) => x.cast("double") * w),

@@ -107,6 +107,54 @@ object VecMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** ±1 RP-LSH plane weights, cached per (nPlanes, dim): sign of a Knuth
+    * multiplicative hash of (plane, dim). MUST stay identical to
+    * Similarity.rpPlanes, which injects the same constants verbatim into
+    * the q72 DuckDB oracle (VecMathSpec pins kernel == HOF == rpPlanes).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planes(nPlanes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim), { key =>
+      val (np, d) = key
+      val w = new Array[Double](np * d)
+      var p = 0
+      while (p < np) {
+        var i = 0
+        while (i < d) {
+          w(p * d + i) =
+            if (((2654435761L * (p * 131L + i + 1)) % P) % 2 == 1) 1.0 else -1.0
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
+
+  /** RP-LSH bucket: bit p set when the ±1-weighted dot over ALL dims is
+    * > 0. Bit-identical to the declarative HOF form: each term is an
+    * exactly-representable ±(float→double) so the sequential double
+    * accumulation never rounds; a vector whose length differs from `dim`
+    * produces NULL dots in the HOF form (zip_with pads with null, every
+    * bit falls to the ELSE 0) — mirrored here as bucket 0.
+    */
+  def rpBucket(a: ArrayData, nPlanes: Int, dim: Int): Long = {
+    if (a.numElements() != dim) return 0L
+    val w = planes(nPlanes, dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += a.getFloat(i).toDouble * w(off + i); i += 1 }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** 16-bit SimHash: bit k of the signature set when at least half the
     * token codes have bit k set (the q19 oracle's 16 CASE terms).
     * Empty set -> 0.

@@ -176,6 +176,22 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // The dedup DROP LIST: every near-dup cluster keeps its min-id doc;
+    // this emits (dropped doc, its keeper) — the actionable artifact a
+    // pipeline anti-joins against the corpus to materialize the kept
+    // set. Row count = dropped docs only (dup density × corpus, never
+    // the whole corpus); singletons never appear. Same LSH pair
+    // generation and components as q65 — one more projection, zero new
+    // shuffles.
+    "q73_dedup_drop_list" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select($"doc1".as("src"), $"doc2".as("dst"))
+      graft.operators.Graph.connectedComponents(s, pairs)
+        .filter($"node" =!= $"component")
+        .select($"node".as("doc_id"), $"component".as("keep_doc_id"))
+    }),
+
     // Test-set decontamination: q51's hash split carves a 10% holdout;
     // every train doc reports how many distinct 5-gram shingles it
     // shares with ANY holdout doc — the n-gram-overlap contamination
@@ -463,6 +479,16 @@ object LlmQueries {
           SELECT component, count(*) AS n_docs
           FROM (SELECT node, min(lbl) AS component FROM r GROUP BY node)
           GROUP BY component""",
+    "q73_dedup_drop_list" ->
+      s"""WITH RECURSIVE pairs AS ($q21Sql),
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                UNION SELECT doc2, doc1 FROM pairs),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          r AS (SELECT node, node AS lbl FROM n
+                UNION
+                SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node)
+          SELECT node AS doc_id, min(lbl) AS keep_doc_id
+          FROM r GROUP BY node HAVING node != min(lbl)""",
     "q22_bigram_jaccard" ->
       s"""SELECT * FROM (WITH t AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
           t1 AS (SELECT doc_id,

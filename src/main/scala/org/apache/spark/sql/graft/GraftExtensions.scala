@@ -161,7 +161,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash16(es(0))),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (es: Seq[Expression]) => RollingHash(es(0))))
+      (es: Seq[Expression]) => RollingHash(es(0))),
+    (FunctionIdentifier("rp_bucket"),
+      new ExpressionInfo(classOf[RpBucket].getName, "rp_bucket"),
+      (es: Seq[Expression]) => RpBucket(es(0),
+        if (es.size > 1) intArg(es(1)) else 8,
+        if (es.size > 2) intArg(es(2)) else 64)))
 
   /** Register the rules + SQL functions on a live session. */
   def install(spark: SparkSession): Unit = {

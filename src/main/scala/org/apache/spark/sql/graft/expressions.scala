@@ -179,6 +179,27 @@ case class AisDecode(child: Expression, extended: Boolean = false)
     copy(child = newChild)
 }
 
+/** RP-LSH bucket id: ±1 hyperplanes mixing ALL dims (bit p set when
+  * dot(vec, plane_p) > 0), codegen'd. Plane constants live in
+  * VecMath.planes == Similarity.rpPlanes == the q72 oracle SQL.
+  */
+case class RpBucket(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rp_bucket"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.rpBucket(a.asInstanceOf[ArrayData], nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.rpBucket($a, $nPlanes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -208,6 +229,10 @@ object GraftColumns {
 
   def signBucket(vec: Column, bits: Int): Column =
     ExpressionUtils.column(SignBucket(ExpressionUtils.expression(vec), bits))
+
+  def rpBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    ExpressionUtils.column(
+      RpBucket(ExpressionUtils.expression(vec), nPlanes, dim))
 
   def simhash64(codes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(codes)))

@@ -40,6 +40,23 @@ class VecMathSpec extends AnyFunSuite {
     }
   }
 
+  test("native rp_bucket is bit-identical to the per-plane HOF form") {
+    import spark.implicits._
+    val data = vecs(23L, 80, 64) ++
+      Seq(Seq.fill(64)(0f)) ++          // all-zero: every dot == 0.0, no bit
+      Seq(vecs(5L, 1, 32).head)         // wrong length: HOF null dots -> 0
+    val df = data.toDF("a").select(col("a").cast("array<float>").as("a"))
+    val got = df.select(
+      Similarity.rpBucket(col("a")).as("native"),
+      Similarity.rpBucketHof(col("a")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"native=${r.get(0)} hof=${r.get(1)}")
+    }
+    // buckets must actually spread (planes mix all dims)
+    assert(got.map(_.getLong(0)).distinct.length > 10)
+  }
+
   test("native sign bucket matches the element_at form") {
     import spark.implicits._
     // include exact zeros: bit must NOT be set for 0f (strict > 0)
