@@ -470,6 +470,30 @@ object Advanced {
           element_at($"sig", i + 1).as(s"m$i")): _*)
     }),
 
+    // Corpus-overlap matrix from the mergeable MinHash-union sketches
+    // (q44): estimated Jaccard between every pair of language
+    // sub-corpora as (# agreeing signature components)/K. The sketch
+    // algebra payoff: cross-corpus overlap triage WITHOUT joining the
+    // corpora — at 100 TB each corpus contributes one map-side-combined
+    // aggregation producing K longs, and the pairwise matrix is
+    // #corpora² sketch comparisons on broadcast-sized rows.
+    "q74_corpus_overlap" -> ((s, d) => {
+      import s.implicits._
+      val mh = udaf(new graft.ext.MinhashUnion)
+      val sigs = Tables.documents(s, d)
+        .select($"lang", graft.ext.TextStats.tokenCodesOf($"text").as("codes"))
+        .groupBy($"lang").agg(mh($"codes").as("sig"))
+      val l = sigs.select($"lang".as("lang1"), $"sig".as("s1"))
+      val r = sigs.select($"lang".as("lang2"), $"sig".as("s2"))
+      l.join(r, $"lang1" < $"lang2")
+        .select($"lang1", $"lang2",
+          aggregate(zip_with($"s1", $"s2",
+              (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).as("n_agree"))
+        .select($"lang1", $"lang2", $"n_agree",
+          rnd($"n_agree".cast("double") / Dedup.K.toDouble, 4).as("est_jaccard"))
+    }),
+
     // Approximate sketches — the 100 TB substitutes for q6's exact
     // distinct and q29's exact percentiles (HLL++ and KLL-style
     // mergeable state instead of per-key sets / full sorts). Sketch
@@ -829,6 +853,22 @@ object Advanced {
             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
           FROM s l JOIN s r ON l.doc_id < r.doc_id
           WHERE bit_count(xor(l.sig, r.sig)) <= 3""",
+    "q74_corpus_overlap" -> {
+      val mins = (0 until Dedup.K).map { i =>
+        s"CAST(min((${Dedup.A(i)} * c + ${Dedup.B(i)}) % $P) AS BIGINT) AS m$i"
+      }.mkString(", ")
+      val agree = (0 until Dedup.K).map { i =>
+        s"(CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT lang, unnest(${codesExpr(toksExpr)}) AS c FROM documents),
+          sig AS (SELECT lang, $mins FROM t GROUP BY lang)
+          SELECT lang1, lang2, n_agree,
+            floor(CAST(n_agree AS DOUBLE) / ${Dedup.K} * 10000 + 0.5) / 10000
+              AS est_jaccard
+          FROM (SELECT l.lang AS lang1, r.lang AS lang2,
+              CAST($agree AS BIGINT) AS n_agree
+            FROM sig l JOIN sig r ON l.lang < r.lang)"""
+    },
     // q38's sketch values are engine-specific; the ORACLE-ABLE contract
     // is the exact counts plus the sketches landing inside their error
     // bounds (the Spark side computes the booleans, the oracle asserts

@@ -164,6 +164,21 @@ class PlanSpec extends AnyFunSuite {
       .map(_.values).length <= 2, "probe must touch at most nprobe partitions")
   }
 
+  test("q72 probes broadcast; corpus shuffles only for the top-k agg") {
+    // Multi-probe RP-LSH at scale: the 9-probe query set must BROADCAST
+    // onto the bucketed corpus (never shuffle the corpus for the join),
+    // and the only exchange is the per-query top-k aggregation whose
+    // shuffle carries k tuples per (query x partition).
+    val df = graft.SparkEntry.queries("q72_rp_lsh_topk")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // native bucket kernel in the scan stage, not the interpreted HOFs
+    assert(p.contains("rp_bucket"), p.take(1200))
+    assert(!p.contains("aggregate(zip_with"), p.take(1200))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import org.apache.spark.sql.functions._
     val keys = Seq(
