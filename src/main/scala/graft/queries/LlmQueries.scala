@@ -176,6 +176,45 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Span-level dedup (the "dedup training data" span pass): token
+    // positions covered by any 5-gram appearing in >= 3 DISTINCT docs
+    // are masked out and the cleaned text re-emitted. Shape: one
+    // ordered per-start gram table (ids + positions + 64-bit codes
+    // only), doc-frequency of distinct (doc, gram), hot grams join back
+    // to positions (uniform hash key; hot set is corpus-boilerplate-
+    // sized, AQE-broadcastable), covered starts collect per doc
+    // (bounded by tokens/doc), and an index-aware filter rebuilds the
+    // text — no shuffle ever carries text except the final narrow map.
+    "q75_span_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val codes = TextStats.tokenCodesOf($"text")
+      val grams = {
+        var acc = codes
+        for (k <- 2 to 5)
+          acc = zip_with(acc, slice(codes, k, 1 << 20), (a, b) => (a * 131 + b) % P)
+        acc
+      }
+      val pos = docs.select($"doc_id", posexplode_outer(grams).as(Seq("p0", "g")))
+        .filter($"g".isNotNull)
+      val hot = pos.select($"doc_id", $"g").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 3).select($"g")
+      val hotStarts = pos.join(hot, "g")
+        .groupBy($"doc_id").agg(collect_set($"p0").as("hot0"))
+      docs.join(hotStarts, Seq("doc_id"), "left")
+        .select($"doc_id", TextStats.tokens($"text").as("toks"),
+          coalesce($"hot0", array().cast("array<int>")).as("hot0"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          filter($"toks", (t, i) =>
+            !exists($"hot0", h => h <= i && i <= h + lit(4)))
+            .as("kept"))
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - size($"kept")).cast("long").as("n_removed"),
+          array_join($"kept", " ").as("clean_text"))
+    }),
+
     // The dedup DROP LIST: every near-dup cluster keeps its min-id doc;
     // this emits (dropped doc, its keeper) — the actionable artifact a
     // pipeline anti-joins against the corpus to materialize the kept
@@ -479,6 +518,29 @@ object LlmQueries {
           SELECT component, count(*) AS n_docs
           FROM (SELECT node, min(lbl) AS component FROM r GROUP BY node)
           GROUP BY component""",
+    "q75_span_dedup" ->
+      s"""WITH c AS (SELECT doc_id, $toksExpr AS toks, ${codesExpr(toksExpr)} AS codes FROM documents),
+          g AS (SELECT doc_id, toks,
+            CASE WHEN len(codes) >= 5 THEN list_transform(generate_series(1, len(codes) - 4), i ->
+              (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
+            ELSE [] END AS grams FROM c),
+          pos AS (SELECT doc_id, i AS p, grams[i] AS gr
+            FROM g, UNNEST(generate_series(1, len(grams))) AS u(i)),
+          hot AS (SELECT gr FROM (SELECT DISTINCT doc_id, gr FROM pos)
+            GROUP BY gr HAVING count(*) >= 3),
+          hs AS (SELECT doc_id, list(p) AS hotp
+            FROM pos JOIN hot USING (gr) GROUP BY doc_id),
+          j AS (SELECT c.doc_id, c.toks, coalesce(hs.hotp, []) AS hotp
+            FROM c LEFT JOIN hs ON c.doc_id = hs.doc_id),
+          k AS (SELECT doc_id, toks,
+            list_filter(generate_series(1, len(toks)), i ->
+              len(list_filter(hotp, h -> h <= i AND i <= h + 4)) = 0) AS kept
+            FROM j)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+            coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+              AS clean_text
+          FROM k""",
     "q73_dedup_drop_list" ->
       s"""WITH RECURSIVE pairs AS ($q21Sql),
           e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
