@@ -132,7 +132,8 @@ class PlanSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin/CartesianProduct and the operator stops
     // scaling; lock it
     for (q <- Seq("q21_minhash_pairs", "q22_bigram_jaccard", "q25_embedding_near_dup",
-        "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match")) {
+        "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match",
+        "q75_span_dedup")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
