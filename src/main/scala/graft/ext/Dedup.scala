@@ -396,6 +396,49 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** Incremental dedup: near-dup pairs between an INCOMING batch and an
+    * existing STORE — the production ingestion path at 100 TB (dedup
+    * the delta against the corpus; never re-pair the corpus with
+    * itself). Returns (in_doc, store_doc, jaccard) filtered to
+    * >= minJaccard. Candidate generation is an asymmetric equi-join on
+    * (band, key): the store's band table is exactly PlanSpec's bucketed
+    * signature store (written bucketed by key, the join is
+    * exchange-free on the store side at rest); hot buckets are capped
+    * on EACH side independently — a boilerplate flood in either the
+    * store or the batch would otherwise go quadratic. Store-internal
+    * and batch-internal pairs are deliberately NOT emitted: those are
+    * [[minhashPairs]]' job at store-build time.
+    */
+  def minhashPairsAgainst(store: DataFrame, incoming: DataFrame,
+      minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    def sigTable(df: DataFrame) = registerSigCache(df
+      .select(col("doc_id"), signatureUdf(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+      .cache())
+    def explodeBands(sigs: DataFrame) = dropHotBuckets(sigs.select(
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    val sSig = sigTable(store)
+    val iSig = sigTable(incoming)
+    val candidates = explodeBands(iSig)
+      .select(col("band"), col("key"), col("doc_id").as("in_doc"))
+      .join(explodeBands(sSig)
+        .select(col("band"), col("key"), col("doc_id").as("store_doc")),
+        Seq("band", "key"))
+      .select(col("in_doc"), col("store_doc"))
+      .distinct()
+    candidates
+      .join(iSig.select(col("doc_id").as("in_doc"), col("tset").as("t1")),
+        Seq("in_doc"))
+      .join(sSig.select(col("doc_id").as("store_doc"), col("tset").as("t2")),
+        Seq("store_doc"))
+      .withColumn("jaccard", rnd(
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("in_doc"), col("store_doc"), col("jaccard"))
+  }
+
   /** 16-bit SimHash over the token set: bit k of the signature is 1 when
     * at least half the tokens have bit k set in their code. Small enough
     * to mirror as 16 explicit CASE terms in SQL, same majority rule.

@@ -176,6 +176,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Incremental dedup: the q66-style 90/10 hash split plays "existing
+    // corpus store" vs "incoming batch"; near-dup pairs are generated
+    // ONLY across the boundary (batch × store) via the asymmetric
+    // band-key join — the delta-ingestion path that never re-pairs the
+    // corpus with itself. See Dedup.minhashPairsAgainst.
+    "q76_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
+      Dedup.minhashPairsAgainst(
+        docs.filter($"bucket" < 90).drop("bucket"),
+        docs.filter($"bucket" >= 90).drop("bucket"),
+        minJaccard = 0.5)
+    }),
+
     // Span-level dedup (the "dedup training data" span pass): token
     // positions covered by any 5-gram appearing in >= 3 DISTINCT docs
     // are masked out and the cleaned text re-emitted. Shape: one
@@ -518,6 +533,25 @@ object LlmQueries {
           SELECT component, count(*) AS n_docs
           FROM (SELECT node, min(lbl) AS component FROM r GROUP BY node)
           GROUP BY component""",
+    "q76_incremental_dedup" ->
+      s"""SELECT * FROM (WITH $shingleCtes,
+          sig AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+            tset, $minhashCols FROM t),
+          bands AS (SELECT doc_id, bucket, tset, band, $bandKeyCase AS key
+            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
+          bi AS (SELECT doc_id, tset, band, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+            FROM bands WHERE bucket >= 90) WHERE bsz <= 1000),
+          bs AS (SELECT doc_id, tset, band, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+            FROM bands WHERE bucket < 90) WHERE bsz <= 1000),
+          cand AS (SELECT DISTINCT i.doc_id AS in_doc, s.doc_id AS store_doc,
+              i.tset AS t1, s.tset AS t2
+            FROM bi i JOIN bs s ON i.band = s.band AND i.key = s.key)
+          SELECT in_doc, store_doc,
+            floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
+          FROM cand) WHERE jaccard >= 0.5""",
     "q75_span_dedup" ->
       s"""WITH c AS (SELECT doc_id, $toksExpr AS toks, ${codesExpr(toksExpr)} AS codes FROM documents),
           g AS (SELECT doc_id, toks,

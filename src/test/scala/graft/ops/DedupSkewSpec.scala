@@ -96,6 +96,31 @@ class DedupSkewSpec extends AnyFunSuite {
       "anti-join must be a descendant of the aggregate:\n" + plan.treeString)
   }
 
+  test("incremental dedup == cross-side subset of the symmetric generator") {
+    import spark.implicits._
+    val docs = skewedCorpus
+    // even ids = store, odd ids = incoming; every planted pair (2k, 2k+1)
+    // straddles the split, the 900-doc flood splits 450/450 on each side
+    val store = docs.filter($"doc_id" % 2 === 0)
+    val inc = docs.filter($"doc_id" % 2 === 1)
+    val got = Dedup.minhashPairsAgainst(store, inc, minJaccard = 0.5, maxBucket = 100)
+      .select($"in_doc", $"store_doc").as[(Long, Long)].collect().toSet
+    // per-side caps drop the flood from BOTH sides of the asymmetric join
+    assert(got.forall { case (a, b) => a >= 1000 && b >= 1000 },
+      "flooded buckets must be excluded on each side independently")
+    val planted = (0 until 50).map(p => (1000L + 2 * p + 1, 1000L + 2 * p)).toSet
+    assert(planted.subsetOf(got), "straddling near-dup pairs must be found")
+    // and the asymmetric generator agrees exactly with the cross-side
+    // subset of the symmetric one on the under-cap corpus
+    val full = Dedup.minhashPairs(docs.filter($"doc_id" >= 1000), minJaccard = 0.5)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+    val cross = full.collect { case (a, b) if a % 2 != b % 2 =>
+      if (a % 2 == 1) (a, b) else (b, a)
+    }
+    assert(got === cross)
+    Dedup.clearSignatureCaches()
+  }
+
   test("clearSignatureCaches releases the pair generators' cached tables") {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
