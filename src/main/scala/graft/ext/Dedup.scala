@@ -283,6 +283,21 @@ object Dedup {
   def shingleCol(text: Column): Column =
     signatureUdf(coalesce(text, lit(""))).getField("_1")
 
+  /** LSH band keys for one text column (same kernel as the pair
+    * generators — one arithmetic, every consumer).
+    */
+  def bandCol(text: Column): Column =
+    signatureUdf(coalesce(text, lit(""))).getField("_2")
+
+  /** (doc_id, band, key) band table — the at-rest signature-store
+    * layout (bucket by `key` when writing) and the static side of the
+    * streaming near-dup guard.
+    */
+  def bandTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode_outer(bandCol(col(textCol))).as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+
   /** Test-set decontamination: for every train document, the number of
     * distinct 5-gram shingles it shares with ANY test document — the
     * standard n-gram-overlap contamination check run before training on

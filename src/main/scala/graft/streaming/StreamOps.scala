@@ -139,6 +139,36 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
   }
 
+  /** Streaming incremental dedup — the stream twin of
+    * Dedup.minhashPairsAgainst (q76): an incoming document stream is
+    * flagged when any of its LSH band keys hits the STATIC signature
+    * store's band table. The store index (distinct (band, key)) is
+    * built and persisted ONCE (release via [[clearStaticIndexes]]);
+    * the stream side explodes to ids + band keys only and LEFT SEMI
+    * joins the index. Each flagged doc emits once within the watermark
+    * horizon — bounded state, same discipline as the other guards.
+    * Band-collision candidates are a superset of true near-dups (no
+    * streaming Jaccard verification: the set join would need the
+    * store's tsets per batch); at ingest that is the right trade —
+    * flagged docs go to a batch verify/drop stage, clean docs flow on.
+    */
+  def nearDupStream(docs: DataFrame, storeDocs: DataFrame,
+                    tsCol: String, watermarkDelay: String): DataFrame = {
+    val bandIndex = graft.ext.Dedup.bandTable(storeDocs)
+      .select(col("band"), col("key")).distinct()
+      .persist()
+    staticIndexes.add(bandIndex)
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col("doc_id"), col(tsCol),
+        posexplode_outer(graft.ext.Dedup.bandCol(col("text")))
+          .as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .join(bandIndex, Seq("band", "key"), "left_semi")
+      .select(col("doc_id"), col(tsCol))
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+  }
+
   /** Session windows (built-in state merge): a session extends while the
     * next event arrives strictly before last_ts + gap; window end is
     * last_ts + gap. The streaming twin of the batch gaps-and-islands

@@ -147,6 +147,39 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup guard flags store hits once, passes novel docs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    StreamOps.clearStaticIndexes()
+    // store doc: 12 tokens; stream doc 1 = identical text (same band
+    // keys deterministically); doc 2 = disjoint vocabulary
+    val base = (0 until 12).map(w => s"s$w").mkString(" ")
+    val novel = (0 until 12).map(w => s"n$w").mkString(" ")
+    val store = Seq((100L, base)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), store,
+      tsCol = "ts", watermarkDelay = "2 minutes")
+    val ckpt = Files.createTempDirectory("nd_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("neardup").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, ts(0), base), (2L, ts(1), novel))
+      q.processAllAvailable()
+      // duplicate re-arrival within the watermark: still flagged ONCE
+      in.addData((1L, ts(2), base))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup").select($"doc_id")
+        .as[Long].collect().toSeq
+      assert(flagged === Seq(1L), s"got $flagged")
+    } finally {
+      q.stop()
+      StreamOps.clearStaticIndexes()
+    }
+  }
+
   test("foreachBatch upsert sink keeps the latest row per key across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
