@@ -321,6 +321,32 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(agg.reduce(full, (0.05, 99L)) eq full)
   }
 
+  test("TopKByScore == sort-based top-k over random inputs and splits") {
+    val rnd = new scala.util.Random(97)
+    val agg = new graft.ext.TopKByScore(4)
+    def bits(s: Seq[(Double, Long)]) =
+      s.map { case (d, i) => (java.lang.Double.doubleToLongBits(d), i) }
+    for (trial <- 0 until 200) {
+      val n = 1 + rnd.nextInt(30)
+      val xs = Seq.fill(n)((
+        if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextInt(10) / 4.0,
+        rnd.nextInt(1000).toLong))
+      // reference: full sort by (score desc w/ NaN first, id asc), take k
+      val expected = xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c < 0 else a._2 < b._2
+      }.take(4)
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(bits(folded) === bits(expected), s"trial $trial fold")
+      // random split + merge must agree too (mergeable-state contract)
+      val cut = rnd.nextInt(n + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(bits(merged) === bits(expected), s"trial $trial merge")
+    }
+  }
+
   test("rpTopK multi-probe LSH recalls planted duplicates == exact batchTopK") {
     import graft.ext.Similarity
     import spark.implicits._
