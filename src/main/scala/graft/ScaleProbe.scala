@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * output explosion rather than engine scaling.
   *
   * Usage: runMain graft.ScaleProbe <sfDir> [multipliers, default 1,2,5,10]
+  *        [comma-separated query names, default the four pair generators]
   * Prints one JSON line per (query, multiplier) and a summary table.
   */
 object ScaleProbe {
 
-  private val Queries = Seq("q21_minhash_pairs", "q22_bigram_jaccard",
+  private val DefaultQueries = Seq("q21_minhash_pairs", "q22_bigram_jaccard",
     "q33_simhash64_pairs", "q65_dedup_components")
 
   private def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
@@ -42,6 +43,8 @@ object ScaleProbe {
     val sfDir = args(0)
     val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
                 else Seq(1, 2, 5, 10)
+    val Queries = if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+                  else DefaultQueries
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
