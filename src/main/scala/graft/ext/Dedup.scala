@@ -176,6 +176,14 @@ object Dedup {
     df
   }
 
+  /** Cache a derived signature/gram table under the same lifecycle as
+    * the pair generators' caches (released by [[clearSignatureCaches]]).
+    * For multi-consumer intermediates whose consumers shuffle on
+    * DIFFERENT keys — exchange reuse cannot kick in there, so without
+    * caching the generating kernel runs once per consumer.
+    */
+  def cached(df: DataFrame): DataFrame = registerSigCache(df.cache())
+
   /** Snapshot of the currently registered signature caches. Test hook:
     * `df.storageLevel` reads the cache-manager entry synchronously, so
     * specs can assert release without racing the async block sweep that

@@ -210,8 +210,13 @@ object LlmQueries {
           acc = zip_with(acc, slice(codes, k, 1 << 20), (a, b) => (a * 131 + b) % P)
         acc
       }
-      val pos = docs.select($"doc_id", posexplode_outer(grams).as(Seq("p0", "g")))
-        .filter($"g".isNotNull)
+      // cached: hot-gram aggregation and the position join shuffle this
+      // table on DIFFERENT keys (g vs g-then-doc), so exchange reuse
+      // can't deduplicate the gram kernel — uncached it would run the
+      // per-row chain over the corpus once per consumer
+      val pos = Dedup.cached(
+        docs.select($"doc_id", posexplode_outer(grams).as(Seq("p0", "g")))
+          .filter($"g".isNotNull))
       val hot = pos.select($"doc_id", $"g").distinct()
         .groupBy($"g").agg(count(lit(1)).as("df"))
         .filter($"df" >= 3).select($"g")
