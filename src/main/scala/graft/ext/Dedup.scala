@@ -338,6 +338,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contamination]] with a Bloom-filter pre-prune — the 100 TB form.
+    * The holdout's distinct shingle codes build a Bloom filter
+    * (driver-side, sketch-sized — the holdout is benchmark-scale by
+    * definition); the probe is Spark's own codegen'd
+    * `BloomFilterMightContain`, applied to the train side's exploded
+    * codes BEFORE the join shuffle, so the (corpus-sized) train explode
+    * drops to roughly its true-positive subset map-side. Bloom false
+    * positives survive the prune but die in the exact equi-join that
+    * follows, so the result is BIT-IDENTICAL to [[contamination]] —
+    * the filter buys shuffle volume, never correctness. The distinct
+    * holdout-code set feeds the count, the filter build, and the join,
+    * so it is cached (released by [[clearSignatureCaches]]).
+    */
+  def contaminationBloom(train: DataFrame, test: DataFrame,
+      fpp: Double = 0.03): DataFrame = {
+    val teCodes = registerSigCache(shingleSets(test)
+      .select(explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull).distinct()
+      .cache())
+    val bloom = teCodes.stat.bloomFilter("code",
+      math.max(teCodes.count(), 1L), fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    val trCodes = shingleSets(train)
+      .select(col("doc_id"), explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull)
+      .filter(org.apache.spark.sql.graft.GraftColumns
+        .bloomMightContain(bytes, col("code")))
+    trCodes.join(teCodes, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
     array((0 until K).map { i =>

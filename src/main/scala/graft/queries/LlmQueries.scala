@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Pii, Similarity, TextStats}
 import graft.queries.Num.{r => rnd}
 
 /** Training-data pipeline queries (north-star ops): text analysis, dedup,
@@ -251,6 +251,27 @@ object LlmQueries {
         .select($"node".as("doc_id"), $"component".as("keep_doc_id"))
     }),
 
+    // Drop list under a KEEPER POLICY: q73 keeps each cluster's min-id
+    // doc; real pipelines keep the best doc. Here the keeper is the
+    // longest (n_chars desc, doc_id tiebreak) — keeper election is a
+    // map-side-combinable max_by over the cluster membership (dup-
+    // density-sized, NOT corpus-sized), then one broadcast-scale join
+    // back; no window over all docs, no new wide shuffle beyond q65's.
+    "q80_dedup_keep_longest" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, minJaccard = 0.7)
+        .select($"doc1".as("src"), $"doc2".as("dst"))
+      val members = graft.operators.Graph.connectedComponents(s, pairs)
+        .join(docs.select($"doc_id".as("node"), $"n_chars"), Seq("node"))
+      val keepers = members.groupBy($"component")
+        .agg(max_by($"node", struct($"n_chars".cast("long"), -$"node"))
+          .as("keep_doc_id"))
+      members.join(keepers, Seq("component"))
+        .filter($"node" =!= $"keep_doc_id")
+        .select($"node".as("doc_id"), $"keep_doc_id")
+    }),
+
     // Test-set decontamination: q51's hash split carves a 10% holdout;
     // every train doc reports how many distinct 5-gram shingles it
     // shares with ANY holdout doc — the n-gram-overlap contamination
@@ -262,6 +283,21 @@ object LlmQueries {
         .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
       Dedup.contamination(
         docs.filter($"bucket" < 90), docs.filter($"bucket" >= 90))
+    }),
+
+    // q66's decontamination with the Bloom pre-prune, on an 80/20 split
+    // (so it isn't a byte-for-byte rerun of q66): the holdout's shingle
+    // codes become a broadcast-sized Bloom filter probed map-side
+    // BEFORE the join shuffle; false positives die in the exact join,
+    // so the oracle is the plain exact-join replay. See
+    // Dedup.contaminationBloom for the shuffle-volume story.
+    "q81_bloom_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100L)))
+      Dedup.contaminationBloom(
+        docs.filter($"bucket" < 80).drop("bucket"),
+        docs.filter($"bucket" >= 80).drop("bucket"))
     }),
 
     // Gopher-style repetition quality filter: top-token / top-bigram /
@@ -331,6 +367,88 @@ object LlmQueries {
         .filter($"n_docs" >= 2)
         .orderBy($"n_docs".desc, $"code")
         .limit(20)
+    }),
+
+    // PII scrub: the corpus carries no natural PII, so the query plants
+    // a deterministic email/IP/phone per document (every-other doc gets
+    // a second email — counts must vary to prove the counter counts)
+    // with the SAME string arithmetic as the oracle, then detects and
+    // masks it back out. Narrow codegen'd map, no shuffle — the shape a
+    // 100 TB scrub pass needs. See graft.ext.Pii for the portable-regex
+    // contract.
+    "q77_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val pii = concat($"text",
+        lit(" contact u"), $"doc_id", lit("@ex.com from 10."),
+        pmod($"doc_id", lit(250L)), lit("."), pmod($"doc_id" * 7L, lit(250L)),
+        lit(".9 tel "),
+        lpad(pmod($"doc_id", lit(1000L)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod($"doc_id" * 13L, lit(10000L)).cast("string"), 4, "0"),
+        when(pmod($"doc_id", lit(2L)) === 0, lit(" and admin@ex.org"))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select($"doc_id", pii.as("pii_text"))
+        .select($"doc_id",
+          Pii.emailCount($"pii_text").as("n_emails"),
+          Pii.ipv4Count($"pii_text").as("n_ips"),
+          Pii.phoneCount($"pii_text").as("n_phones"),
+          Pii.redact($"pii_text").as("red_text"))
+    }),
+
+    // Corpus snapshot diff: v2 is derived deterministically from v1
+    // (doc_id % 17 removed, % 10 edited, % 23 re-added under a shifted
+    // id), and the diff joins the two snapshots' 64-bit rolling-hash
+    // FINGERPRINTS — ids + hashes through the full-outer join, never
+    // text. That is the 100 TB shape: snapshot reconciliation compares
+    // fingerprint manifests (kilobytes per million docs), not corpora.
+    // Emits only the delta (added/removed/changed), never the unchanged
+    // bulk.
+    "q78_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def fp(df: DataFrame) = df.select(
+        $"doc_id", TextStats.fingerprint($"text").as("fp"))
+      val v1 = fp(docs)
+      val v2 = fp(docs.filter(pmod($"doc_id", lit(17L)) =!= 0)
+        .select($"doc_id",
+          when(pmod($"doc_id", lit(10L)) === 0, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter(pmod($"doc_id", lit(23L)) === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" new")).as("text"))))
+      v1.select($"doc_id", $"fp".as("fp1"))
+        .join(v2.select($"doc_id", $"fp".as("fp2")), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"fp1".isNull, "added")
+            .when($"fp2".isNull, "removed")
+            .when($"fp1" =!= $"fp2", "changed")
+            .otherwise("unchanged").as("status"))
+        .filter($"status" =!= "unchanged")
+    }),
+
+    // Inverted index over word bigrams: document frequency + a BOUNDED
+    // posting sample (the 10 smallest doc ids) per gram, top-20 grams by
+    // df. The posting sample uses the mergeable bounded top-k aggregator
+    // (score = -doc_id), NOT collect_set-then-slice: a hot gram's full
+    // posting list is corpus-sized, and collecting it to slice 10 ids is
+    // exactly the unbounded-buffer OOM this query exists to avoid. df
+    // aggregates map-side; the final top-20 is a TakeOrderedAndProject,
+    // never a global sort materialized.
+    "q79_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      val bg = Dedup.bigramCodes(TextStats.tokenCodesOf($"text"))
+      val posting = Tables.documents(s, d)
+        .select($"doc_id", explode_outer(bg).as("code"))
+        .filter($"code".isNotNull)
+      val firstK = udaf(new graft.ext.TopKByScore(10))
+      posting.groupBy($"code")
+        .agg(count(lit(1)).as("df"),
+          firstK(-$"doc_id".cast("double"), $"doc_id").as("post"))
+        .orderBy($"df".desc, $"code")
+        .limit(20)
+        .select($"code", $"df",
+          array_join(transform($"post", p => p.getField("_2").cast("string")), ",")
+            .as("post_sample"))
     }),
 
     // Brute-force cosine top-10 around vec_id 0.
@@ -660,6 +778,13 @@ object LlmQueries {
           te AS (SELECT DISTINCT unnest(tset) AS code FROM b WHERE bucket >= 90)
           SELECT tr.doc_id, count(*) AS n_shared
           FROM tr JOIN te USING (code) GROUP BY tr.doc_id""",
+    "q81_bloom_decontaminate" ->
+      s"""WITH $shingleCtes,
+          b AS (SELECT doc_id, tset, (doc_id * 2654435761) % 100 AS bucket FROM t),
+          tr AS (SELECT doc_id, unnest(tset) AS code FROM b WHERE bucket < 80),
+          te AS (SELECT DISTINCT unnest(tset) AS code FROM b WHERE bucket >= 80)
+          SELECT tr.doc_id, count(*) AS n_shared
+          FROM tr JOIN te USING (code) GROUP BY tr.doc_id""",
     "q67_repetition_filter" -> {
       val topTok = Num.rSql(
         "CAST(top_tok_freq AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
@@ -770,6 +895,71 @@ object LlmQueries {
             ${cosSql("l.embedding", "r.embedding")} AS cos
           FROM b l JOIN b r ON l.bucket = r.bucket
           WHERE l.vec_id < r.vec_id) WHERE cos >= 0.3""",
+    "q80_dedup_keep_longest" ->
+      s"""WITH RECURSIVE pairs AS ($q21Sql),
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                UNION SELECT doc2, doc1 FROM pairs),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          r AS (SELECT node, node AS lbl FROM n
+                UNION
+                SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+          comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+          sized AS (SELECT c.node, c.component, d.n_chars
+                    FROM comp c JOIN documents d ON d.doc_id = c.node),
+          k AS (SELECT component, node AS keep_doc_id FROM (
+              SELECT component, node, row_number() OVER (
+                PARTITION BY component ORDER BY n_chars DESC, node) AS rn
+              FROM sized) WHERE rn = 1)
+          SELECT s.node AS doc_id, k.keep_doc_id
+          FROM sized s JOIN k USING (component) WHERE s.node != k.keep_doc_id""",
+    "q77_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+            text || ' contact u' || doc_id || '@ex.com from 10.'
+              || (doc_id % 250) || '.' || ((doc_id * 7) % 250) || '.9 tel '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 2 = 0 THEN ' and admin@ex.org' ELSE '' END
+              AS pii_text
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(pii_text, '${Pii.EmailPat}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(pii_text, '${Pii.Ipv4Pat}')) AS BIGINT) AS n_ips,
+            CAST(len(regexp_extract_all(pii_text, '${Pii.PhonePat}')) AS BIGINT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(pii_text,
+              '${Pii.EmailPat}', '<EMAIL>', 'g'),
+              '${Pii.Ipv4Pat}', '<IP>', 'g'),
+              '${Pii.PhonePat}', '<PHONE>', 'g') AS red_text
+          FROM p""",
+    "q78_snapshot_diff" -> {
+      val fpSql = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        ${codesExpr(toksExpr)}), (a, c) -> (a * 131 + c) % $P)"""
+      s"""WITH v2t AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 != 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+            FROM documents WHERE doc_id % 23 = 0),
+          v1 AS (SELECT doc_id, $fpSql AS fp FROM documents),
+          v2 AS (SELECT doc_id, $fpSql AS fp FROM v2t),
+          j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+              CASE WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN v1.fp != v2.fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+          SELECT doc_id, status FROM j WHERE status != 'unchanged'"""
+    },
+    "q79_inverted_index" ->
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          b AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 2
+            THEN list_transform(generate_series(1, len(codes) - 1),
+                   i -> (codes[i] * 131 + codes[i + 1]) % $P)
+            ELSE [] END) AS bgs FROM c),
+          p AS (SELECT doc_id, unnest(bgs) AS code FROM b)
+          SELECT code, count(*) AS df,
+            array_to_string(list_sort(list(doc_id))[1:10], ',') AS post_sample
+          FROM p GROUP BY code ORDER BY df DESC, code LIMIT 20""",
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -249,6 +249,20 @@ object GraftColumns {
   def aisDecode(sentences: Column, extended: Boolean = false): Column =
     ExpressionUtils.column(
       AisDecode(ExpressionUtils.expression(sentences), extended))
+
+  /** Codegen'd Bloom-filter membership probe over a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (the format
+    * `DataFrameStatFunctions.bloomFilter` produces). Reuses Spark's own
+    * `BloomFilterMightContain` — the expression behind runtime join
+    * filtering — so the probe stays inside whole-stage codegen instead
+    * of a per-row Scala UDF. The filter bytes ride the plan as a binary
+    * literal: MB-scale for benchmark-holdout-sized item counts, which
+    * is the intended regime.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes), ExpressionUtils.expression(value)))
 
   /** Generic bridge for further native expressions. */
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.ext.{Dedup, Pii, TextStats}
+
+/** Round-5 corpus operators: PII redaction, snapshot diff, bounded
+  * inverted index, keeper-policy drop list, Bloom-prefiltered
+  * decontamination. Each bounded/pre-filtered scale path is asserted
+  * EQUAL to its naive reference formulation — the same discipline the
+  * interval-join and hamming-blocking specs use.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Pii.redact masks each planted PII class exactly once, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach bob@x.io or 10.2.3.4 call 555-1234 end"),
+      (2L, "no pii here just words and 3.14 and 1.2"),
+      (3L, "multi a@b.co c.d@e.org 1.2.3.4 9.9.9.9 111-2222 333-4444")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      Pii.emailCount($"text").as("e"),
+      Pii.ipv4Count($"text").as("i"),
+      Pii.phoneCount($"text").as("p"),
+      Pii.redact($"text").as("red"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1L, 1L, 1L,
+      "reach <EMAIL> or <IP> call <PHONE> end")))
+    assert(got(1) === ((2L, 0L, 0L, 0L,
+      "no pii here just words and 3.14 and 1.2")))
+    assert(got(2) === ((3L, 2L, 2L, 2L,
+      "multi <EMAIL> <EMAIL> <IP> <IP> <PHONE> <PHONE>")))
+  }
+
+  test("Pii.redact is idempotent and ignores 4000-octet near-IPs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u1@ex.com 10.0.0.1 555-0000"),
+      (2L, "ver 10.20.30.4000 is not an address, 12-3456 not a phone")
+    ).toDF("doc_id", "text")
+    val once = df.select($"doc_id", Pii.redact($"text").as("red"))
+    val twice = once.select($"doc_id", Pii.redact($"red").as("red"))
+    assert(once.collect().toSet === twice.collect().toSet)
+    val r2 = once.filter($"doc_id" === 2).select($"red").as[String].head()
+    assert(r2 === "ver 10.20.30.4000 is not an address, 12-3456 not a phone")
+  }
+
+  test("q78 snapshot diff emits exactly the simulated delta") {
+    import spark.implicits._
+    val got = graft.queries.LlmQueries.queries("q78_snapshot_diff")(spark, sf)
+      .as[(Long, String)].collect().toSet
+    val ids = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val want =
+      ids.filter(_ % 17 == 0).map(i => (i, "removed")) ++
+        ids.filter(i => i % 10 == 0 && i % 17 != 0).map(i => (i, "changed")) ++
+        ids.filter(_ % 23 == 0).map(i => (i + 1000000L, "added"))
+    assert(got === want)
+  }
+
+  test("q79 bounded posting sample == collect-sort-slice reference") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val bg = Dedup.bigramCodes(TextStats.tokenCodesOf($"text"))
+    val posting = docs.select($"doc_id", explode_outer(bg).as("code"))
+      .filter($"code".isNotNull)
+    val ref = posting.groupBy($"code")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          slice(sort_array(collect_set($"doc_id")), 1, 10),
+          x => x.cast("string")), ",").as("post_sample"))
+      .orderBy($"df".desc, $"code").limit(20)
+      .as[(Long, Long, String)].collect().toSet
+    val got = graft.queries.LlmQueries.queries("q79_inverted_index")(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === ref)
+    assert(got.size === 20)
+  }
+
+  test("q80 keeper is each cluster's longest doc (doc_id tiebreak)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.7)
+      .select($"doc1".as("src"), $"doc2".as("dst"))
+    val members = graft.operators.Graph.connectedComponents(spark, pairs)
+      .join(docs.select($"doc_id".as("node"), $"n_chars"), Seq("node"))
+    val w = Window.partitionBy($"component")
+      .orderBy($"n_chars".desc, $"node")
+    val keepers = members.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"component", $"node".as("keep_doc_id"))
+    val ref = members.join(keepers, Seq("component"))
+      .filter($"node" =!= $"keep_doc_id")
+      .select($"node", $"keep_doc_id")
+      .as[(Long, Long)].collect().toSet
+    val got = graft.queries.LlmQueries
+      .queries("q80_dedup_keep_longest")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.nonEmpty)
+    // tiebreak sanity: a keeper is never itself in the drop list
+    assert(got.map(_._1).intersect(got.map(_._2)).isEmpty)
+  }
+
+  test("contaminationBloom == contamination (prune never changes output)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .withColumn("b", pmod($"doc_id" * 48271L, lit(10L)))
+    val train = docs.filter($"b" < 7).drop("b")
+    val test_ = docs.filter($"b" >= 7).drop("b")
+    val exact = Dedup.contamination(train, test_)
+      .as[(Long, Long)].collect().toSet
+    for (fpp <- Seq(0.5, 0.03, 0.001)) {
+      val bloomed = Dedup.contaminationBloom(train, test_, fpp)
+        .as[(Long, Long)].collect().toSet
+      assert(bloomed === exact, s"fpp=$fpp")
+    }
+    assert(exact.nonEmpty)
+    Dedup.clearSignatureCaches()
+  }
+
+  test("contaminationBloom on disjoint corpora is empty") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationBloom(a, b).count() === 0L)
+    Dedup.clearSignatureCaches()
+  }
+}
