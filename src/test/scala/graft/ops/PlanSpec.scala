@@ -31,6 +31,19 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Physical plan with the AQE wrapper peeled: AdaptiveSparkPlanExec
+    * exposes no children, so a structural `collect` over the wrapped
+    * plan silently matches nothing (and a "no X below Y" assertion
+    * passes vacuously).
+    */
+  private def physical(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("dimension join broadcasts the small side") {
     val p = plan(graft.SparkEntry.queries("q3_broadcast_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -133,7 +146,8 @@ class PlanSpec extends AnyFunSuite {
     // scaling; lock it
     for (q <- Seq("q21_minhash_pairs", "q22_bigram_jaccard", "q25_embedding_near_dup",
         "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match",
-        "q75_span_dedup")) {
+        "q75_span_dedup", "q78_snapshot_diff", "q80_dedup_keep_longest",
+        "q81_bloom_decontaminate")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
@@ -178,6 +192,49 @@ class PlanSpec extends AnyFunSuite {
     // native bucket kernel in the scan stage, not the interpreted HOFs
     assert(p.contains("rp_bucket"), p.take(1200))
     assert(!p.contains("aggregate(zip_with"), p.take(1200))
+  }
+
+  test("q81's Bloom probe filters map-side, below every shuffle") {
+    // the whole point of the Bloom prefilter is pruning the train-side
+    // explode BEFORE the join shuffle — if the filter drifts above an
+    // exchange, the shuffle carries the unpruned corpus and the op
+    // stops paying for itself at scale; assert the position
+    // structurally (not via string offsets)
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.SparkEntry.queries("q81_bloom_decontaminate")(spark, sf)
+    val bloomFilters = physical(df).collect {
+      case f: FilterExec
+          if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, "plan lost the Bloom probe entirely")
+    bloomFilters.foreach { f =>
+      val shufflesBelow = f.child.collect { case e: ShuffleExchangeLike => e }
+      assert(shufflesBelow.isEmpty,
+        s"Bloom probe must run before the first shuffle:\n${f.toString.take(800)}")
+    }
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
+  test("q79's top-20 is a bounded TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val df = graft.SparkEntry.queries("q79_inverted_index")(spark, sf)
+    val takeOrdered = physical(df).collect {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("q77 PII scrub is a pure narrow map — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.SparkEntry.queries("q77_pii_redact")(spark, sf)
+    val shuffles = physical(df).collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      df.queryExecution.executedPlan.toString.take(800))
   }
 
   test("AQE splits a skewed join partition at runtime") {
