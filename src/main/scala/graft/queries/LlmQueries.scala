@@ -451,6 +451,38 @@ object LlmQueries {
             .as("post_sample"))
     }),
 
+    // Tokenizer-vocabulary coverage: vocab = top-20 token codes by
+    // corpus frequency (count desc, code tiebreak — the boundary must
+    // be deterministic); every doc reports its token count, OOV count,
+    // and OOV ratio. Shape: one explode (ids + codes), a map-side-
+    // combined frequency agg, a bounded TakeOrdered for the vocab, and
+    // a broadcast left join back — the corpus-side rows never shuffle.
+    // Zero-token docs drop out of the explode (the oracle's UNNEST
+    // drops them identically).
+    "q82_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
+        .filter($"code".isNotNull)
+      val vocab = toks.groupBy($"code").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"code").limit(20)
+        .select($"code", lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("code"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          rnd($"n_oov".cast("double") / $"n_tokens".cast("double"), 4)
+            .as("oov_ratio"))
+    }),
+
+    // Perplexity-proxy quality scoring: average negative log-prob of
+    // each doc's bigrams under an add-one-smoothed bigram model trained
+    // on the corpus itself — the KenLM-style fluency filter. See
+    // graft.ext.LangModel for the integer-summation determinism story.
+    "q83_bigram_lm_score" -> ((s, d) =>
+      graft.ext.LangModel.bigramNll(Tables.documents(s, d))),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -960,6 +992,37 @@ object LlmQueries {
           SELECT code, count(*) AS df,
             array_to_string(list_sort(list(doc_id))[1:10], ',') AS post_sample
           FROM p GROUP BY code ORDER BY df DESC, code LIMIT 20""",
+    "q82_vocab_coverage" ->
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          e AS (SELECT doc_id, unnest(codes) AS code FROM c),
+          v AS (SELECT code, 1 AS in_vocab FROM (
+              SELECT code, count(*) AS cnt FROM e GROUP BY code
+              ORDER BY cnt DESC, code LIMIT 20)),
+          s AS (SELECT e.doc_id, count(*) AS n_tokens,
+              sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM e LEFT JOIN v ON e.code = v.code GROUP BY e.doc_id)
+          SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+            ${Num.rSql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)}
+              AS oov_ratio
+          FROM s""",
+    "q83_bigram_lm_score" ->
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          pr AS (SELECT doc_id, codes[i] AS a,
+              (codes[i] * 131 + codes[i + 1]) % $P AS ab
+            FROM c, UNNEST(generate_series(1, len(codes) - 1)) AS u(i)),
+          ca AS (SELECT a, count(*) AS c_a FROM pr GROUP BY a),
+          cab AS (SELECT ab, count(*) AS c_ab FROM pr GROUP BY ab),
+          v AS (SELECT count(DISTINCT code) AS vs
+                FROM (SELECT unnest(codes) AS code FROM c)),
+          sc AS (SELECT pr.doc_id,
+              CAST(floor(ln((c_ab + 1.0) / (c_a + vs)) * 10000 + 0.5) AS BIGINT) AS lp4
+            FROM pr JOIN cab ON pr.ab = cab.ab
+                    JOIN ca ON pr.a = ca.a CROSS JOIN v),
+          s AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp4) AS s4 FROM sc
+                GROUP BY doc_id)
+          SELECT doc_id, n_bigrams,
+            ${Num.rSql("CAST(-s4 AS DOUBLE) / (n_bigrams * 10000.0)", 4)} AS avg_nll
+          FROM s""",
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -132,6 +132,68 @@ class CorpusOpsSpec extends AnyFunSuite {
     Dedup.clearSignatureCaches()
   }
 
+  test("q82 vocab is exactly the global top-20; OOV counts tie out") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
+      .filter($"code".isNotNull)
+    val freq = toks.groupBy($"code").count()
+      .as[(Long, Long)].collect()
+      .sortBy { case (code, cnt) => (-cnt, code) }
+    val vocab = freq.take(20).map(_._1).toSet
+    val ref = toks.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (doc, rows) =>
+        val n = rows.length.toLong
+        val oov = rows.count(r => !vocab.contains(r._2)).toLong
+        (doc, n, oov,
+          math.floor(oov.toDouble / n * 10000 + 0.5) / 10000)
+      }.toSet
+    val got = graft.queries.LlmQueries.queries("q82_vocab_coverage")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === ref)
+  }
+
+  test("q83 bigram NLL matches a local model on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a b c"),
+      (3L, "c c c c"),
+      (4L, "z")  // no bigrams -> must drop out
+    ).toDF("doc_id", "text")
+    val P = TextStats.P
+    def tcode(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+    def bcode(a: Long, b: Long): Long = (a * 131 + b) % P
+    val corpus = Seq("a b a b a", "a b c", "c c c c", "z")
+      .map(_.split(" ").toSeq.map(tcode))
+    val pairs = corpus.flatMap(cs => cs.zip(cs.drop(1)))
+    val cA = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+    val cAB = pairs.map { case (a, b) => (a, bcode(a, b)) }
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val vs = corpus.flatten.distinct.size
+    def lp4(a: Long, b: Long): Long = {
+      val p = (cAB(bcode(a, b)) + 1.0) / (cA(a) + vs)
+      math.floor(math.log(p) * 10000 + 0.5).toLong
+    }
+    val ref = corpus.zipWithIndex.flatMap { case (cs, i) =>
+      val bs = cs.zip(cs.drop(1))
+      if (bs.isEmpty) None
+      else {
+        val s4 = bs.map { case (a, b) => lp4(a, b) }.sum
+        Some((i + 1L, bs.size.toLong,
+          math.floor(-s4.toDouble / (bs.size * 10000.0) * 10000 + 0.5) / 10000))
+      }
+    }.toSet
+    val got = graft.ext.LangModel.bigramNll(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === ref)
+    assert(!got.exists(_._1 == 4L), "a bigram-less doc must drop out")
+    // the repetitive doc is the most predictable: lowest avg_nll
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(3L) < byDoc(1L) && byDoc(1L) < byDoc(2L))
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))

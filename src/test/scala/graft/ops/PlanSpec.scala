@@ -147,7 +147,8 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q21_minhash_pairs", "q22_bigram_jaccard", "q25_embedding_near_dup",
         "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match",
         "q75_span_dedup", "q78_snapshot_diff", "q80_dedup_keep_longest",
-        "q81_bloom_decontaminate")) {
+        "q81_bloom_decontaminate", "q82_vocab_coverage",
+        "q83_bigram_lm_score")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
