@@ -535,6 +535,32 @@ object LlmQueries {
     "q72_rp_lsh_topk" -> ((s, d) =>
       Similarity.rpTopK(Tables.embeddings(s, d), queryMaxId = 3L, k = 5)),
 
+    // Cluster profile: every embedding assigned to its nearest of 8
+    // FIXED centroids (vec_id < 8 — deterministic, unlike replaying
+    // iterative float k-means cross-engine), then per-cell population
+    // stats. Shape: centroids broadcast onto the corpus (map-side
+    // argmax via max_by, no shuffle of the corpus for assignment), one
+    // count-sized shuffle for the profile. Mean cosine avoids float
+    // summation-order drift the q83 way: rounded cosines scaled to
+    // integer longs, summed exactly, one final division.
+    "q84_cluster_profile" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cell"), $"embedding".as("cvec"))
+      val cos6 = rnd(Similarity.cosine($"embedding", $"cvec"), 6)
+      emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cell", cos6.as("cos"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cell", struct($"cos", -$"cell")).as("cell"),
+          max(struct($"cos", -$"cell")).getField("cos").as("cos"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"),
+          sum(floor($"cos" * 1000000 + 0.5).cast("long")).as("s6"))
+        .select($"cell", $"n_vecs", $"min_vec",
+          rnd($"s6".cast("double") / ($"n_vecs" * 1000000.0), 6).as("avg_cos"))
+    }),
+
     // Embedding near-duplicate pairs within sign buckets.
     "q25_embedding_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.3)),
@@ -1023,6 +1049,20 @@ object LlmQueries {
           SELECT doc_id, n_bigrams,
             ${Num.rSql("CAST(-s4 AS DOUBLE) / (n_bigrams * 10000.0)", 4)} AS avg_nll
           FROM s""",
+    "q84_cluster_profile" ->
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec
+            FROM embeddings WHERE vec_id < 8),
+          s AS (SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.cvec")} AS cos
+                FROM embeddings e CROSS JOIN cents c),
+          a AS (SELECT vec_id, cell, cos FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn FROM s)
+            WHERE rn = 1)
+          SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec,
+            ${Num.rSql(
+              "CAST(sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)" +
+                " / (count(*) * 1000000.0)", 6)} AS avg_cos
+          FROM a GROUP BY cell""",
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

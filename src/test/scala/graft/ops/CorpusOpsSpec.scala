@@ -194,6 +194,62 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byDoc(3L) < byDoc(1L) && byDoc(1L) < byDoc(2L))
   }
 
+  test("q84 max_by assignment == window-argmax reference; cells partition corpus") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    import graft.queries.Num.{r => rnd}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"embedding".as("cvec"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id",
+        $"cell", rnd(Similarity.cosine($"embedding", $"cvec"), 6).as("cos"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cell")
+    val refAssign = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    val gotProfile = graft.queries.LlmQueries
+      .queries("q84_cluster_profile")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    // cells partition the corpus
+    assert(gotProfile.map(_._2).sum === emb.count())
+    // per-cell counts match the window-argmax assignment
+    val refCounts = refAssign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(gotProfile.map(t => t._1 -> t._2).toMap === refCounts)
+    // a centroid is its own nearest centroid (cos 1.0 beats everything)
+    (0L until 8L).foreach(c => assert(refAssign(c) === c))
+  }
+
+  test("Pii scrub runs unchanged on a stream (stateless narrow map)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a@b.co and 10.1.2.3"),
+      (2L, "call 555-6789 now"),
+      (3L, "clean text only"))
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .select($"doc_id", Pii.redact($"text").as("red"),
+        (Pii.emailCount($"text") + Pii.ipv4Count($"text") +
+          Pii.phoneCount($"text")).as("n_pii"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_stream")
+        .as[(Long, String, Long)].collect().toSet
+      val want = rows.toDF("doc_id", "text")
+        .select($"doc_id", Pii.redact($"text").as("red"),
+          (Pii.emailCount($"text") + Pii.ipv4Count($"text") +
+            Pii.phoneCount($"text")).as("n_pii"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want)
+      assert(got.exists(_._2 == "mail <EMAIL> and <IP>"))
+    } finally q.stop()
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))

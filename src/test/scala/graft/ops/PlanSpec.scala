@@ -238,6 +238,24 @@ class PlanSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("q84 broadcasts the centroid table; assignment never shuffles the corpus") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = graft.SparkEntry.queries("q84_cluster_profile")(spark, sf)
+    val p = physical(df)
+    // the 8-row centroid cross join is a BROADCAST nested loop (bounded
+    // build side) — a plain CartesianProduct would mean the broadcast
+    // hint was lost and the corpus shuffles for assignment
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, p.toString.take(800))
+    assert(!p.toString.contains("CartesianProduct"), p.toString.take(800))
+    // no shuffle below the join: assignment is map-side
+    bnl.foreach { j =>
+      val shuffles = j.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, j.toString.take(800))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import org.apache.spark.sql.functions._
     val keys = Seq(
