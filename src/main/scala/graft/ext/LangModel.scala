@@ -42,13 +42,17 @@ object LangModel {
     val codes = TextStats.tokenCodesOf(col(textCol))
     // (doc, a = history code, ab = hashed bigram code) per position;
     // zip_with pads the shifted side with null, so the tail position
-    // yields ab = null and is filtered on the generated column
-    val pairs = docs
+    // yields ab = null and is filtered on the generated column.
+    // Cached (signature-cache lifecycle): three consumers shuffle this
+    // table on DIFFERENT keys (a, ab, then ab again for scoring), so
+    // exchange reuse can't deduplicate the tokenize+zip kernel —
+    // uncached it would run over the corpus once per consumer.
+    val pairs = Dedup.cached(docs
       .select(col("doc_id"),
         explode_outer(zip_with(codes, slice(codes, 2, MaxLen),
           (a, b) => struct(a.as("a"), ((a * 131 + b) % P).as("ab")))).as("pr"))
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.ab").as("ab"))
-      .filter(col("ab").isNotNull)
+      .filter(col("ab").isNotNull))
     val cA = pairs.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
     val cAB = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c_ab"))
     // vocabulary size for add-one smoothing: distinct token codes,
