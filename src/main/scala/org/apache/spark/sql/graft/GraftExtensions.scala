@@ -166,7 +166,21 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RpBucket].getName, "rp_bucket"),
       (es: Seq[Expression]) => RpBucket(es(0),
         if (es.size > 1) intArg(es(1)) else 8,
-        if (es.size > 2) intArg(es(2)) else 64)))
+        if (es.size > 2) intArg(es(2)) else 64)),
+    // PII scrub as a SQL function: the same ordered email -> IPv4 ->
+    // phone masking graft.ext.Pii.redact builds with Column functions,
+    // composed here from the built-in (codegen'd) RegExpReplace so SQL
+    // users get the identical semantics
+    (FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(classOf[RegExpReplace].getName, "pii_redact"),
+      (es: Seq[Expression]) => {
+        def rep(child: Expression, pat: String, to: String) =
+          RegExpReplace(child, Literal(pat), Literal(to))
+        rep(rep(rep(es(0),
+          graft.ext.Pii.EmailPat, "<EMAIL>"),
+          graft.ext.Pii.Ipv4Pat, "<IP>"),
+          graft.ext.Pii.PhonePat, "<PHONE>")
+      }))
 
   /** Register the rules + SQL functions on a live session. */
   def install(spark: SparkSession): Unit = {

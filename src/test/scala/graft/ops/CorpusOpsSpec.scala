@@ -113,6 +113,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     // tiebreak sanity: a keeper is never itself in the drop list
     assert(got.map(_._1).intersect(got.map(_._2)).isEmpty)
+    Dedup.clearSignatureCaches()
   }
 
   test("contaminationBloom == contamination (prune never changes output)") {
@@ -192,6 +193,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the repetitive doc is the most predictable: lowest avg_nll
     val byDoc = got.map(t => t._1 -> t._3).toMap
     assert(byDoc(3L) < byDoc(1L) && byDoc(1L) < byDoc(2L))
+    Dedup.clearSignatureCaches()
   }
 
   test("q84 max_by assignment == window-argmax reference; cells partition corpus") {

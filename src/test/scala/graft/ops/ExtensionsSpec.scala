@@ -127,4 +127,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(tc.getSeq[Long](0).length === 3)
   }
+
+  test("pii_redact SQL function matches the Column-function scrub") {
+    import spark.implicits._
+    val texts = Seq(
+      "mail a@b.co from 10.1.2.3 call 555-1234",
+      "no pii, just 1.2 and 12-345")
+    val viaSql = texts.map(t =>
+      spark.sql(s"SELECT pii_redact('$t')").collect().head.getString(0))
+    val viaCol = texts.toDF("t")
+      .select(graft.ext.Pii.redact($"t")).as[String].collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head === "mail <EMAIL> from <IP> call <PHONE>")
+  }
 }
