@@ -483,6 +483,47 @@ object LlmQueries {
     "q83_bigram_lm_score" -> ((s, d) =>
       graft.ext.LangModel.bigramNll(Tables.documents(s, d))),
 
+    // Corpus data card: one row of corpus-health metrics — doc/token
+    // totals, exact-dup rate, mean doc length, language entropy, and
+    // the q67 quality-keep rate. The corpus analog of q45's warehouse
+    // audit: three independent aggregates (each map-side combined, each
+    // one pass) cross-joined as single rows. Entropy uses the q83
+    // discipline: per-language ln(p) rounded to 4 and weighted by the
+    // INTEGER language count, so the sum is exact long arithmetic and
+    // addition order cannot matter.
+    "q85_corpus_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"text").as("n_distinct_texts"),
+        sum(size(TextStats.tokens($"text")).cast("long")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val ent = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
+        .withColumn("total", sum($"nl").over(w))
+        .agg(sum($"nl" *
+          floor(log($"nl".cast("double") / $"total".cast("double"))
+            * 10000 + 0.5).cast("long")).as("s4"))
+      val keepCond =
+        rnd($"tf".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) <= 0.2 &&
+          rnd($"nd".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) >= 0.3
+      val k = docs.select(TextStats.repetitionStats($"text").as("r"))
+        .select($"r._1".as("nt"), $"r._2".as("nd"), $"r._3".as("tf"))
+        .agg(sum(when(keepCond, 1L).otherwise(0L)).as("n_keep"))
+      base.crossJoin(ent).crossJoin(k).select(
+        $"n_docs", $"n_tokens",
+        ($"n_docs" - $"n_distinct_texts").as("n_exact_dup_docs"),
+        rnd(($"n_docs" - $"n_distinct_texts").cast("double") /
+          $"n_docs".cast("double"), 4).as("dup_rate"),
+        rnd($"n_tokens".cast("double") / $"n_docs".cast("double"), 4)
+          .as("mean_doc_tokens"),
+        rnd(-$"s4".cast("double") / ($"n_docs" * 10000.0), 4)
+          .as("lang_entropy"),
+        rnd($"n_keep".cast("double") / $"n_docs".cast("double"), 4)
+          .as("quality_keep_rate"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -1063,6 +1104,39 @@ object LlmQueries {
               "CAST(sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)" +
                 " / (count(*) * 1000000.0)", 6)} AS avg_cos
           FROM a GROUP BY cell""",
+    "q85_corpus_report" -> {
+      val ttr = Num.rSql(
+        "CAST(top_tok_freq AS DOUBLE) / CAST(nullif(nt, 0) AS DOUBLE)", 4)
+      val dr = Num.rSql(
+        "CAST(nd AS DOUBLE) / CAST(nullif(nt, 0) AS DOUBLE)", 4)
+      s"""WITH t AS (SELECT doc_id, text, lang, $toksExpr AS toks FROM documents),
+          base AS (SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+            CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t),
+          lc AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+          ent AS (SELECT sum(nl * CAST(floor(ln(CAST(nl AS DOUBLE) / b.n_docs)
+            * 10000 + 0.5) AS BIGINT)) AS s4 FROM lc, base b),
+          m AS (SELECT CAST(len(toks) AS BIGINT) AS nt,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+              CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+                list_max(list_transform(list_distinct(toks),
+                  u -> len(list_filter(toks, x -> x = u)))) END AS BIGINT)
+                AS top_tok_freq
+            FROM t),
+          k AS (SELECT count(*) AS n_keep FROM (
+              SELECT $ttr AS ttr, $dr AS dr FROM m)
+            WHERE ttr <= 0.2 AND dr >= 0.3)
+          SELECT b.n_docs, b.n_tokens,
+            b.n_docs - b.n_distinct AS n_exact_dup_docs,
+            ${Num.rSql("CAST(b.n_docs - b.n_distinct AS DOUBLE) / b.n_docs", 4)}
+              AS dup_rate,
+            ${Num.rSql("CAST(b.n_tokens AS DOUBLE) / b.n_docs", 4)}
+              AS mean_doc_tokens,
+            ${Num.rSql("CAST(-e.s4 AS DOUBLE) / (b.n_docs * 10000.0)", 4)}
+              AS lang_entropy,
+            ${Num.rSql("CAST(k.n_keep AS DOUBLE) / b.n_docs", 4)}
+              AS quality_keep_rate
+          FROM base b CROSS JOIN ent e CROSS JOIN k"""
+    },
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

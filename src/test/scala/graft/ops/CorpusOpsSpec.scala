@@ -252,6 +252,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q85 corpus report ties out against its constituent queries") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val r = graft.queries.LlmQueries.queries("q85_corpus_report")(spark, sf)
+      .collect().head
+    val nDocs = docs.count()
+    assert(r.getAs[Long]("n_docs") === nDocs)
+    assert(r.getAs[Long]("n_exact_dup_docs") ===
+      nDocs - docs.select($"text").distinct().count())
+    val nKeep = graft.queries.LlmQueries
+      .queries("q67_repetition_filter")(spark, sf)
+      .filter($"keep").count()
+    assert(r.getAs[Double]("quality_keep_rate") ===
+      math.floor(nKeep.toDouble / nDocs * 10000 + 0.5) / 10000)
+    val ent = r.getAs[Double]("lang_entropy")
+    val nLangs = docs.select($"lang").distinct().count()
+    assert(ent >= 0.0 && ent <= math.log(nLangs.toDouble) + 1e-4)
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
