@@ -37,6 +37,8 @@ object ScaleProbe {
         array_join(transform(split(col("text"), " "),
           t => concat(lit(s"r${rep}_"), t)), " ").as("text"))
     }.reduce(_ unionAll _)
+      // recomputed from the prefixed text (keeper-policy queries read it)
+      .withColumn("n_chars", length(col("text")))
   }
 
   def main(args: Array[String]): Unit = {
