@@ -524,6 +524,52 @@ object LlmQueries {
           .as("quality_keep_rate"))
     }),
 
+    // Epoch-style rebalancing: each language is UPSAMPLED toward the
+    // largest one (integer repeat factor = max_count DIV count, min 1 —
+    // the "repeat the small high-quality source k times" mixing move).
+    // Shape: the factor table is a tiny broadcast; replication is
+    // explode(sequence(1, factor)) — pure map-side fan-out, no shuffle
+    // of the corpus; the verification aggregate groups by (lang, rep)
+    // with an id-sum checksum proving every replica covers every doc.
+    "q86_rebalance_upsample" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val docs = Tables.documents(s, d)
+      val fac = docs.groupBy($"lang").agg(count(lit(1)).as("n_before"))
+        .withColumn("maxn", max($"n_before").over(w))
+        .withColumn("factor", greatest(lit(1L), expr("maxn DIV n_before")))
+        .select($"lang", $"n_before", $"factor")
+      docs.join(broadcast(fac), Seq("lang"))
+        .select($"lang", $"n_before", $"factor", $"doc_id",
+          explode(sequence(lit(1L), $"factor")).as("rep"))
+        .groupBy($"lang", $"n_before", $"factor", $"rep")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+    }),
+
+    // Token-budget subsampling: per language, keep docs in deterministic
+    // hash order until the cumulative token count reaches the budget.
+    // The cumulative sum uses the two-phase distributed prefix scan
+    // (operators.PrefixSum) — NOT a window PARTITION BY lang, whose one-
+    // task-per-language execution is the q63-style serial bottleneck a
+    // handful-of-languages corpus hits at scale. The hash order key is
+    // injective (odd multiplier mod prime), so the order is total and
+    // the cutoff deterministic.
+    "q87_token_budget_sample" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(
+        $"lang",
+        pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"),
+        $"doc_id",
+        size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+      graft.operators.PrefixSum
+        .cumSumByKey(base, "lang", Seq("h"), "n_tok")
+        .filter($"cum" <= 2000)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), max($"cum").as("tok_sum"),
+          min($"doc_id").as("min_doc"))
+    }),
+
     // Brute-force cosine top-10 around vec_id 0.
     "q23_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
@@ -1137,6 +1183,27 @@ object LlmQueries {
               AS quality_keep_rate
           FROM base b CROSS JOIN ent e CROSS JOIN k"""
     },
+    "q86_rebalance_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+         f AS (SELECT lang, n_before,
+             greatest(1, (SELECT max(n_before) FROM c) // n_before) AS factor
+           FROM c),
+         e AS (SELECT d.lang, f.n_before, f.factor, d.doc_id, u.rep
+               FROM documents d JOIN f USING (lang),
+                    UNNEST(generate_series(1, f.factor)) AS u(rep))
+         SELECT lang, CAST(n_before AS BIGINT) AS n_before,
+           CAST(factor AS BIGINT) AS factor, CAST(rep AS BIGINT) AS rep,
+           count(*) AS n_docs, sum(doc_id) AS id_sum
+         FROM e GROUP BY lang, n_before, factor, rep""",
+    "q87_token_budget_sample" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+            (doc_id * 2654435761 + 17) % 1000000007 AS h,
+            CAST(len($toksExpr) AS BIGINT) AS n_tok FROM documents),
+          c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h) AS cum
+                FROM t)
+          SELECT lang, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS tok_sum,
+            min(doc_id) AS min_doc
+          FROM c WHERE cum <= 2000 GROUP BY lang""",
     "q26_multimodal_features" ->
       """SELECT doc_id AS media_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -271,6 +271,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ent >= 0.0 && ent <= math.log(nLangs.toDouble) + 1e-4)
   }
 
+  test("PrefixSum two-phase scan == window cumsum (randomized, skewed)") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    for (seed <- Seq(7, 21)) {
+      val rnd = new scala.util.Random(seed)
+      // 90% of rows in one key -> the giant group a window would put
+      // through a single task; several small keys; values 0..99
+      val rows = (0 until 3000).map { i =>
+        val k = if (rnd.nextInt(10) > 0) "big" else s"k${rnd.nextInt(5)}"
+        (k, i.toLong, rnd.nextInt(100).toLong)
+      }
+      val df = rows.toDF("key", "ord", "v")
+      val got = PrefixSum.cumSumByKey(df, "key", Seq("ord"), "v")
+        .select($"key", $"ord", $"cum")
+        .as[(String, Long, Long)].collect().toSet
+      val w = Window.partitionBy($"key").orderBy($"ord")
+      val want = df.withColumn("cum", sum($"v").over(w))
+        .select($"key", $"ord", $"cum")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === want, s"seed=$seed")
+      Dedup.clearSignatureCaches()
+    }
+  }
+
+  test("q86 factors upsample every language to ~the largest one") {
+    import spark.implicits._
+    val got = graft.queries.LlmQueries
+      .queries("q86_rebalance_upsample")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val counts = Tables.documents(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val maxN = counts.values.max
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val factor = rows.head._3
+      assert(factor === math.max(1L, maxN / counts(lang)))
+      // one aggregate row per replica, each covering every doc once
+      assert(rows.map(_._4).sorted.toSeq === (1L to factor))
+      assert(rows.forall(_._5 === counts(lang)))
+      assert(rows.map(_._6).distinct.length === 1, "replica id_sum equal")
+    }
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
