@@ -44,19 +44,27 @@ object Dedup {
 
   private val MaxLen = 1 << 20
 
-  /** Rolling word n-gram shingle codes (distinct), via SHIFTED zip_with
-    * chains: each zip_with evaluates its argument arrays once per row and
-    * hands the lambda element variables only. The indexed-transform
-    * alternative (element_at(codes, i) inside the lambda) re-evaluates the
-    * whole `codes` expression per element — quadratic per row, observed
-    * 50x slower at sf0.1. Tail positions short of a full n-gram become
-    * null through the padded zip arithmetic and are filtered out.
+  /** Rolling word n-gram shingle codes (distinct), via the native
+    * codegen'd gram kernel (one generated loop per row). The previous
+    * SHIFTED zip_with chain was already the fast declarative form (the
+    * indexed-transform alternative re-evaluates `codes` per element —
+    * quadratic, observed 50x slower), but its n-1 CodegenFallback HOFs
+    * still re-evaluated per consuming expression; the kernel removes
+    * the interpreted island entirely. Tail positions short of a full
+    * n-gram are null (VecMathSpec pins kernel == chain bit-parity) and
+    * filtered out here.
     */
-  def chainCodes(codes: Column, n: Int): Column = {
+  def chainCodes(codes: Column, n: Int): Column =
+    array_distinct(filter(
+      org.apache.spark.sql.graft.GraftColumns.gramCodes(codes, n),
+      x => x.isNotNull))
+
+  /** Declarative zip_with reference of the gram chain (parity spec). */
+  private[graft] def chainCodesHof(codes: Column, n: Int): Column = {
     var acc = codes
     for (k <- 2 to n)
       acc = zip_with(acc, slice(codes, k, MaxLen), (a, b) => (a * 131 + b) % P)
-    array_distinct(filter(acc, x => x.isNotNull))
+    acc
   }
 
   /** Word 5-gram shingle set — the dedup shingle. Unigram sets are useless

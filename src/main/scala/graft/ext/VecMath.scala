@@ -107,6 +107,36 @@ object VecMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Rolling word n-gram codes, position-preserving: out(i) =
+    * fold over k < n of ((acc * 131 + codes(i+k)) % P) when a full
+    * n-gram fits, else null — the exact shape of the shifted zip_with
+    * chain (Dedup.chainCodes pre-distinct), whose n-1 CodegenFallback
+    * HOFs re-evaluate their argument trees per consumer. One generated
+    * call, one tight loop; a null input element nulls its positions the
+    * way null propagation through the chain arithmetic did.
+    */
+  def gramCodes(codes: ArrayData, n: Int): ArrayData = {
+    val len = codes.numElements()
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      if (i + n <= len) {
+        var h = 0L
+        var k = 0
+        var isNull = false
+        while (k < n && !isNull) {
+          if (codes.isNullAt(i + k)) isNull = true
+          else h = (if (k == 0) codes.getLong(i)
+                    else (h * 131 + codes.getLong(i + k)) % P)
+          k += 1
+        }
+        if (!isNull) out(i) = h
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** ±1 RP-LSH plane weights, cached per (nPlanes, dim): sign of a Knuth
     * multiplicative hash of (plane, dim). MUST stay identical to
     * Similarity.rpPlanes, which injects the same constants verbatim into

@@ -204,12 +204,9 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val codes = TextStats.tokenCodesOf($"text")
-      val grams = {
-        var acc = codes
-        for (k <- 2 to 5)
-          acc = zip_with(acc, slice(codes, k, 1 << 20), (a, b) => (a * 131 + b) % P)
-        acc
-      }
+      // native gram kernel: position-preserving 5-gram codes with null
+      // tails, one codegen'd loop (was a 4-deep zip_with chain)
+      val grams = org.apache.spark.sql.graft.GraftColumns.gramCodes(codes, 5)
       // cached: hot-gram aggregation and the position join shuffle this
       // table on DIFFERENT keys (g vs g-then-doc), so exchange reuse
       // can't deduplicate the gram kernel — uncached it would run the

@@ -167,6 +167,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => RpBucket(es(0),
         if (es.size > 1) intArg(es(1)) else 8,
         if (es.size > 2) intArg(es(2)) else 64)),
+    (FunctionIdentifier("gram_codes"),
+      new ExpressionInfo(classOf[GramCodes].getName, "gram_codes"),
+      (es: Seq[Expression]) => GramCodes(es(0),
+        if (es.size > 1) intArg(es(1)) else 5)),
     // PII scrub as a SQL function: the same ordered email -> IPv4 ->
     // phone masking graft.ext.Pii.redact builds with Column functions,
     // composed here from the built-in (codegen'd) RegExpReplace so SQL

@@ -200,6 +200,28 @@ case class RpBucket(child: Expression, nPlanes: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Rolling word n-gram codes over an array<long> of token codes,
+  * position-preserving with null tails — the codegen'd form of the
+  * shifted zip_with chain (see graft.ext.VecMath.gramCodes for the
+  * exact semantics contract).
+  */
+case class GramCodes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "gram_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.gramCodes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.gramCodes($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -242,6 +264,9 @@ object GraftColumns {
 
   def simhash16(codes: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(codes)))
+
+  def gramCodes(codes: Column, n: Int): Column =
+    ExpressionUtils.column(GramCodes(ExpressionUtils.expression(codes), n))
 
   def rollingHash(codes: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(codes)))

@@ -195,6 +195,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p.take(1200))
   }
 
+  test("q75's gram table uses the native kernel, not the zip_with chain") {
+    val p = plan(graft.SparkEntry.queries("q75_span_dedup")(spark, sf))
+    assert(p.contains("gram_codes"), p.take(800))
+    assert(!p.contains("zip_with"), p.take(800))
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("q81's Bloom probe filters map-side, below every shuffle") {
     // the whole point of the Bloom prefilter is pruning the train-side
     // explode BEFORE the join shuffle — if the filter drifts above an

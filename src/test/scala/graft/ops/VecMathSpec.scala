@@ -102,6 +102,25 @@ class VecMathSpec extends AnyFunSuite {
     }
   }
 
+  test("native gram_codes matches the shifted zip_with chain (incl. null tails)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("", "one", "a b", "a b c d e", "x x x x x x x x") ++
+      (0 until 30).map(_ => (0 until rnd.nextInt(12))
+        .map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val codes = graft.ext.TextStats.tokenCodesOf(col("text"))
+      val got = df.select(
+        org.apache.spark.sql.graft.GraftColumns.gramCodes(codes, n).as("native"),
+        graft.ext.Dedup.chainCodesHof(codes, n).as("hof")).collect()
+      got.foreach { r =>
+        // null tails and hashed values must agree position by position
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"n=$n")
+      }
+    }
+  }
+
   test("cosine of a vector with itself is 1.0 within 1 ulp") {
     import spark.implicits._
     val df = vecs(3L, 10, 33).toDF("a").select(col("a").cast("array<float>").as("a"))
