@@ -434,9 +434,17 @@ object Dedup {
     // Spark's cache manager keys on the analyzed plan, so repeated
     // calls over the same corpus share one entry. Registered for
     // explicit release — see clearSignatureCaches.
+    // empty shingle sets (docs shorter than one full n-gram) are
+    // dropped: their MinHash degenerates to the all-MaxValue signature,
+    // so every short doc in the corpus floods ONE band bucket and the
+    // Jaccard verification divides 0/0 (an ANSI-mode crash). Jaccard is
+    // undefined on empty sets — the oracle's NULL band keys drop them
+    // identically (and its bands CTE filters len(tset) > 0 explicitly).
     val sigs = registerSigCache(docs
-      .select(col("doc_id"), signatureUdf(col("text")).as("s"))
+      .select(col("doc_id"),
+        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+      .filter(size(col("tset")) > 0)
       .cache())
     // Candidate generation carries ONLY (band, key, doc_id): the token-set
     // arrays must not ride through the pair-join/distinct shuffle — at
@@ -479,8 +487,10 @@ object Dedup {
   def minhashPairsAgainst(store: DataFrame, incoming: DataFrame,
       minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
     def sigTable(df: DataFrame) = registerSigCache(df
-      .select(col("doc_id"), signatureUdf(col("text")).as("s"))
+      .select(col("doc_id"),
+        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+      .filter(size(col("tset")) > 0) // see minhashPairs: 0/0 guard
       .cache())
     def explodeBands(sigs: DataFrame) = dropHotBuckets(sigs.select(
       col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),

@@ -719,7 +719,8 @@ object LlmQueries {
         sig AS (SELECT doc_id, tset, $minhashCols FROM t),
         bands0 AS (
           SELECT doc_id, tset, band, $bandKeyCase AS key
-          FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
+          FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)
+          WHERE len(tset) > 0),
         bands AS (
           SELECT doc_id, tset, band, key FROM (
             SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
@@ -803,7 +804,8 @@ object LlmQueries {
           sig AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
             tset, $minhashCols FROM t),
           bands AS (SELECT doc_id, bucket, tset, band, $bandKeyCase AS key
-            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)),
+            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)
+            WHERE len(tset) > 0),
           bi AS (SELECT doc_id, tset, band, key FROM (
             SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
             FROM bands WHERE bucket >= 90) WHERE bsz <= 1000),

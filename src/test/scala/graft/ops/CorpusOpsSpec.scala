@@ -313,6 +313,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels survive null, empty, and non-ASCII text") {
+    import spark.implicits._
+    // null text must not NPE any pair generator or kernel; identical
+    // unicode docs must still pair as near-dups (kernels are UTF-16
+    // self-consistent even where the frozen ASCII oracles don't reach)
+    val uni = "emoji 😀 text 中文 mixed rtl שלום " +
+      "tail one two three four five six seven"
+    val docs = Seq(
+      (1L, uni), (2L, uni),
+      (3L, null.asInstanceOf[String]), (4L, ""), (5L, "solo")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(Dedup.bigramJaccardPairs(docs, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // empty docs share the degenerate all-ones simhash in the kernel
+    // and the all-zeros one in the SQL replay — hamming 0 EITHER way,
+    // so both engines pair them; the jaccard generators drop them
+    assert(Dedup.hammingPairs(docs, maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet === Set((1L, 2L), (3L, 4L)))
+    val red = docs.select(Pii.redact($"text")).as[String].collect()
+    assert(red.count(_ == null) === 1)
+    val fps = docs.select(TextStats.fingerprint($"text")).collect()
+    assert(fps.length === 5)
+    Dedup.clearSignatureCaches()
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
