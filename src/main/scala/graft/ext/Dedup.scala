@@ -365,18 +365,23 @@ object Dedup {
       .select(explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull).distinct()
       .cache())
-    val bloom = teCodes.stat.bloomFilter("code",
-      math.max(teCodes.count(), 1L), fpp)
-    val bytes = {
-      val b = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(b)
-      b.toByteArray
-    }
-    val trCodes = shingleSets(train)
+    val n = teCodes.count()
+    val trCodesRaw = shingleSets(train)
       .select(col("doc_id"), explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull)
-      .filter(org.apache.spark.sql.graft.GraftColumns
+    // a shingle-less holdout means no contamination is possible; skip
+    // the filter build (stat.bloomFilter NPEs aggregating zero rows)
+    // and let the exact join return empty
+    val trCodes = if (n == 0) trCodesRaw else {
+      val bloom = teCodes.stat.bloomFilter("code", n, fpp)
+      val bytes = {
+        val b = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(b)
+        b.toByteArray
+      }
+      trCodesRaw.filter(org.apache.spark.sql.graft.GraftColumns
         .bloomMightContain(bytes, col("code")))
+    }
     trCodes.join(teCodes, Seq("code"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

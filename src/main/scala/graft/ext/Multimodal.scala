@@ -92,10 +92,13 @@ object Multimodal {
     * exercises the full binary-column path on driver-provided data.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
+    // null-safe at the boundary: a null document becomes an empty
+    // payload (n_bytes 0, head_byte -1), not an NPE in the decode
+    // kernel or a NOT_NULL violation on the primitive meta fields
     docs.select(
       col("doc_id").as("media_id"),
-      col("text").cast("binary").as("payload"),
+      coalesce(col("text"), lit("")).cast("binary").as("payload"),
       lit("text/plain").as("mime"),
-      (col("n_chars") % 640).cast("int").as("meta_width"),
-      (col("n_chars") % 480).cast("int").as("meta_height"))
+      (coalesce(col("n_chars"), lit(0L)) % 640).cast("int").as("meta_width"),
+      (coalesce(col("n_chars"), lit(0L)) % 480).cast("int").as("meta_height"))
 }

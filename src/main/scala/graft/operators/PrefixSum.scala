@@ -50,7 +50,9 @@ object PrefixSum {
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r =>
           val k = r.get(keyIdx)
-          acc.update(k, acc.getOrElse(k, 0L) + r.getLong(valIdx))
+          // null value contributes 0, matching SQL sum() null handling
+          val v = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
+          acc.update(k, acc.getOrElse(k, 0L) + v)
         }
         Iterator.single((pid, acc.toSeq))
       }.collect()
@@ -78,7 +80,7 @@ object PrefixSum {
           started = true
           run = bcOffsets.value.getOrElse((pid, k), 0L)
         }
-        run += r.getLong(valIdx)
+        run += (if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
         Row.fromSeq(r.toSeq :+ run)
       }
     }

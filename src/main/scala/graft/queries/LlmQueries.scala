@@ -118,7 +118,9 @@ object LlmQueries {
       val cap = 64L
       Tables.documents(s, d)
         .select($"lang", expr(s"doc_id DIV $Q63_SHARD").as("shard"),
-          $"doc_id", size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+          $"doc_id",
+          coalesce(size(TextStats.tokens($"text")), lit(0))
+            .cast("long").as("n_tok"))
         .as[(String, Long, Long, Long)]
         .groupByKey(t => (t._1, t._2))
         .flatMapGroups { (key, rows) =>
@@ -558,7 +560,8 @@ object LlmQueries {
         $"lang",
         pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"),
         $"doc_id",
-        size(TextStats.tokens($"text")).cast("long").as("n_tok"))
+        coalesce(size(TextStats.tokens($"text")), lit(0))
+          .cast("long").as("n_tok"))
       graft.operators.PrefixSum
         .cumSumByKey(base, "lang", Seq("h"), "n_tok")
         .filter($"cum" <= 2000)
@@ -894,7 +897,7 @@ object LlmQueries {
     "q63_sequence_packing" ->
       s"""WITH RECURSIVE d AS (
            SELECT lang, doc_id // $Q63_SHARD AS shard, doc_id,
-             CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
+             CAST(coalesce(len(list_filter(string_split(text, ' '), t -> t != '')), 0) AS BIGINT) AS n_tok,
              row_number() OVER (PARTITION BY lang, doc_id // $Q63_SHARD
                ORDER BY doc_id) AS rn
            FROM documents),
@@ -1197,7 +1200,7 @@ object LlmQueries {
     "q87_token_budget_sample" ->
       s"""WITH t AS (SELECT lang, doc_id,
             (doc_id * 2654435761 + 17) % 1000000007 AS h,
-            CAST(len($toksExpr) AS BIGINT) AS n_tok FROM documents),
+            CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok FROM documents),
           c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h) AS cum
                 FROM t)
           SELECT lang, count(*) AS n_kept, CAST(max(cum) AS BIGINT) AS tok_sum,

@@ -343,6 +343,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     Dedup.clearSignatureCaches()
   }
 
+  test("every corpus operator executes on a degenerate corpus (no ANSI crashes)") {
+    import spark.implicits._
+    // null, empty, whitespace, sub-n-gram, unicode, and one honest doc:
+    // the inputs a real crawl corpus contains and the driver corpus
+    // doesn't — every documents-family operator must EXECUTE (row
+    // counts are free to differ; crashing on a short doc is the bug)
+    val dir = java.nio.file.Files.createTempDirectory("nasty").toString
+    Seq(
+      (0L, null.asInstanceOf[String], "en", "src0"),
+      (1L, "", "en", "src0"),
+      (2L, "   ", "de", "src1"),
+      (3L, "one", "fr", "src1"),
+      (4L, "two words", "es", "src2"),
+      (5L, "three little words here", "zh", "src2"),
+      (6L, "😀 中文 rtl שלום mixed", "en", "src0"),
+      (7L, "an honest document with enough tokens to shingle properly end",
+        "en", "src3")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length($"text"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the corpus family reads documents + embeddings only
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val failures = graft.queries.LlmQueries.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        try { fn(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    Dedup.clearSignatureCaches()
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
