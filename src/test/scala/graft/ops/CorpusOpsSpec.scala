@@ -366,7 +366,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the corpus family reads documents + embeddings only
     spark.read.parquet(s"$sf/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val failures = graft.queries.LlmQueries.queries.toSeq.sortBy(_._1)
+    val advancedDocQueries = Seq("q33_simhash64_pairs",
+      "q44_corpus_minhash", "q48_frame_sample", "q51_train_test_split",
+      "q52_stratified_sample", "q57_text_clean", "q58_top_bigrams",
+      "q59_array_funcs", "q74_corpus_overlap")
+      .map(n => n -> graft.SparkEntry.queries(n))
+    val failures = (graft.queries.LlmQueries.queries.toSeq ++ advancedDocQueries)
+      .sortBy(_._1)
       .flatMap { case (name, fn) =>
         try { fn(spark, dir).count(); None }
         catch { case e: Throwable =>
