@@ -384,6 +384,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("embedding operators execute on zero and extreme vectors") {
+    import spark.implicits._
+    // a zero vector makes cosine NaN; huge magnitudes stress the dot
+    // kernel; every embedding-family operator must execute (NaN
+    // placement is pinned separately by the TopKByScore ordering spec)
+    val dir = java.nio.file.Files.createTempDirectory("nasty_emb").toString
+    val dim = 64
+    val rnd = new scala.util.Random(5)
+    val rows = Seq(
+      (0L, Array.fill(dim)(0.0f), 0L),
+      (1L, Array.fill(dim)(1e30f), 1L),
+      (2L, Array.fill(dim)(-1e-30f), 0L)
+    ) ++ (3L until 20L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() - 0.5f), i % 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val embQueries = Seq("q23_cosine_topk", "q24_ann_bucketed",
+      "q25_embedding_near_dup", "q32_ivf_ann", "q40_vector_centroid",
+      "q64_embedding_quantize", "q70_batch_ann", "q72_rp_lsh_topk",
+      "q84_cluster_profile")
+    val failures = embQueries.flatMap { name =>
+      try { graft.SparkEntry.queries(name)(spark, dir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("contaminationBloom on disjoint corpora is empty") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
