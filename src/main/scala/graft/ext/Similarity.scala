@@ -191,7 +191,7 @@ object Similarity {
     }
     val probes = scored.sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
     assigned
-      .filter(col("cell").isin(probes: _*))
+      .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("cell"),
         rnd(cosine(col("embedding"), qvec), 6).as("cos"))

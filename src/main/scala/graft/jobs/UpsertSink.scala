@@ -32,7 +32,7 @@ object UpsertSink {
     val unioned = prev.map(_.unionByName(batch)).getOrElse(batch)
     val merged = unioned
       .groupBy(col(keyCol))
-      .agg(max_by(struct(unioned.columns.map(col): _*), col(seqCol)).as("r"))
+      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(seqCol)).as("r"))
       .select(col("r.*"))
     val v = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$outDir/$v")
