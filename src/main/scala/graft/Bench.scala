@@ -29,7 +29,11 @@ object Bench {
       // lands here instead of on whichever timed query runs first
       Seq("q1_agg", "q5_window_lead", "q4_join_agg", "ais_dispatch",
         "q17_doc_stats", "q23_cosine_topk", "q30_sessionize",
-        "q13_routing", "q60_reachability").foreach { q =>
+        "q13_routing", "q60_reachability",
+        // round-5 kernel families: gram kernel, regexp scrub, bloom
+        // probe, distributed prefix scan
+        "q75_span_dedup", "q77_pii_redact", "q81_bloom_decontaminate",
+        "q87_token_budget_sample").foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
