@@ -78,6 +78,42 @@ object StreamOps {
       }
   }
 
+  /** Admitted document under the streaming token-budget quota. */
+  final case class Admitted(lang: String, doc_id: Long, n_tok: Long,
+      cum: Long)
+
+  /** Streaming twin of the q87 token-budget sampler: per-language
+    * ingestion quota enforced ACROSS micro-batches. State is one long
+    * per language (the running token total) — nothing corpus-sized ever
+    * enters state. Docs are admitted while the running total stays
+    * within budget; later docs of a saturated language are dropped.
+    * Within a micro-batch, docs are processed in doc_id order so replay
+    * is deterministic regardless of partition arrival order; across
+    * batches, arrival order IS the semantic (a quota admits whoever
+    * came first), matching the batch sampler only when the stream
+    * arrives in the batch's hash order.
+    */
+  def tokenBudgetStream(docs: Dataset[(String, Long, Long)],
+      budget: Long): Dataset[Admitted] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lang, it, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._2).iterator.flatMap {
+            case (_, docId, nTok) =>
+              if (cum + nTok <= budget) {
+                cum += nTok
+                Some(Admitted(lang, docId, nTok, cum))
+              } else None
+          }.toVector
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Static shingle indexes persisted by [[contaminationStream]]; one
     * entry per guard. [[clearStaticIndexes]] releases them when a guard's
     * query stops (same lifecycle pattern as Dedup.clearSignatureCaches).

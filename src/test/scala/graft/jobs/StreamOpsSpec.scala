@@ -79,6 +79,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("token budget quota persists across micro-batches per language") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.tokenBudgetStream(in.toDS(), budget = 100L)
+    val ckpt = Files.createTempDirectory("tb_ckpt").toString
+    val q = out.toDF().writeStream
+      .format("memory").queryName("tb_out").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 1: en fills 90/100; de fills 50/100
+      in.addData(("en", 1L, 60L), ("en", 2L, 30L), ("de", 3L, 50L))
+      q.processAllAvailable()
+      // batch 2: en has 10 left -> doc 4 (20 tok) dropped, doc 5 (10) fits;
+      // de admits another 50 exactly to the cap
+      in.addData(("en", 4L, 20L), ("en", 5L, 10L), ("de", 6L, 50L),
+        ("de", 7L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("tb_out")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        ("en", 1L, 60L, 60L), ("en", 2L, 30L, 90L), ("en", 5L, 10L, 100L),
+        ("de", 3L, 50L, 50L), ("de", 6L, 50L, 100L)))
+    } finally q.stop()
+  }
+
   test("event-time timeout evicts stale keys and emits expiry") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
