@@ -33,5 +33,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench runs 106 queries x 3 passes in one JVM; at
+  // 8g the accumulated storage blocks + GC pressure inflated unchanged
+  // queries ~1.4x in round 5 (host has 128 GiB; local[32] is one JVM).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

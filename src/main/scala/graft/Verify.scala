@@ -22,6 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query registered caches so a 106-query session
+      // doesn't accumulate pinned blocks (round-5 "already cached" log
+      // spam / bench-drift companion fix)
+      graft.ext.Dedup.clearSignatureCaches()
+      graft.streaming.StreamOps.clearStaticIndexes()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -209,12 +209,15 @@ object Dedup {
 
   /** Unpersist every signature table the pair generators have cached.
     * Safe while results are outstanding — an unpersisted dependency is
-    * recomputed, not lost.
+    * recomputed, not lost. `blocking = true` waits until the blocks are
+    * actually dropped: harness loops (Bench/Verify) use it so release
+    * cost lands between timed queries instead of as surprise GC/eviction
+    * pressure inside the next one (the round-5 bench drift).
     */
-  def clearSignatureCaches(): Unit = {
+  def clearSignatureCaches(blocking: Boolean = false): Unit = {
     var df = cachedSigTables.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = cachedSigTables.poll()
     }
   }

@@ -28,6 +28,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * signature-cache lifecycle) so pass 2 replays the cache, not the
   * sort, and both passes see the identical partition layout.
   *
+  * **This operator is for LOW-cardinality keys** (languages, sources,
+  * shards): the driver state is (partitions × keys). Keyed by `doc_id`
+  * it would silently ship the corpus to the driver, so pass 1 FAILS
+  * LOUDLY when any partition exceeds `maxKeysPerPartition` distinct
+  * keys (range partitioning splits keys across partitions roughly
+  * evenly, so per-partition distinct ≈ totalKeys / partitions; the
+  * default 10k bounds driver state to ~partitions × 10k entries). For
+  * high-cardinality keys use the window form — each group is small
+  * there, which is exactly when the window is the right plan.
+  *
+  * **Determinism requirement**: correctness depends on pass 2 observing
+  * the SAME partition layout pass 1's offsets were computed from. The
+  * cache makes that hold; if the cache is dropped (explicit release,
+  * executor loss) the lineage replays, and an input whose row order is
+  * non-deterministic could make `repartitionByRange` re-sample
+  * different bounds. Pass 2 therefore verifies each partition's row
+  * count against pass 1's and throws rather than mis-seed offsets.
+  * Inputs must be deterministic under recompute (parquet scans and
+  * narrow transforms are; a prior `repartition()` round-robin is not).
+  *
   * Appends `cumCol` (long) to the input schema. `valCol` must be long;
   * ordering is (keyCol, ordCols...) ascending and must be total for a
   * deterministic result.
@@ -35,7 +55,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object PrefixSum {
 
   def cumSumByKey(df: DataFrame, keyCol: String, ordCols: Seq[String],
-      valCol: String, cumCol: String = "cum"): DataFrame = {
+      valCol: String, cumCol: String = "cum",
+      maxKeysPerPartition: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (keyCol +: ordCols).map(col)
     val sorted = graft.ext.Dedup.cached(
@@ -43,45 +64,78 @@ object PrefixSum {
     val schema = sorted.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val valIdx = schema.fieldIndex(valCol)
+    val maxKeys = maxKeysPerPartition
 
-    // pass 1: (partition, key) partial sums, in partition order
-    val partials: Array[(Int, Seq[(Any, Long)])] =
+    // pass 1: (partition, rowCount, key partial sums), in partition order
+    val partials: Array[(Int, Long, Seq[(Any, Long)])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        var n = 0L
         it.foreach { r =>
           val k = r.get(keyIdx)
+          if (!acc.contains(k) && acc.size >= maxKeys)
+            throw new IllegalStateException(
+              s"PrefixSum.cumSumByKey: partition $pid holds > $maxKeys " +
+                s"distinct '$keyCol' keys — this operator's driver state " +
+                "is (partitions x keys) and is meant for low-cardinality " +
+                "keys (lang, source). Use a window " +
+                s"(sum over partitionBy($keyCol) orderBy ...) for " +
+                "high-cardinality keys, or raise maxKeysPerPartition.")
           // null value contributes 0, matching SQL sum() null handling
           val v = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
           acc.update(k, acc.getOrElse(k, 0L) + v)
+          n += 1
         }
-        Iterator.single((pid, acc.toSeq))
+        Iterator.single((pid, n, acc.toSeq))
       }.collect()
 
     // driver: running offset per key across partitions
     val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
     val runningByKey = scala.collection.mutable.HashMap.empty[Any, Long]
-    partials.sortBy(_._1).foreach { case (pid, ks) =>
+    partials.sortBy(_._1).foreach { case (pid, _, ks) =>
       ks.foreach { case (k, s) =>
         offsets.update((pid, k), runningByKey.getOrElse(k, 0L))
         runningByKey.update(k, runningByKey.getOrElse(k, 0L) + s)
       }
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets.toMap)
+    val expectedCounts = spark.sparkContext.broadcast(
+      partials.map(p => p._1 -> p._2).toMap)
 
-    // pass 2: map-side running sum seeded from the offsets
+    // pass 2: map-side running sum seeded from the offsets; the count
+    // check detects a partition layout that diverged from pass 1
+    // (cache dropped + non-deterministic lineage) before wrong cums
+    // could escape silently
     val outRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var curKey: Any = null
       var started = false
       var run = 0L
-      it.map { r =>
-        val k = r.get(keyIdx)
-        if (!started || k != curKey) {
-          curKey = k
-          started = true
-          run = bcOffsets.value.getOrElse((pid, k), 0L)
+      var n = 0L
+      val expected = expectedCounts.value.getOrElse(pid, 0L)
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && n != expected)
+            throw new IllegalStateException(
+              s"PrefixSum.cumSumByKey: partition $pid saw $n rows in " +
+                s"pass 2 but $expected in pass 1 — the partition layout " +
+                "changed between passes (cached intermediate dropped over " +
+                "a non-deterministic input?). Re-run with a deterministic " +
+                "input; offsets cannot be trusted.")
+          h
         }
-        run += (if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
-        Row.fromSeq(r.toSeq :+ run)
+        def next(): Row = {
+          val r = it.next()
+          val k = r.get(keyIdx)
+          if (!started || k != curKey) {
+            curKey = k
+            started = true
+            run = bcOffsets.value.getOrElse((pid, k), 0L)
+          }
+          run += (if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
+          n += 1
+          Row.fromSeq(r.toSeq :+ run)
+        }
       }
     }
     spark.createDataFrame(outRows,

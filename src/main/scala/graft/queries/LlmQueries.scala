@@ -412,8 +412,12 @@ object LlmQueries {
         .select($"doc_id",
           when(pmod($"doc_id", lit(10L)) === 0, concat($"text", lit(" v2")))
             .otherwise($"text").as("text"))
+        // 1e12 offset sits above any scaled id space: ScaleProbe
+        // replicates ids with a 1e6-per-replica stride, so a 1e6 shift
+        // would collide with replica-1 ids on any >=2x corpus and
+        // fan out the full-outer join with duplicate keys.
         .unionByName(docs.filter(pmod($"doc_id", lit(23L)) === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"),
+          .select(($"doc_id" + 1000000000000L).as("doc_id"),
             concat($"text", lit(" new")).as("text"))))
       v1.select($"doc_id", $"fp".as("fp1"))
         .join(v2.select($"doc_id", $"fp".as("fp2")), Seq("doc_id"), "full_outer")
@@ -1085,7 +1089,7 @@ object LlmQueries {
               CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents WHERE doc_id % 17 != 0
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+            SELECT doc_id + 1000000000000 AS doc_id, text || ' new' AS text
             FROM documents WHERE doc_id % 23 = 0),
           v1 AS (SELECT doc_id, $fpSql AS fp FROM documents),
           v2 AS (SELECT doc_id, $fpSql AS fp FROM v2t),
@@ -1195,7 +1199,7 @@ object LlmQueries {
                     UNNEST(generate_series(1, f.factor)) AS u(rep))
          SELECT lang, CAST(n_before AS BIGINT) AS n_before,
            CAST(factor AS BIGINT) AS factor, CAST(rep AS BIGINT) AS rep,
-           count(*) AS n_docs, sum(doc_id) AS id_sum
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM e GROUP BY lang, n_before, factor, rep""",
     "q87_token_budget_sample" ->
       s"""WITH t AS (SELECT lang, doc_id,

@@ -82,16 +82,26 @@ object StreamOps {
   final case class Admitted(lang: String, doc_id: Long, n_tok: Long,
       cum: Long)
 
-  /** Streaming twin of the q87 token-budget sampler: per-language
-    * ingestion quota enforced ACROSS micro-batches. State is one long
-    * per language (the running token total) — nothing corpus-sized ever
-    * enters state. Docs are admitted while the running total stays
-    * within budget; later docs of a saturated language are dropped.
-    * Within a micro-batch, docs are processed in doc_id order so replay
-    * is deterministic regardless of partition arrival order; across
-    * batches, arrival order IS the semantic (a quota admits whoever
-    * came first), matching the batch sampler only when the stream
-    * arrives in the batch's hash order.
+  /** Streaming per-language ingestion quota, enforced ACROSS
+    * micro-batches. State is one long per language (the running token
+    * total) — nothing corpus-sized ever enters state.
+    *
+    * Admission is FIRST-FIT: each doc (in doc_id order within a batch,
+    * arrival order across batches) is admitted iff it still fits the
+    * remaining budget; an oversized doc is skipped and LATER smaller
+    * docs are still admitted (StreamOpsSpec pins this). That is a
+    * deliberately different policy from the batch q87 sampler, which
+    * cuts a language off at the first doc whose prefix sum overflows —
+    * under first-fit the quota fills tighter; under q87's prefix-cut
+    * the admitted set is a deterministic function of the hash order.
+    * The two admit the same set only when no doc overflows mid-stream.
+    *
+    * Memory bound: each (batch, language) group is buffered and sorted
+    * in one task (`toArray.sortBy` below), so the working set is the
+    * micro-batch's largest per-language slice — TRIGGER SIZING is the
+    * bound (processingTime / maxOffsetsPerTrigger), the corpus size is
+    * irrelevant. Same honesty note as the q63 packing sub-shard: the
+    * buffer is bounded by configuration, not by the operator.
     */
   def tokenBudgetStream(docs: Dataset[(String, Long, Long)],
       budget: Long): Dataset[Admitted] = {
@@ -133,10 +143,10 @@ object StreamOps {
     * after stopping the streaming queries that use them; an unpersisted
     * dependency recomputes, so calling early is safe, just slow.
     */
-  def clearStaticIndexes(): Unit = {
+  def clearStaticIndexes(blocking: Boolean = false): Unit = {
     var df = staticIndexes.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = staticIndexes.poll()
     }
   }

@@ -68,7 +68,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val want =
       ids.filter(_ % 17 == 0).map(i => (i, "removed")) ++
         ids.filter(i => i % 10 == 0 && i % 17 != 0).map(i => (i, "changed")) ++
-        ids.filter(_ % 23 == 0).map(i => (i + 1000000L, "added"))
+        ids.filter(_ % 23 == 0).map(i => (i + 1000000000000L, "added"))
     assert(got === want)
   }
 
@@ -293,6 +293,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(got === want, s"seed=$seed")
       Dedup.clearSignatureCaches()
     }
+  }
+
+  test("PrefixSum fails loud on high-cardinality keys (driver-state guard)") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    // keyed by a unique id: driver state would be (partitions x rows) —
+    // the guard must trip instead of silently shipping it to the driver
+    val df = (0 until 500).map(i => (s"doc$i", i.toLong, 1L))
+      .toDF("key", "ord", "v")
+    val e = intercept[Exception] {
+      PrefixSum.cumSumByKey(df, "key", Seq("ord"), "v",
+        maxKeysPerPartition = 16).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("distinct"), s"unexpected failure: $e")
+    Dedup.clearSignatureCaches()
+    // and the same data keyed low-cardinality still flows
+    val ok = df.withColumn("key", lit("one"))
+    assert(PrefixSum.cumSumByKey(ok, "key", Seq("ord"), "v").count() === 500)
+    Dedup.clearSignatureCaches()
   }
 
   test("q86 factors upsample every language to ~the largest one") {
