@@ -101,6 +101,159 @@ class SocketFanoutServer(hub: FanoutHub, port: Int = 0) {
   def close(): Unit = try server.close() catch { case _: IOException => () }
 }
 
+/** S5: RFC 6455 websocket shell over the same hub — the reference
+  * serves browser clients over real websockets
+  * (ais_webSocketServer.py:143-183, ais_webSocketServerDb.py:306-347);
+  * this closes the wire-protocol gap the raw-TCP shell left. Scope is
+  * the server side of the protocol the reference exercises: the
+  * HTTP/1.1 upgrade handshake (Sec-WebSocket-Accept per RFC 6455 §4),
+  * unmasked server→client TEXT frames with 7/16/64-bit lengths (§5.2),
+  * PING→PONG echo, and CLOSE echo + drop (§5.5). Client→server frames
+  * arrive masked and are unmasked for control handling; inbound text is
+  * ignored (the reference's push servers never read client data).
+  * Per-message deflate, fragmentation, and binary frames are out of
+  * scope — the reference never emits them.
+  */
+object WebSocket {
+  private val GuidSuffix = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  /** Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2 step 5.4). */
+  def acceptKey(clientKey: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest((clientKey.trim + GuidSuffix).getBytes(UTF_8)))
+
+  /** One frame with FIN set, unmasked (server→client). Opcode 0x1 text,
+    * 0x8 close, 0x9 ping, 0xA pong.
+    */
+  def encodeFrame(opcode: Int, payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val header =
+      if (n < 126) Array[Byte]((0x80 | opcode).toByte, n.toByte)
+      else if (n < 65536) Array[Byte]((0x80 | opcode).toByte, 126.toByte,
+        (n >> 8).toByte, n.toByte)
+      else Array[Byte]((0x80 | opcode).toByte, 127.toByte,
+        0, 0, 0, 0, (n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte,
+        n.toByte)
+    header ++ payload
+  }
+
+  /** Read one client frame (must be masked, RFC 6455 §5.1) from the
+    * stream: (opcode, unmasked payload), or None at EOF.
+    */
+  def readFrame(in: java.io.InputStream): Option[(Int, Array[Byte])] = {
+    def b(): Int = in.read()
+    val b0 = b()
+    if (b0 < 0) return None
+    val opcode = b0 & 0x0F
+    val b1 = b()
+    if (b1 < 0) return None
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7F
+    if (len == 126) len = (b() << 8 | b()).toLong
+    else if (len == 127) { len = 0L; for (_ <- 0 until 8) len = (len << 8) | b() }
+    val mask = if (masked) Array.fill(4)(b().toByte) else Array.empty[Byte]
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val r = in.read(payload, off, len.toInt - off)
+      if (r < 0) return None
+      off += r
+    }
+    if (masked) for (i <- payload.indices)
+      payload(i) = (payload(i) ^ mask(i & 3)).toByte
+    Some((opcode, payload))
+  }
+}
+
+/** S5: websocket fan-out server — accepts HTTP upgrade requests and
+  * registers each client as a text-frame transport on the hub. A
+  * per-client reader thread answers PING with PONG and echoes CLOSE
+  * before dropping the client (the reference's dead-client sweep);
+  * writes from the hub worker and the reader synchronize on the socket
+  * output stream so a pong never interleaves mid-frame.
+  */
+class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+
+  private def handshake(sock: java.net.Socket): Boolean = {
+    val in = sock.getInputStream
+    // read header bytes up to the blank line (HTTP/1.1 upgrade request)
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      val c = in.read()
+      if (c < 0) done = true
+      else { sb.append(c.toChar); done = sb.endsWith("\r\n\r\n") }
+    }
+    val key = sb.toString.linesIterator
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+    key match {
+      case Some(k) =>
+        val resp = "HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${WebSocket.acceptKey(k)}\r\n\r\n"
+        sock.getOutputStream.write(resp.getBytes(UTF_8))
+        sock.getOutputStream.flush()
+        true
+      case None =>
+        sock.getOutputStream.write(
+          "HTTP/1.1 400 Bad Request\r\n\r\n".getBytes(UTF_8))
+        sock.close()
+        false
+    }
+  }
+
+  private val acceptor = new Thread(() => {
+    var n = 0
+    try {
+      while (true) {
+        val sock = server.accept()
+        n += 1
+        val id = s"ws-client-$n"
+        if (handshake(sock)) {
+          val out = sock.getOutputStream
+          hub.register(id, new FanoutHub.Transport {
+            override def send(msg: String): Unit = out.synchronized {
+              out.write(WebSocket.encodeFrame(0x1, msg.getBytes(UTF_8)))
+              out.flush()
+            }
+            override def close(): Unit =
+              try sock.close() catch { case _: IOException => () }
+          })
+          // control-frame reader: PING -> PONG, CLOSE -> echo + drop
+          val reader = new Thread(() => {
+            try {
+              var live = true
+              while (live) WebSocket.readFrame(sock.getInputStream) match {
+                case Some((0x9, p)) => out.synchronized {
+                  out.write(WebSocket.encodeFrame(0xA, p)); out.flush()
+                }
+                case Some((0x8, p)) =>
+                  out.synchronized {
+                    out.write(WebSocket.encodeFrame(0x8, p)); out.flush()
+                  }
+                  live = false
+                  hub.drop(id)
+                case Some(_) => () // inbound text/pong: push server ignores
+                case None => live = false; hub.drop(id)
+              }
+            } catch { case _: IOException => hub.drop(id) }
+          }, s"ws-reader-$id")
+          reader.setDaemon(true)
+          reader.start()
+        }
+      }
+    } catch { case _: IOException => () } // server closed
+  }, "ws-fanout-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = try server.close() catch { case _: IOException => () }
+}
+
 /** S5-shaped sink: stream -> JSON lines -> hub fan-out. foreachBatch
   * hands the (edge-sized, post-aggregation) batch to the driver where
   * the client connections live — the reference's egress servers are

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{FanoutHub, FanoutSink, SocketFanoutServer}
+import graft.streaming.{FanoutHub, FanoutSink, SocketFanoutServer, WebSocket, WebSocketFanoutServer}
 
 /** S4/S5 fan-out: three REAL TCP clients subscribe; all receive every
   * JSON row; one disconnects mid-stream and the hub drops it without
@@ -87,6 +87,109 @@ class FanoutSpec extends AnyFunSuite {
       assert(data(c1) === data(c3))
     } finally {
       q.stop()
+      hub.shutdown()
+      server.close()
+    }
+  }
+
+  test("Sec-WebSocket-Accept matches the RFC 6455 worked example") {
+    // RFC 6455 §1.3: the sample nonce and its published accept value
+    assert(WebSocket.acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ===
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+  }
+
+  /** Hand-rolled ws client: raw socket + explicit handshake + explicit
+    * frame encode/decode — nothing borrowed from the server code except
+    * the accept-key expectation under test.
+    */
+  private final class WsClient(port: Int, key: String) {
+    val sock = new Socket("127.0.0.1", port)
+    private val in = sock.getInputStream
+    private val out = sock.getOutputStream
+
+    val handshakeResponse: String = {
+      out.write(
+        (s"GET /feed HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n\r\n")
+          .getBytes(UTF_8))
+      out.flush()
+      val sb = new StringBuilder
+      while (!sb.endsWith("\r\n\r\n")) {
+        val c = in.read()
+        assert(c >= 0, "EOF during handshake")
+        sb.append(c.toChar)
+      }
+      sb.toString
+    }
+
+    /** Client frames must be masked (RFC 6455 §5.1). */
+    def sendFrame(opcode: Int, payload: Array[Byte]): Unit = {
+      assert(payload.length < 126, "test client only does short frames")
+      val mask = Array[Byte](0x12, 0x34, 0x56, 0x78)
+      val masked = payload.zipWithIndex.map { case (b, i) =>
+        (b ^ mask(i & 3)).toByte
+      }
+      out.write(Array[Byte]((0x80 | opcode).toByte,
+        (0x80 | payload.length).toByte) ++ mask ++ masked)
+      out.flush()
+    }
+
+    /** Server frames are unmasked; decode one: (opcode, payload). */
+    def readFrame(): (Int, Array[Byte]) = {
+      val b0 = in.read(); assert(b0 >= 0, "EOF")
+      assert((b0 & 0x80) != 0, "server frame must have FIN")
+      val b1 = in.read()
+      assert((b1 & 0x80) == 0, "server frame must be unmasked")
+      var len: Long = b1 & 0x7F
+      if (len == 126) len = (in.read() << 8 | in.read()).toLong
+      else if (len == 127) {
+        len = 0L; for (_ <- 0 until 8) len = (len << 8) | in.read()
+      }
+      val p = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < len) {
+        val r = in.read(p, off, len.toInt - off); assert(r >= 0, "EOF")
+        off += r
+      }
+      (b0 & 0x0F, p)
+    }
+  }
+
+  test("websocket fan-out: handshake, text frames, ping/pong, close sweep") {
+    val hub = new FanoutHub()
+    val server = new WebSocketFanoutServer(hub)
+    try {
+      val c = new WsClient(server.boundPort, "dGhlIHNhbXBsZSBub25jZQ==")
+      assert(c.handshakeResponse.startsWith("HTTP/1.1 101"))
+      assert(c.handshakeResponse.contains(
+        "Sec-WebSocket-Accept: s3pPLMBiTxaQ9kYGzzhZRbK+xOo="))
+      awaitUntil()(hub.liveClients.size == 1)
+
+      // short text frame (7-bit length)
+      hub.publish("""{"mmsi":1}""")
+      val (op1, p1) = c.readFrame()
+      assert(op1 === 0x1)
+      assert(new String(p1, UTF_8) === """{"mmsi":1}""")
+
+      // >125-byte payload exercises the 16-bit length path
+      val big = "x" * 300
+      hub.publish(big)
+      val (op2, p2) = c.readFrame()
+      assert(op2 === 0x1 && p2.length === 300 &&
+        new String(p2, UTF_8) === big)
+
+      // masked client PING comes back as PONG with the same payload
+      c.sendFrame(0x9, "hb-7".getBytes(UTF_8))
+      val (op3, p3) = c.readFrame()
+      assert(op3 === 0xA && new String(p3, UTF_8) === "hb-7")
+
+      // CLOSE is echoed and the client swept from the hub
+      c.sendFrame(0x8, Array[Byte](0x03, 0xE8.toByte)) // 1000 normal
+      val (op4, _) = c.readFrame()
+      assert(op4 === 0x8)
+      awaitUntil()(hub.liveClients.isEmpty)
+    } finally {
       hub.shutdown()
       server.close()
     }
