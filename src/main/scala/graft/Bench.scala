@@ -46,6 +46,15 @@ object Bench {
     // pass can be inflated 5-20x by contention (BENCH_r01/r02 both were).
     // The minimum across runs is the closest observable to true cost.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Optional comma-separated allowlist: time only these queries (A/B
+    // isolation experiments — e.g. one query in a fresh JVM to separate
+    // per-query cost from whole-suite JVM pressure).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val benchQueries = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
+      case None => SparkEntry.queries
+    }
     // Round-5 drift fix: several operators register cached intermediates
     // (Dedup.cached / StreamOps static indexes) that the queries never
     // release themselves. 106 queries x 3 passes in one JVM accumulated
@@ -56,7 +65,7 @@ object Bench {
       graft.ext.Dedup.clearSignatureCaches(blocking = true)
       graft.streaming.StreamOps.clearStaticIndexes(blocking = true)
     }
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -41,6 +41,24 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** K× embeddings for the vector-path probes (q84): replica vectors
+    * keep their values (centroid assignment work scales with corpus
+    * size) under strided ids, so the `vec_id < 8` centroid set stays
+    * the ORIGINAL 8 — corpus grows K×, centroid count constant, which
+    * is the real shape (cluster count doesn't grow with data).
+    */
+  private def scaledEmbeddings(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val n = lit(1000000L)
+    (0 until k).map { rep =>
+      val shifted = vecs.select((col("vec_id") + n * rep).as("vec_id"),
+        col("embedding"), col("label"))
+      // replicas beyond the first must not re-enter the centroid set
+      if (rep == 0) shifted else shifted.filter(col("vec_id") % n >= 8)
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
@@ -60,6 +78,9 @@ object ScaleProbe {
       val dir = Files.createTempDirectory(s"scale_${k}x").toString
       scaled(spark, sfDir, k).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
+      if (Queries.exists(Set("q84_cluster_profile")))
+        scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
       val rows = for (q <- Queries) yield {
         graft.ext.Dedup.clearSignatureCaches()
         val fn = SparkEntry.queries(q)
