@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Ais.queries ++
       graft.queries.Ais2.queries ++
       graft.queries.GeoQueries.queries ++ graft.queries.LlmQueries.queries ++
-      graft.queries.IvefQueries.queries ++ graft.queries.Advanced.queries
+      graft.queries.IvefQueries.queries ++ graft.queries.Advanced.queries ++
+      graft.queries.Mixing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++ graft.queries.Ais.oracleSql ++
       graft.queries.Ais2.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
-      graft.queries.IvefQueries.oracleSql ++ graft.queries.Advanced.oracleSql
+      graft.queries.IvefQueries.oracleSql ++ graft.queries.Advanced.oracleSql ++
+      graft.queries.Mixing.oracleSql
 }

@@ -671,8 +671,8 @@ object LlmQueries {
   /** Shared CTE fragments (DuckDB list lambdas mirroring the Spark
     * higher-order functions).
     */
-  private val toksExpr = "list_filter(string_split(text, ' '), t -> t != '')"
-  private def codesExpr(toks: String) =
+  private[queries] val toksExpr = "list_filter(string_split(text, ' '), t -> t != '')"
+  private[queries] def codesExpr(toks: String) =
     s"""list_transform($toks, t -> list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
@@ -711,7 +711,7 @@ object LlmQueries {
     * replay and the q66 decontamination replay (one arithmetic, three
     * consumers, zero drift).
     */
-  private val shingleCtes =
+  private[queries] val shingleCtes =
     s"""c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
         t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
           THEN list_transform(generate_series(1, len(codes) - 4), i ->

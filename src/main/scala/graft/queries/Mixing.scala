@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, TextStats}
+import graft.queries.Num.{r => rnd}
+
+/** Corpus mixing & monitoring operators (q88–q93) — the sampling-weight
+  * and drift-tracking side of a training-data pipeline, beyond the
+  * reference surface (north-star ops): temperature-based language
+  * mixing, per-language token heavy hitters, near-dup cluster-size
+  * profiling, shingle novelty, cross-snapshot KL drift, and output
+  * shard balancing. Every query has a DuckDB oracle built from the SAME
+  * constants; all cross-engine float arithmetic follows the established
+  * rounding discipline (Num.r / integer-scaled logs summed exactly).
+  */
+object Mixing {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = TextStats.P
+
+  /** Temperature exponent for q88's language rebalancing (the standard
+    * multilingual alpha-sampling move: w_l ∝ p_l^α flattens the natural
+    * distribution toward uniform as α → 0).
+    */
+  private val Alpha = 0.3
+  private val EpochDocs = 10000L
+
+  val queries: Map[String, Q] = Map(
+    // Temperature (alpha) sampling weights per language: p^α,
+    // normalized, plus the expected docs drawn per 10k-doc epoch.
+    // Shape: one count aggregate (languages-sized), all arithmetic on
+    // the tiny agg table — window over a handful of rows, never the
+    // corpus. Determinism: p rounded at 1e-6, p^α scaled to an exact
+    // long at 1e-6 (q84's integer trick) so the normalizing sum is
+    // exact-integer on both engines; only pow itself relies on libm
+    // agreement, confined by the rounding like q71's idf.
+    "q88_temperature_sampling" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum($"n_docs").over(w))
+        .withColumn("p_r",
+          rnd($"n_docs".cast("double") / $"total".cast("double"), 6))
+        .withColumn("pw6",
+          floor(pow($"p_r", lit(Alpha)) * 1000000 + 0.5).cast("long"))
+        .withColumn("z6", sum($"pw6").over(w))
+        .select($"lang", $"n_docs", $"p_r",
+          rnd($"pw6".cast("double") / $"z6".cast("double"), 6).as("weight"),
+          floor(lit(EpochDocs).cast("double") * $"pw6".cast("double") /
+            $"z6".cast("double") + 0.5).cast("long").as("epoch_docs"))
+    }),
+
+    // Per-language token heavy hitters (top-5 by count, code tiebreak)
+    // via the mergeable bounded top-k aggregator — L × k tuples per
+    // partition, never a window over the (lang, code) count table. The
+    // score packs (cnt desc, code asc) into ONE exact double:
+    // cnt·2³¹ − code, both factors < 2⁵³ so the arithmetic is
+    // exact-integer in double and the count is recovered exactly.
+    "q89_lang_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val cnts = Tables.documents(s, d)
+        .select($"lang",
+          explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
+        .filter($"code".isNotNull)
+        .groupBy($"lang", $"code").agg(count(lit(1)).as("cnt"))
+      val topk = udaf(new graft.ext.TopKByScore(5))
+      cnts.groupBy($"lang")
+        .agg(topk($"cnt".cast("double") * 2147483648.0 -
+          $"code".cast("double"), $"code").as("top"))
+        .select($"lang", posexplode($"top").as(Seq("rank0", "r")))
+        .select($"lang", ($"rank0" + 1).cast("long").as("rank"),
+          $"r._2".as("code"),
+          (($"r._1" + $"r._2".cast("double")) / 2147483648.0)
+            .cast("long").as("cnt"))
+    }),
+
+    // Near-dup cluster-size histogram: the dedup QA artifact (how much
+    // of the corpus sits in 2-doc pairs vs giant boilerplate blobs).
+    // Same LSH pairs + components as q65 — one more count-sized
+    // aggregation, zero new wide shuffles.
+    "q90_cluster_size_histogram" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select($"doc1".as("src"), $"doc2".as("dst"))
+      graft.operators.Graph.connectedComponents(s, pairs)
+        .groupBy($"component").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+        .select($"sz".as("cluster_size"), $"n_clusters",
+          ($"sz" * $"n_clusters").as("n_docs_total"))
+    }),
+
+    // Shingle novelty: fraction of a doc's distinct 5-gram shingles
+    // appearing in NO other document — high novelty = fresh content,
+    // low = boilerplate/templated. Shape: ids + 64-bit codes through
+    // both shuffles (doc-frequency count, then join back) on the
+    // uniformly-hashed code; the shingle table is cached because its
+    // two consumers shuffle it on the same key but separate scans would
+    // re-run the shingle kernel (released via clearSignatureCaches).
+    "q91_shingle_novelty" -> ((s, d) => {
+      import s.implicits._
+      val pos = Dedup.cached(
+        Dedup.shingleSets(Tables.documents(s, d))
+          .select($"doc_id", explode($"tset").as("code")))
+      val df = pos.groupBy($"code").agg(count(lit(1)).as("df"))
+      pos.join(df, Seq("code"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          rnd($"n_novel".cast("double") / $"n_shingles".cast("double"), 4)
+            .as("novelty"))
+    }),
+
+    // Token-distribution KL drift between two corpus halves (doc_id
+    // parity plays "last month vs this month"): KL(A ‖ B) with add-one
+    // smoothing on the B side so A-only tokens stay finite. The
+    // dashboard number a 100 TB ingest monitors for domain shift.
+    // Shape: two map-side-combined count aggregates, one full-outer
+    // join on the uniform code key, scalars broadcast; per-term logs
+    // rounded to integer 1e-4 units and summed EXACTLY as longs (the
+    // q83/q85 discipline) so the only libm exposure is ln itself.
+    "q92_token_kl_drift" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id",
+          explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
+        .filter($"code".isNotNull)
+      val a = toks.filter(pmod($"doc_id", lit(2L)) === 0)
+        .groupBy($"code").agg(count(lit(1)).as("ca"))
+      val b = toks.filter(pmod($"doc_id", lit(2L)) === 1)
+        .groupBy($"code").agg(count(lit(1)).as("cb"))
+      val j = a.join(b, Seq("code"), "full_outer")
+        .select(coalesce($"ca", lit(0L)).as("ca"),
+          coalesce($"cb", lit(0L)).as("cb"))
+      val tot = j.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+        count(lit(1)).as("v"))
+      j.crossJoin(broadcast(tot))
+        .filter($"ca" > 0)
+        .select(($"ca" * floor(log(
+            ($"ca".cast("double") / $"na".cast("double")) /
+              (($"cb" + 1).cast("double") / ($"nb" + $"v").cast("double")))
+            * 10000 + 0.5).cast("long")).as("term"),
+          $"na", $"nb", $"v")
+        .groupBy($"na", $"nb", $"v")
+        .agg(sum($"term").as("s4"))
+        .select($"na".as("n_tokens_a"), $"nb".as("n_tokens_b"),
+          $"v".as("n_codes"),
+          rnd($"s4".cast("double") / ($"na".cast("double") * 10000.0), 6)
+            .as("kl_ab"))
+    }),
+
+    // Output shard balance: docs hashed into 16 training shards (same
+    // injective multiplicative hash as q87's sampling order), with
+    // per-shard doc and token totals — the pre-write check that no
+    // shard is hot before a 100 TB materialization. Pure map + one
+    // 16-group aggregate.
+    "q93_shard_balance" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(pmod(pmod($"doc_id" * 2654435761L + 17L,
+            lit(1000000007L)), lit(16L)).as("shard"),
+          coalesce(size(TextStats.tokens($"text")), lit(0))
+            .cast("long").as("n_tok"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    }),
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  import LlmQueries.{toksExpr, codesExpr, shingleCtes}
+
+  val oracleSql: Map[String, String] = Map(
+    "q88_temperature_sampling" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          t AS (SELECT lang, n_docs, (SELECT sum(n_docs) FROM c) AS total FROM c),
+          p AS (SELECT lang, n_docs,
+              ${Num.rSql("CAST(n_docs AS DOUBLE) / total", 6)} AS p_r FROM t),
+          w AS (SELECT lang, n_docs, p_r,
+              CAST(floor(pow(p_r, $Alpha) * 1000000 + 0.5) AS BIGINT) AS pw6
+            FROM p),
+          z AS (SELECT *, (SELECT sum(pw6) FROM w) AS z6 FROM w)
+          SELECT lang, n_docs, p_r,
+            ${Num.rSql("CAST(pw6 AS DOUBLE) / z6", 6)} AS weight,
+            CAST(floor($EpochDocs * CAST(pw6 AS DOUBLE) / z6 + 0.5) AS BIGINT)
+              AS epoch_docs
+          FROM z""",
+    "q89_lang_heavy_hitters" ->
+      s"""WITH c AS (SELECT lang, ${codesExpr(toksExpr)} AS codes FROM documents),
+          e AS (SELECT lang, unnest(codes) AS code FROM c),
+          g AS (SELECT lang, code, count(*) AS cnt FROM e GROUP BY lang, code),
+          r AS (SELECT lang, code, cnt, row_number() OVER (
+              PARTITION BY lang ORDER BY cnt DESC, code) AS rank FROM g)
+          SELECT lang, CAST(rank AS BIGINT) AS rank, code, cnt
+          FROM r WHERE rank <= 5""",
+    "q90_cluster_size_histogram" -> {
+      val q65 = LlmQueries.oracleSql("q65_dedup_components")
+      s"""SELECT sz AS cluster_size, count(*) AS n_clusters,
+            CAST(sz * count(*) AS BIGINT) AS n_docs_total
+          FROM (SELECT n_docs AS sz FROM ($q65) q65)
+          GROUP BY sz"""
+    },
+    "q91_shingle_novelty" ->
+      s"""SELECT * FROM (WITH $shingleCtes,
+          pos AS (SELECT doc_id, unnest(tset) AS code FROM t
+                  WHERE len(tset) > 0),
+          d AS (SELECT code, count(*) AS df FROM pos GROUP BY code),
+          a AS (SELECT doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_novel
+            FROM pos JOIN d USING (code) GROUP BY doc_id)
+          SELECT doc_id, n_shingles, n_novel,
+            ${Num.rSql("CAST(n_novel AS DOUBLE) / n_shingles", 4)} AS novelty
+          FROM a)""",
+    "q92_token_kl_drift" ->
+      s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+          e AS (SELECT doc_id, unnest(codes) AS code FROM c),
+          a AS (SELECT code, count(*) AS ca FROM e WHERE doc_id % 2 = 0
+                GROUP BY code),
+          b AS (SELECT code, count(*) AS cb FROM e WHERE doc_id % 2 = 1
+                GROUP BY code),
+          j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM a FULL OUTER JOIN b ON a.code = b.code),
+          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+              CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM j),
+          s AS (SELECT CAST(sum(ca * CAST(floor(ln(
+                (CAST(ca AS DOUBLE) / na) /
+                (CAST(cb + 1 AS DOUBLE) / (nb + v))) * 10000 + 0.5)
+              AS BIGINT)) AS BIGINT) AS s4
+            FROM j, t WHERE ca > 0)
+          SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b,
+            CAST(t.v AS BIGINT) AS n_codes,
+            ${Num.rSql("CAST(s.s4 AS DOUBLE) / (t.na * 10000.0)", 6)} AS kl_ab
+          FROM s, t""",
+    "q93_shard_balance" ->
+      s"""WITH t AS (SELECT
+            ((doc_id * 2654435761 + 17) % 1000000007) % 16 AS shard,
+            coalesce(len($toksExpr), 0) AS n_tok FROM documents)
+          SELECT shard, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM t GROUP BY shard""",
+  )
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.ext.Dedup
+
+/** Round-6 mixing/monitoring operators (q88–q93): each bounded or
+  * packed-score formulation is asserted EQUAL to its naive reference
+  * form, plus the semantic invariants a pipeline relies on (weights
+  * normalize, temperature flattens, histogram masses reconcile).
+  */
+class MixingSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q88 temperature weights normalize and flatten toward uniform") {
+    import spark.implicits._
+    val rows = graft.queries.Mixing.queries("q88_temperature_sampling")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val esum = rows.map(_._5).sum
+    assert(math.abs(esum - 10000L) <= rows.length,
+      s"epoch docs sum to $esum (rounding slack <= one per language)")
+    // alpha < 1 boosts rare languages: every language's sampling weight
+    // must be >= its natural share iff it is below-average-sized
+    val (rare, big) = rows.partition(r => r._4 > r._3)
+    assert(rare.forall(r => big.forall(b => r._2 <= b._2)),
+      "every boosted language must be no larger than every damped one")
+  }
+
+  test("q89 packed-score top-k == window row_number reference") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q89_lang_heavy_hitters")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val cnts = Tables.documents(spark, sf)
+      .select($"lang", explode_outer(
+        graft.ext.TextStats.tokenCodesOf($"text")).as("code"))
+      .filter($"code".isNotNull)
+      .groupBy($"lang", $"code").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"code")
+    val want = cnts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"code", $"cnt")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q90 histogram mass reconciles with q65 components") {
+    import spark.implicits._
+    val hist = graft.queries.Mixing.queries("q90_cluster_size_histogram")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val comp = graft.queries.LlmQueries.queries("q65_dedup_components")(spark, sf)
+      .as[(Long, Long)].collect()
+    Dedup.clearSignatureCaches()
+    assert(hist.map(_._2).sum === comp.length, "cluster count")
+    assert(hist.map(_._3).sum === comp.map(_._2).sum, "doc mass")
+    assert(hist.forall(h => h._1 >= 2), "components are >= 2 docs")
+    assert(hist.forall(h => h._3 === h._1 * h._2))
+  }
+
+  test("q91 novelty: duplicated docs score 0, unique-shingle mass reconciles") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q91_shingle_novelty")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    Dedup.clearSignatureCaches()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(got.forall(r => r._3 <= r._2))
+    // independent recomputation of the global unique-shingle count
+    val pos = Dedup.shingleSets(Tables.documents(spark, sf))
+      .select($"doc_id", explode($"tset").as("code"))
+    val nUnique = pos.groupBy($"code").agg(count(lit(1)).as("df"))
+      .filter($"df" === 1).count()
+    assert(got.map(_._3).sum === nUnique)
+    // exact-dup pair: all shingles shared -> both ends have novelty 0
+    val dupIds = Tables.documents(spark, sf)
+      .groupBy($"text").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1 && length($"text") > 50)
+      .select(explode($"ids").as("doc_id")).as[Long].collect().toSet
+    if (dupIds.nonEmpty)
+      assert(got.filter(r => dupIds(r._1)).forall(_._4 === 0.0))
+  }
+
+  test("q92 KL drift == driver-side reference on the same counts") {
+    import spark.implicits._
+    val Seq((na, nb, v, kl)) =
+      graft.queries.Mixing.queries("q92_token_kl_drift")(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", explode_outer(
+        graft.ext.TextStats.tokenCodesOf($"text")).as("code"))
+      .filter($"code".isNotNull)
+      .select($"doc_id", $"code").as[(Long, Long)].collect()
+    val ca = toks.filter(_._1 % 2 == 0).groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val cb = toks.filter(_._1 % 2 == 1).groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val na2 = ca.values.sum; val nb2 = cb.values.sum
+    val v2 = (ca.keySet ++ cb.keySet).size.toLong
+    assert((na, nb, v) === ((na2, nb2, v2)))
+    val s4 = ca.toSeq.map { case (code, c) =>
+      c * math.floor(math.log((c.toDouble / na2) /
+        ((cb.getOrElse(code, 0L) + 1).toDouble / (nb2 + v2))) * 10000 + 0.5).toLong
+    }.sum
+    val want = math.floor(s4.toDouble / (na2 * 10000.0) * 1e6 + 0.5) / 1e6
+    assert(kl === want)
+  }
+
+  test("q93 shards cover the corpus with bounded skew") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q93_shard_balance")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(got.map(_._2).sum === Tables.documents(spark, sf).count())
+    // multiplicative hashing should spread 500 docs across all 16
+    // shards with no empty shard and max/mean below 2
+    assert(got.length === 16)
+    val mean = got.map(_._2).sum.toDouble / 16
+    assert(got.map(_._2).max < 2 * mean, got.map(_._2).mkString(","))
+  }
+}
