@@ -392,7 +392,8 @@ class CorpusOpsSpec extends AnyFunSuite {
       "q52_stratified_sample", "q57_text_clean", "q58_top_bigrams",
       "q59_array_funcs", "q74_corpus_overlap")
       .map(n => n -> graft.SparkEntry.queries(n))
-    val failures = (graft.queries.LlmQueries.queries.toSeq ++ advancedDocQueries)
+    val failures = (graft.queries.LlmQueries.queries.toSeq ++
+      graft.queries.Mixing.queries.toSeq ++ advancedDocQueries)
       .sortBy(_._1)
       .flatMap { case (name, fn) =>
         try { fn(spark, dir).count(); None }
