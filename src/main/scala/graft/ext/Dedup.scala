@@ -454,19 +454,7 @@ object Dedup {
       .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
       .filter(size(col("tset")) > 0)
       .cache())
-    // Candidate generation carries ONLY (band, key, doc_id): the token-set
-    // arrays must not ride through the pair-join/distinct shuffle — at
-    // corpus scale that's the difference between shuffling ids and
-    // shuffling the whole corpus k times.
-    val exploded = dropHotBuckets(sigs.select(
-      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
-    val candidates = exploded.select(col("band"), col("key"), col("doc_id").as("doc1"))
-      .join(exploded.select(col("band"), col("key"), col("doc_id").as("doc2")),
-        Seq("band", "key"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"))
-      .distinct()
+    val candidates = bandCandidates(sigs, maxBucket)
     // Verification joins the (small) distinct pair list back to the sets.
     val sets = sigs.select(col("doc_id"), col("tset"))
     candidates
@@ -477,6 +465,63 @@ object Dedup {
           size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** LSH band-collision candidate pairs (doc1 < doc2, distinct).
+    * Candidate generation carries ONLY (band, key, doc_id): the
+    * token-set arrays must not ride through the pair-join/distinct
+    * shuffle — at corpus scale that's the difference between shuffling
+    * ids and shuffling the whole corpus k times.
+    */
+  private def bandCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val exploded = dropHotBuckets(sigs.select(
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket)
+    exploded.select(col("band"), col("key"), col("doc_id").as("doc1"))
+      .join(exploded.select(col("band"), col("key"), col("doc_id").as("doc2")),
+        Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+  }
+
+  /** Directed containment pairs: (inner_doc, outer_doc, containment)
+    * where containment = |inner ∩ outer| / |inner| over the 5-gram
+    * shingle sets, the inner doc is the one with the SMALLER set
+    * (doc_id tiebreak), and only pairs ≥ minContainment are emitted.
+    * Catches subset/quote-expansion duplication that symmetric Jaccard
+    * misses: a doc pasted inside a longer one has containment 1.0 but
+    * Jaccard |A|/|B| — far below any near-dup threshold.
+    *
+    * Recall caveat (by design): candidates still come from the
+    * Jaccard-tuned MinHash banding, so an inner doc MUCH smaller than
+    * its container may not band-collide; the operator is exact on
+    * comparable-size containment and best-effort on extreme asymmetry
+    * (full asymmetric recall needs prefix filtering — a different
+    * index, not a different verify). The verify joins carry the same
+    * ids-only candidate discipline as [[minhashPairs]].
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = registerSigCache(docs
+      .select(col("doc_id"),
+        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
+      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+      .filter(size(col("tset")) > 0)
+      .cache())
+    val sets = sigs.select(col("doc_id"), col("tset"))
+    val inner1 = (size(col("t1")) < size(col("t2"))) ||
+      (size(col("t1")) === size(col("t2")) && col("doc1") < col("doc2"))
+    bandCandidates(sigs, maxBucket)
+      .join(sets.select(col("doc_id").as("doc1"), col("tset").as("t1")), Seq("doc1"))
+      .join(sets.select(col("doc_id").as("doc2"), col("tset").as("t2")), Seq("doc2"))
+      .select(
+        when(inner1, col("doc1")).otherwise(col("doc2")).as("inner_doc"),
+        when(inner1, col("doc2")).otherwise(col("doc1")).as("outer_doc"),
+        rnd(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          least(size(col("t1")), size(col("t2"))).cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Incremental dedup: near-dup pairs between an INCOMING batch and an

@@ -688,11 +688,11 @@ object LlmQueries {
     s"(CASE WHEN list_sum(list_transform(tset, c -> (c >> $k) & 1)) * 2 >= len(tset) THEN ${1L << k} ELSE 0 END)"
   }.mkString(" + ")
 
-  private val minhashCols: String = (0 until Dedup.K).map { i =>
+  private[queries] val minhashCols: String = (0 until Dedup.K).map { i =>
     s"list_min(list_transform(tset, c -> (${Dedup.A(i)} * c + ${Dedup.B(i)}) % $P)) AS m$i"
   }.mkString(", ")
 
-  private val bandKeyCase: String = (0 until Dedup.Bands).map { b =>
+  private[queries] val bandKeyCase: String = (0 until Dedup.Bands).map { b =>
     val ms = (0 until Dedup.Rows).map(r => s"CAST(m${b * Dedup.Rows + r} AS VARCHAR)")
     s"WHEN band = $b THEN ${ms.mkString(" || ':' || ")}"
   }.mkString("CASE ", " ", " END")

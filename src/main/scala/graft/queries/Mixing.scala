@@ -154,6 +154,15 @@ object Mixing {
             .as("kl_ab"))
     }),
 
+    // Directed containment dedup: subset/quote-expansion pairs that
+    // symmetric Jaccard misses (a doc pasted inside a longer one scores
+    // containment 1.0 but Jaccard |A|/|B|). Same capped LSH candidate
+    // stage as q21; only the verify metric differs. See
+    // Dedup.containmentPairs for the recall caveat on extreme
+    // size asymmetry.
+    "q94_containment_dedup" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), minContainment = 0.8)),
+
     // Output shard balance: docs hashed into 16 training shards (same
     // injective multiplicative hash as q87's sampling order), with
     // per-shard doc and token totals — the pre-write check that no
@@ -173,7 +182,7 @@ object Mixing {
 
   // ---- oracle SQL ------------------------------------------------------
 
-  import LlmQueries.{toksExpr, codesExpr, shingleCtes}
+  import LlmQueries.{toksExpr, codesExpr, shingleCtes, minhashCols, bandKeyCase}
 
   val oracleSql: Map[String, String] = Map(
     "q88_temperature_sampling" ->
@@ -237,6 +246,31 @@ object Mixing {
             CAST(t.v AS BIGINT) AS n_codes,
             ${Num.rSql("CAST(s.s4 AS DOUBLE) / (t.na * 10000.0)", 6)} AS kl_ab
           FROM s, t""",
+    "q94_containment_dedup" ->
+      s"""SELECT * FROM (WITH $shingleCtes,
+          sig AS (SELECT doc_id, tset, $minhashCols FROM t),
+          bands0 AS (
+            SELECT doc_id, tset, band, $bandKeyCase AS key
+            FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands).map(b => s"($b)").mkString(", ")}) AS bb(band)
+            WHERE len(tset) > 0),
+          bands AS (
+            SELECT doc_id, tset, band, key FROM (
+              SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands0)
+            WHERE bsz <= 1000),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+              l.tset AS t1, r.tset AS t2
+            FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+            WHERE l.doc_id < r.doc_id)
+          SELECT
+            CASE WHEN len(t1) < len(t2) OR (len(t1) = len(t2) AND doc1 < doc2)
+                 THEN doc1 ELSE doc2 END AS inner_doc,
+            CASE WHEN len(t1) < len(t2) OR (len(t1) = len(t2) AND doc1 < doc2)
+                 THEN doc2 ELSE doc1 END AS outer_doc,
+            ${Num.rSql(
+              "CAST(len(list_intersect(t1, t2)) AS DOUBLE) / least(len(t1), len(t2))",
+              4)} AS containment
+          FROM cand) WHERE containment >= 0.8""",
     "q93_shard_balance" ->
       s"""WITH t AS (SELECT
             ((doc_id * 2654435761 + 17) % 1000000007) % 16 AS shard,

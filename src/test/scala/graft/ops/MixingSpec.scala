@@ -118,6 +118,49 @@ class MixingSpec extends AnyFunSuite {
     assert(kl === want)
   }
 
+  test("q94 containment: planted prefix doc scores 1.0 where jaccard can't") {
+    import spark.implicits._
+    // doc 2 extends doc 1 by ~50%: close enough in size that the
+    // Jaccard-tuned banding still collides (the documented recall
+    // envelope), yet diluted enough that symmetric jaccard is below
+    // any near-dup bar while containment is exactly 1.0
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " rho sigma"),
+      (3L, "completely different words nothing shared at all here friend")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, minContainment = 0.95)
+      .as[(Long, Long, Double)].collect()
+    Dedup.clearSignatureCaches()
+    // doc 1 is a strict prefix of doc 2: every 5-gram of 1 appears in 2
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    // ...while symmetric jaccard on the same pair is dilution-bound:
+    // |A|/|B| = 12/14 ≈ 0.857, under containment's own 0.95 bar
+    val jac = Dedup.minhashPairs(docs, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L)
+    Dedup.clearSignatureCaches()
+    assert(jac.exists(_._3 < 0.9), s"jaccard should be dilution-bound: $jac")
+  }
+
+  test("q94 containment >= jaccard on every corpus pair") {
+    import spark.implicits._
+    val cont = graft.queries.Mixing.queries("q94_containment_dedup")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)) -> p._3).toMap
+    val jac = graft.queries.LlmQueries.queries("q21_minhash_pairs")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    Dedup.clearSignatureCaches()
+    assert(cont.nonEmpty)
+    // every strong-jaccard pair must also clear the containment bar
+    // (containment >= jaccard pointwise), with the score no smaller
+    for ((d1, d2, j) <- jac if j >= 0.8)
+      assert(cont.get((d1, d2)).exists(_ >= j), s"($d1,$d2) j=$j")
+  }
+
   test("q93 shards cover the corpus with bounded skew") {
     import spark.implicits._
     val got = graft.queries.Mixing.queries("q93_shard_balance")(spark, sf)
