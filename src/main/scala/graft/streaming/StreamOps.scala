@@ -124,6 +124,51 @@ object StreamOps {
       }
   }
 
+  /** One heavy-hitter estimate: `est` undercounts the true frequency by
+    * at most N/(k+1) tokens seen for the language (Misra–Gries bound).
+    */
+  final case class HeavyHitter(lang: String, code: Long, est: Long)
+
+  /** Streaming per-language token heavy hitters with BOUNDED state: a
+    * Misra–Gries frequent-items summary of at most k counters per
+    * language, maintained ACROSS micro-batches — the streaming twin of
+    * the batch q89 top-k (which is exact because it sees all counts).
+    * State is ≤ k (code, count) entries per language no matter how many
+    * distinct tokens flow past; any token whose true count exceeds
+    * N/(k+1) is GUARANTEED present in the summary, and estimates only
+    * ever undercount (classic MG semantics — a verify pass over the
+    * candidate set recovers exact counts when needed, the same
+    * candidates-then-verify shape as the LSH dedup).
+    *
+    * Each batch appends the language's full post-batch summary snapshot
+    * (score-desc, code tiebreak), so the sink's latest snapshot per
+    * language is the current estimate. Within a batch the slice is
+    * buffered and processed in code order for deterministic replay
+    * (trigger sizing bounds the buffer, as with tokenBudgetStream);
+    * across batches arrival order is the semantic, and the MG guarantee
+    * holds under every order.
+    */
+  def heavyHittersStream(toks: Dataset[(String, Long)],
+      k: Int): Dataset[HeavyHitter] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lang, it, state) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.toArray.map(_._2).sorted.foreach { code =>
+            if (m.contains(code)) m += code -> (m(code) + 1L)
+            else if (m.size < k) m += code -> 1L
+            else m = m.map { case (c, n) => c -> (n - 1L) }
+              .filter { case (_, n) => n > 0L }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (c, n) => (-n, c) }
+            .map { case (c, n) => HeavyHitter(lang, c, n) }.iterator
+      }
+  }
+
   /** Static shingle indexes persisted by [[contaminationStream]]; one
     * entry per guard. [[clearStaticIndexes]] releases them when a guard's
     * query stops (same lifecycle pattern as Dedup.clearSignatureCaches).

@@ -257,4 +257,43 @@ class StreamOpsSpec extends AnyFunSuite {
         (ts(40), ts(50), 1L)))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: MG guarantee holds across batches, state bounded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val k = 4
+    val out = StreamOps.heavyHittersStream(in.toDS(), k)
+    val ckpt = Files.createTempDirectory("hh_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("hh").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 1: hot code 7 dominates; cold codes churn the counters
+      val b1 = Seq.fill(30)(("en", 7L)) ++ (100L until 110L).map(("en", _))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val snap1 = spark.table("hh").as[(String, Long, Long)].collect()
+      assert(snap1.length <= k, "state must stay bounded at k counters")
+      assert(snap1.exists(_._2 == 7L), "hot code present after batch 1")
+
+      // batch 2: different cold codes; hot code keeps flowing
+      val b2 = Seq.fill(20)(("en", 7L)) ++ (200L until 210L).map(("en", _))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val all = spark.table("hh").as[(String, Long, Long)].collect()
+      val snap2 = all.drop(snap1.length) // rows appended by batch 2
+      assert(snap2.nonEmpty && snap2.length <= k)
+      val hot = snap2.find(_._2 == 7L)
+      val n = (b1.length + b2.length).toLong
+      // MG guarantee: true count 50 > N/(k+1) = 14 -> must be present,
+      // estimate undercounts by at most N/(k+1)
+      assert(hot.isDefined, s"hot code evicted: ${snap2.mkString(",")}")
+      assert(hot.get._3 <= 50L && hot.get._3 >= 50L - n / (k + 1),
+        s"estimate ${hot.get._3} outside MG bound")
+      // snapshot is sorted score-desc: the hot code leads it
+      assert(snap2.head._2 === 7L)
+    } finally q.stop()
+  }
 }

@@ -406,6 +406,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("every corpus operator executes on an EMPTY documents table") {
+    import spark.implicits._
+    // a fresh pipeline's first run sees zero docs; every documents-
+    // family operator must return an empty (or degenerate-aggregate)
+    // result, not crash on head()/div-by-zero/empty-reduce
+    val dir = java.nio.file.Files.createTempDirectory("empty").toString
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length($"text"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docQueries = (graft.queries.LlmQueries.queries.toSeq ++
+      graft.queries.Mixing.queries.toSeq)
+      .filterNot { case (n, _) => // embeddings-family: corpus unaffected
+        Seq("q23", "q24", "q25", "q32", "q64", "q70", "q72", "q84")
+          .exists(n.startsWith)
+      }
+    val failures = docQueries.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    Dedup.clearSignatureCaches()
+  }
+
   test("embedding operators execute on zero and extreme vectors") {
     import spark.implicits._
     // a zero vector makes cosine NaN; huge magnitudes stress the dot
