@@ -163,6 +163,43 @@ object Mixing {
     "q94_containment_dedup" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), minContainment = 0.8)),
 
+    // Per-language token-length quantiles (p25/p50/p75/p95), EXACT —
+    // computed the scale-honest way: a (lang, n_tok) value HISTOGRAM
+    // (token counts are a bounded domain, so the histogram is tiny no
+    // matter the corpus size) + linear interpolation at rank
+    // h = q·(n−1), instead of Spark's exact `percentile` aggregate
+    // which buffers every group value in one task. Matches DuckDB's
+    // quantile_cont definition term for term: lower + (upper−lower)·frac
+    // on the same doubles, so the oracle is the built-in.
+    "q95_length_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val hist = Tables.documents(s, d)
+        .select($"lang",
+          coalesce(size(TextStats.tokens($"text")), lit(0))
+            .cast("long").as("v"))
+        .groupBy($"lang", $"v").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy($"lang").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"cnt").over(wCum))
+      val n = hist.groupBy($"lang").agg(sum($"cnt").as("n"))
+      val qs = Seq(0.25, 0.50, 0.75, 0.95).toDF("q")
+      // 4 rank requests per language; histogram × 4 join stays
+      // histogram-sized (the histogram is the small side by domain)
+      val ranks = n.crossJoin(qs)
+        .withColumn("h", $"q" * ($"n" - 1).cast("double"))
+        .withColumn("lo", floor($"h").cast("long"))
+        .withColumn("frac", $"h" - $"lo".cast("double"))
+      ranks.join(cum, Seq("lang"))
+        .groupBy($"lang", $"q", $"lo", $"frac")
+        .agg(
+          min(when($"cum" >= $"lo" + 1, $"v")).as("vlo"),
+          min(when($"cum" >= $"lo" + 2, $"v")).as("vhi"))
+        .select($"lang", $"q",
+          rnd($"vlo".cast("double") +
+            (coalesce($"vhi", $"vlo") - $"vlo").cast("double") * $"frac", 6)
+            .as("quantile"))
+    }),
+
     // Output shard balance: docs hashed into 16 training shards (same
     // injective multiplicative hash as q87's sampling order), with
     // per-shard doc and token totals — the pre-write check that no
@@ -246,6 +283,18 @@ object Mixing {
             CAST(t.v AS BIGINT) AS n_codes,
             ${Num.rSql("CAST(s.s4 AS DOUBLE) / (t.na * 10000.0)", 6)} AS kl_ab
           FROM s, t""",
+    "q95_length_quantiles" -> {
+      // quantile_cont demands a CONSTANT quantile — one UNION ALL arm
+      // per requested q
+      val arms = Seq(0.25, 0.50, 0.75, 0.95).map { q =>
+        s"""SELECT lang, CAST($q AS DOUBLE) AS q,
+            ${Num.rSql(s"quantile_cont(v, $q)", 6)} AS quantile
+            FROM t GROUP BY lang"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH t AS (SELECT lang,
+            CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS v FROM documents)
+          $arms"""
+    },
     "q94_containment_dedup" ->
       s"""SELECT * FROM (WITH $shingleCtes,
           sig AS (SELECT doc_id, tset, $minhashCols FROM t),

@@ -161,6 +161,28 @@ class MixingSpec extends AnyFunSuite {
       assert(cont.get((d1, d2)).exists(_ >= j), s"($d1,$d2) j=$j")
   }
 
+  test("q95 histogram quantiles == Spark's exact percentile aggregate") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q95_length_quantiles")(spark, sf)
+      .as[(String, Double, Double)].collect()
+      .map { case (l, q, v) => (l, q) -> v }.toMap
+    val want = Tables.documents(spark, sf)
+      .select($"lang", coalesce(size(
+        graft.ext.TextStats.tokens($"text")), lit(0)).cast("long").as("v"))
+      .groupBy($"lang")
+      .agg(expr("percentile(v, array(0.25, 0.50, 0.75, 0.95))").as("p"))
+      .select($"lang", posexplode($"p").as(Seq("i", "pv")))
+      .as[(String, Int, Double)].collect()
+      .map { case (l, i, v) =>
+        (l, Seq(0.25, 0.50, 0.75, 0.95)(i)) ->
+          math.floor(v * 1e6 + 0.5) / 1e6
+      }.toMap
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(got(k) === v, s"$k")
+    assert(got.size === 4 * Tables.documents(spark, sf)
+      .select($"lang").distinct().count())
+  }
+
   test("q93 shards cover the corpus with bounded skew") {
     import spark.implicits._
     val got = graft.queries.Mixing.queries("q93_shard_balance")(spark, sf)
