@@ -148,7 +148,8 @@ class PlanSpec extends AnyFunSuite {
         "q31_interval_join", "q33_simhash64_pairs", "q43_fuzzy_match",
         "q75_span_dedup", "q78_snapshot_diff", "q80_dedup_keep_longest",
         "q81_bloom_decontaminate", "q82_vocab_coverage",
-        "q83_bigram_lm_score", "q91_shingle_novelty")) {
+        "q83_bigram_lm_score", "q90_cluster_size_histogram",
+        "q91_shingle_novelty", "q94_containment_dedup")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
