@@ -126,17 +126,20 @@ object Mixing {
     // q83/q85 discipline) so the only libm exposure is ln itself.
     "q92_token_kl_drift" -> ((s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      // ONE conditional aggregate instead of two filtered count tables
+      // + a full-outer join: halves the corpus scans and drops the join
+      // entirely (plan-audited — the join form read documents twice).
+      // Cached (vocab-sized) because both the scalar totals and the
+      // term aggregation consume it — uncached, each re-scans the
+      // corpus.
+      val j = Dedup.cached(Tables.documents(s, d)
         .select($"doc_id",
           explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
         .filter($"code".isNotNull)
-      val a = toks.filter(pmod($"doc_id", lit(2L)) === 0)
-        .groupBy($"code").agg(count(lit(1)).as("ca"))
-      val b = toks.filter(pmod($"doc_id", lit(2L)) === 1)
-        .groupBy($"code").agg(count(lit(1)).as("cb"))
-      val j = a.join(b, Seq("code"), "full_outer")
-        .select(coalesce($"ca", lit(0L)).as("ca"),
-          coalesce($"cb", lit(0L)).as("cb"))
+        .groupBy($"code")
+        .agg(
+          sum(when(pmod($"doc_id", lit(2L)) === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(pmod($"doc_id", lit(2L)) === 1, 1L).otherwise(0L)).as("cb")))
       val tot = j.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
         count(lit(1)).as("v"))
       j.crossJoin(broadcast(tot))
@@ -173,11 +176,14 @@ object Mixing {
     // on the same doubles, so the oracle is the built-in.
     "q95_length_quantiles" -> ((s, d) => {
       import s.implicits._
-      val hist = Tables.documents(s, d)
+      // cached: the histogram feeds BOTH the cum window and the n-per-
+      // lang totals on different keys, so exchange reuse can't kick in;
+      // uncached, each consumer re-scans the corpus (plan-audited)
+      val hist = Dedup.cached(Tables.documents(s, d)
         .select($"lang",
           coalesce(size(TextStats.tokens($"text")), lit(0))
             .cast("long").as("v"))
-        .groupBy($"lang", $"v").agg(count(lit(1)).as("cnt"))
+        .groupBy($"lang", $"v").agg(count(lit(1)).as("cnt")))
       val wCum = Window.partitionBy($"lang").orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum($"cnt").over(wCum))
