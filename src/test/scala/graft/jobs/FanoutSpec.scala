@@ -156,6 +156,22 @@ class FanoutSpec extends AnyFunSuite {
     }
   }
 
+  test("websocket frame codec round-trips every length-encoding regime") {
+    // 7-bit (<126), 16-bit (126..65535), 64-bit (>65535) length paths,
+    // plus the boundaries themselves; encodeFrame emits unmasked server
+    // frames and readFrame accepts them (mask bit clear -> no mask key)
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 125, 126, 127, 65535, 65536, 70000)) {
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val framed = WebSocket.encodeFrame(0x1, payload)
+      val in = new java.io.ByteArrayInputStream(framed)
+      val Some((op, got)) = WebSocket.readFrame(in)
+      assert(op === 0x1)
+      assert(java.util.Arrays.equals(got, payload), s"n=$n")
+      assert(in.read() === -1, s"n=$n: trailing bytes after frame")
+    }
+  }
+
   test("websocket fan-out: handshake, text frames, ping/pong, close sweep") {
     val hub = new FanoutHub()
     val server = new WebSocketFanoutServer(hub)
