@@ -656,14 +656,27 @@ object LlmQueries {
     "q25_embedding_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.3)),
 
-    // Multimodal plumbing: binary payloads -> partition-batched features
-    // (decode step stubbed; see graft.ext.Multimodal).
+    // Multimodal plumbing: binary payloads -> partition-batched features.
+    // text/plain has no container header, so this exercises the
+    // degrade-to-byte-features path (format = "unknown").
     "q26_multimodal_features" -> ((s, d) => {
       import s.implicits._
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, d))
           .as[Multimodal.MediaRecord]).toDF()
     }),
+
+    // Real container-header decode round-trip: each doc becomes a
+    // payload with a genuine PNG/JPEG/GIF/WAV header (doc_id % 5; %5==4
+    // stays raw bytes) and the decoder parses dims/rate back OUT of the
+    // header bytes. The oracle recomputes the expected metadata
+    // arithmetically from doc_id, so a parser offset/endianness bug
+    // hash-fails here.
+    "q96_media_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.fixtureMedia(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("format"), col("feat_width"),
+          col("feat_height"), col("sample_rate"), col("channels"))),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -1215,8 +1228,28 @@ object LlmQueries {
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
            CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS head_byte,
            CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65536 AS BIGINT) AS byte_sum_mod,
+           'unknown' AS format,
            CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS feat_width,
-           CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS feat_height
+           CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS feat_height,
+           CAST(0 AS INTEGER) AS sample_rate,
+           CAST(0 AS INTEGER) AS channels
+         FROM documents""",
+    "q96_media_decode" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+           CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 16 + doc_id % 600
+                WHEN doc_id % 5 = 3 THEN 0
+                ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) % 640
+                END AS INTEGER) AS feat_width,
+           CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 16 + doc_id % 440
+                WHEN doc_id % 5 = 3 THEN 0
+                ELSE octet_length(CAST(coalesce(text, '') AS BLOB)) % 480
+                END AS INTEGER) AS feat_height,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 8000 + (doc_id % 8) * 1000
+                ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
+                ELSE 0 END AS INTEGER) AS channels
          FROM documents""",
   )
 }
