@@ -138,8 +138,17 @@ object WebSocket {
     header ++ payload
   }
 
+  /** Largest inbound frame accepted: clients only ever send control
+    * frames and tiny text here, so anything bigger is a broken or
+    * hostile peer — reject rather than allocate.
+    */
+  val MaxInboundFrameBytes: Long = 1L << 20
+
   /** Read one client frame (must be masked, RFC 6455 §5.1) from the
-    * stream: (opcode, unmasked payload), or None at EOF.
+    * stream: (opcode, unmasked payload), or None at EOF, on a truncated
+    * header (EOF mid-length or mid-mask-key), or on a length beyond
+    * [[MaxInboundFrameBytes]] — every malformed shape maps to None so
+    * the caller's single drop path runs.
     */
   def readFrame(in: java.io.InputStream): Option[(Int, Array[Byte])] = {
     def b(): Int = in.read()
@@ -150,9 +159,33 @@ object WebSocket {
     if (b1 < 0) return None
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7F
-    if (len == 126) len = (b() << 8 | b()).toLong
-    else if (len == 127) { len = 0L; for (_ <- 0 until 8) len = (len << 8) | b() }
-    val mask = if (masked) Array.fill(4)(b().toByte) else Array.empty[Byte]
+    if (len == 126) {
+      val hi = b(); val lo = b()
+      if (hi < 0 || lo < 0) return None
+      len = ((hi << 8) | lo).toLong
+    } else if (len == 127) {
+      len = 0L
+      var i = 0
+      while (i < 8) {
+        val x = b()
+        if (x < 0) return None
+        len = (len << 8) | x
+        i += 1
+      }
+    }
+    // negative = a 64-bit length with the top bit set (already illegal
+    // per §5.2); the cap also keeps len.toInt below exact
+    if (len < 0 || len > MaxInboundFrameBytes) return None
+    val mask = new Array[Byte](4)
+    if (masked) {
+      var i = 0
+      while (i < 4) {
+        val x = b()
+        if (x < 0) return None
+        mask(i) = x.toByte
+        i += 1
+      }
+    }
     val payload = new Array[Byte](len.toInt)
     var off = 0
     while (off < len) {
@@ -177,6 +210,11 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
+  /** Upgrade-request header cap: a peer that streams bytes without ever
+    * sending the blank line is cut off rather than growing the buffer.
+    */
+  private val MaxHandshakeBytes = 16 * 1024
+
   private def handshake(sock: java.net.Socket): Boolean = {
     val in = sock.getInputStream
     // read header bytes up to the blank line (HTTP/1.1 upgrade request)
@@ -184,7 +222,7 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
     var done = false
     while (!done) {
       val c = in.read()
-      if (c < 0) done = true
+      if (c < 0 || sb.length >= MaxHandshakeBytes) done = true
       else { sb.append(c.toChar); done = sb.endsWith("\r\n\r\n") }
     }
     val key = sb.toString.linesIterator
@@ -206,6 +244,17 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
     }
   }
 
+  /** Handshake deadline: a client that connects and never sends its
+    * upgrade request times out on its own thread instead of holding a
+    * slot forever.
+    */
+  private val HandshakeTimeoutMs = 10000
+
+  // The acceptor does NOTHING but accept — all client I/O (handshake
+  // included) lives on the per-client thread, so one peer disconnecting
+  // mid-handshake or stalling before its headers can neither kill the
+  // accept loop nor block other clients (the raw-TCP shell's invariant,
+  // held here too).
   private val acceptor = new Thread(() => {
     var n = 0
     try {
@@ -213,19 +262,21 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
         val sock = server.accept()
         n += 1
         val id = s"ws-client-$n"
-        if (handshake(sock)) {
-          val out = sock.getOutputStream
-          hub.register(id, new FanoutHub.Transport {
-            override def send(msg: String): Unit = out.synchronized {
-              out.write(WebSocket.encodeFrame(0x1, msg.getBytes(UTF_8)))
-              out.flush()
-            }
-            override def close(): Unit =
-              try sock.close() catch { case _: IOException => () }
-          })
-          // control-frame reader: PING -> PONG, CLOSE -> echo + drop
-          val reader = new Thread(() => {
-            try {
+        val reader = new Thread(() => {
+          try {
+            sock.setSoTimeout(HandshakeTimeoutMs)
+            if (handshake(sock)) {
+              sock.setSoTimeout(0)
+              val out = sock.getOutputStream
+              hub.register(id, new FanoutHub.Transport {
+                override def send(msg: String): Unit = out.synchronized {
+                  out.write(WebSocket.encodeFrame(0x1, msg.getBytes(UTF_8)))
+                  out.flush()
+                }
+                override def close(): Unit =
+                  try sock.close() catch { case _: IOException => () }
+              })
+              // control-frame loop: PING -> PONG, CLOSE -> echo + drop
               var live = true
               while (live) WebSocket.readFrame(sock.getInputStream) match {
                 case Some((0x9, p)) => out.synchronized {
@@ -240,11 +291,17 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
                 case Some(_) => () // inbound text/pong: push server ignores
                 case None => live = false; hub.drop(id)
               }
-            } catch { case _: IOException => hub.drop(id) }
-          }, s"ws-reader-$id")
-          reader.setDaemon(true)
-          reader.start()
-        }
+            }
+          } catch {
+            // NonFatal, not just IOException: a malformed frame can fail
+            // outside the socket layer and the sweep must still run
+            case scala.util.control.NonFatal(_) => hub.drop(id)
+          } finally {
+            try sock.close() catch { case _: IOException => () }
+          }
+        }, s"ws-reader-$id")
+        reader.setDaemon(true)
+        reader.start()
       }
     } catch { case _: IOException => () } // server closed
   }, "ws-fanout-acceptor")
@@ -267,7 +324,11 @@ object FanoutSink {
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.toJSON.collect().foreach(hub.publish)
+        // toLocalIterator, not collect: the driver holds at most one
+        // partition of the micro-batch at a time, so a burst batch can't
+        // OOM the driver heap. Costs one job per partition — fine at the
+        // edge-sized batches this sink exists for.
+        batch.toJSON.toLocalIterator().asScala.foreach(hub.publish)
       }
       .start()
 }

@@ -172,6 +172,120 @@ class FanoutSpec extends AnyFunSuite {
     }
   }
 
+  test("readFrame maps truncated headers and hostile lengths to None") {
+    import java.io.ByteArrayInputStream
+    def frame(bytes: Int*): Option[(Int, Array[Byte])] =
+      WebSocket.readFrame(new ByteArrayInputStream(bytes.map(_.toByte).toArray))
+    // EOF mid-16-bit-length (the old code folded -1 into the length)
+    assert(frame(0x81, 0xFE, 0x01).isEmpty)
+    // EOF mid-64-bit-length
+    assert(frame(0x81, 0xFF, 0x00, 0x00, 0x00).isEmpty)
+    // EOF mid-mask-key
+    assert(frame(0x81, 0x85, 0x12, 0x34).isEmpty)
+    // 64-bit length with the sign bit set (illegal per RFC 6455 §5.2)
+    assert(frame(0x81, 0xFF, 0x80, 0, 0, 0, 0, 0, 0, 1, 0x00).isEmpty)
+    // absurd length above the inbound cap: rejected before allocation
+    assert(frame(0x81, 0xFF, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x00).isEmpty)
+    // sanity: a well-formed empty masked frame still parses
+    val ok = frame(0x89, 0x80, 0x12, 0x34, 0x56, 0x78)
+    assert(ok.exists { case (op, p) => op == 0x9 && p.isEmpty })
+  }
+
+  test("acceptor survives broken and silent handshakes") {
+    val hub = new FanoutHub()
+    val server = new WebSocketFanoutServer(hub)
+    try {
+      // peer 1: connects and goes silent — must not block later accepts
+      val silent = new Socket("127.0.0.1", server.boundPort)
+      // peer 2: half a request line, then vanishes mid-handshake
+      val broken = new Socket("127.0.0.1", server.boundPort)
+      broken.getOutputStream.write("GET /feed HTT".getBytes(UTF_8))
+      broken.getOutputStream.flush()
+      broken.close()
+      // peer 3: garbage headers with no websocket key -> 400, socket shut
+      val noKey = new Socket("127.0.0.1", server.boundPort)
+      noKey.getOutputStream.write(
+        "GET / HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(UTF_8))
+      noKey.getOutputStream.flush()
+      val resp = new Array[Byte](12)
+      assert(noKey.getInputStream.read(resp) > 0)
+      assert(new String(resp, UTF_8).startsWith("HTTP/1.1 400"))
+
+      // a real client AFTER all three must still handshake and receive
+      val c = new WsClient(server.boundPort, "dGhlIHNhbXBsZSBub25jZQ==")
+      assert(c.handshakeResponse.startsWith("HTTP/1.1 101"))
+      awaitUntil()(hub.liveClients.size == 1)
+      hub.publish("""{"alive":true}""")
+      val (op, p) = c.readFrame()
+      assert(op === 0x1 && new String(p, UTF_8) === """{"alive":true}""")
+      silent.close()
+      noKey.close()
+      c.sock.close()
+    } finally {
+      hub.shutdown()
+      server.close()
+    }
+  }
+
+  test("sink streams a 200-row multi-partition batch to a TCP client") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // capacity >= batch size: offer can never fail, so delivery of every
+    // row is deterministic; the driver still iterates the batch
+    // partition-at-a-time (toLocalIterator) rather than collecting it
+    val hub = new FanoutHub()
+    val server = new SocketFanoutServer(hub)
+    val c = new TestClient(server.boundPort)
+    awaitUntil()(hub.liveClients.size == 1)
+
+    val mem = MemoryStream[Long](numPartitions = 4)
+    val q = FanoutSink.start(mem.toDS().toDF("seq_id"), hub, "fanout-big")
+    try {
+      mem.addData(0L until 200L)
+      q.processAllAvailable()
+      awaitUntil()(c.received.size == 200)
+      val got = c.received.toArray.map(_.toString).toSet
+      assert(got === (0L until 200L).map(i => s"""{"seq_id":$i}""").toSet)
+      assert(hub.liveClients.size == 1, "keeping up must not get swept")
+    } finally {
+      q.stop()
+      hub.shutdown()
+      server.close()
+    }
+  }
+
+  test("batch far beyond one queue capacity sweeps the slow client, never stalls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // capacity 8 << 200 rows, and the consumer sleeps per message: the
+    // publisher is guaranteed to lap the queue, the slow client is
+    // dropped (the designed overflow behavior), and the micro-batch
+    // still completes promptly — the driver never buffers the batch nor
+    // blocks on the dead consumer
+    val hub = new FanoutHub(queueCapacity = 8)
+    val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    hub.register("slowpoke", new FanoutHub.Transport {
+      override def send(msg: String): Unit = {
+        Thread.sleep(5)
+        delivered.incrementAndGet()
+      }
+    })
+
+    val mem = MemoryStream[Long](numPartitions = 4)
+    val q = FanoutSink.start(mem.toDS().toDF("seq_id"), hub, "fanout-slow")
+    try {
+      mem.addData(0L until 200L)
+      q.processAllAvailable() // must return: no stall on the slow client
+      awaitUntil()(hub.liveClients.isEmpty)
+      assert(delivered.get() < 200, "a lapped consumer cannot see every row")
+    } finally {
+      q.stop()
+      hub.shutdown()
+    }
+  }
+
   test("websocket fan-out: handshake, text frames, ping/pong, close sweep") {
     val hub = new FanoutHub()
     val server = new WebSocketFanoutServer(hub)
