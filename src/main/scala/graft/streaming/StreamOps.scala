@@ -153,6 +153,10 @@ object StreamOps {
     val spark = toks.sparkSession
     import spark.implicits._
     toks.groupByKey(_._1)
+      // NoTimeout is safe HERE ONLY because total state is bounded by
+      // construction: one group per language x <= k MG counters each.
+      // Do not copy this onto an unbounded key domain (doc ids, users) —
+      // those need an event-time timeout to evict, like trackExpiry.
       .flatMapGroupsWithState[Map[Long, Long], HeavyHitter](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (lang, it, state) =>

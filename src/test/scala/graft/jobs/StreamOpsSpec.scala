@@ -12,15 +12,52 @@ import graft.streaming.StreamOps
 /** Event-time semantics of the streaming aggregations: append-mode
   * windows finalize when the watermark passes, and data older than the
   * watermark is dropped — the state-size bound the batch reference lacks.
+  *
+  * Parameterized over the state-store provider: the default
+  * HDFS-backed in-memory store here, and the RocksDB provider (the one
+  * a 100 TB-ingest key cardinality actually needs) in
+  * [[graft.jobs.StreamOpsRocksDBSpec]] — every stateful operator below
+  * runs green on both.
   */
-class StreamOpsSpec extends AnyFunSuite {
+abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
+    extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      // own SQLConf per suite: the provider setting must not leak into
+      // sibling suites sharing the JVM-wide SparkContext
+      .newSession()
+    stateStoreProvider.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    s
+  }
+
+  /** File extensions the configured provider persists per commit —
+    * asserted against the checkpoint so a conf typo cannot silently
+    * re-test the default store (HDFS-backed writes .delta; RocksDB
+    * uploads .zip snapshots or .changelog increments).
+    */
+  protected def stateFileMarkers: Seq[String] = Seq(".delta")
+
+  protected def assertProviderEngaged(ckpt: String): Unit = {
+    val stateDir = java.nio.file.Paths.get(ckpt, "state")
+    val walk = java.nio.file.Files.walk(stateDir)
+    try {
+      val found = walk.iterator()
+      var hit = false
+      while (found.hasNext && !hit) {
+        val name = found.next().getFileName.toString
+        hit = stateFileMarkers.exists(name.endsWith)
+      }
+      assert(hit, s"no ${stateFileMarkers.mkString("/")} state file under " +
+        s"$stateDir — wrong state-store provider engaged")
+    } finally walk.close()
+  }
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
@@ -76,6 +113,7 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table("dd_out").select($"id").as[Long].collect().sorted
       assert(ids.toSeq === Seq(1L, 2L, 3L))
+      assertProviderEngaged(ckpt)
     } finally q.stop()
   }
 
@@ -297,3 +335,6 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** The stateful family on the default HDFS-backed in-memory store. */
+class StreamOpsSpec extends StreamOpsBehaviors(None)
