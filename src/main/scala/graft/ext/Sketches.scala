@@ -78,6 +78,56 @@ class TopKByScore(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKByScore]] with an exact integer score: (score desc, id asc) as
+  * 64-bit comparisons, for count-valued rankings. The double-scored
+  * variant packing `cnt * 2^31 - code` is only exact while the packed
+  * value fits 53 bits (cnt < 2^22 ≈ 4.2M — a hot token in a large
+  * corpus exceeds that easily); carrying (cnt, code) natively stays
+  * exact at any corpus scale. Same mergeable buffer shape: ≤ k pairs
+  * per (group × partition), single O(k) positional insert per
+  * surviving row.
+  */
+class TopKByLong(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1) // score desc
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id asc
+    }
+  }
+
+  override def zero: Seq[(Long, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.size == k && ord.lteq(buf.last, x)) buf
+    else {
+      val i = buf.indexWhere(e => ord.gt(e, x))
+      val pos = if (i < 0) buf.size else i
+      val out = (buf.take(pos) :+ x) ++ buf.drop(pos)
+      if (out.size > k) out.take(k) else out
+    }
+
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val av = a.toIndexedSeq; val bv = b.toIndexedSeq
+    val out = Seq.newBuilder[(Long, Long)]
+    var ai = 0; var bi = 0; var n = 0
+    while (n < k && (ai < av.length || bi < bv.length)) {
+      val takeA = bi >= bv.length ||
+        (ai < av.length && ord.lteq(av(ai), bv(bi)))
+      if (takeA) { out += av(ai); ai += 1 } else { out += bv(bi); bi += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 class MinhashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   import Dedup.{A, B, K}
   private val P = TextStats.P

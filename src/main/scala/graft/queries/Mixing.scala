@@ -58,9 +58,11 @@ object Mixing {
     // Per-language token heavy hitters (top-5 by count, code tiebreak)
     // via the mergeable bounded top-k aggregator — L × k tuples per
     // partition, never a window over the (lang, code) count table. The
-    // score packs (cnt desc, code asc) into ONE exact double:
-    // cnt·2³¹ − code, both factors < 2⁵³ so the arithmetic is
-    // exact-integer in double and the count is recovered exactly.
+    // aggregator carries (cnt, code) as native longs with an exact
+    // (cnt desc, code asc) 64-bit comparison — no double packing, so
+    // the ordering and the recovered count stay exact for ANY count
+    // (the earlier cnt·2³¹ − code double was only exact below
+    // cnt < 2²², which a hot token in a large corpus exceeds).
     "q89_lang_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val cnts = Tables.documents(s, d)
@@ -68,15 +70,12 @@ object Mixing {
           explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
         .filter($"code".isNotNull)
         .groupBy($"lang", $"code").agg(count(lit(1)).as("cnt"))
-      val topk = udaf(new graft.ext.TopKByScore(5))
+      val topk = udaf(new graft.ext.TopKByLong(5))
       cnts.groupBy($"lang")
-        .agg(topk($"cnt".cast("double") * 2147483648.0 -
-          $"code".cast("double"), $"code").as("top"))
+        .agg(topk($"cnt", $"code").as("top"))
         .select($"lang", posexplode($"top").as(Seq("rank0", "r")))
         .select($"lang", ($"rank0" + 1).cast("long").as("rank"),
-          $"r._2".as("code"),
-          (($"r._1" + $"r._2".cast("double")) / 2147483648.0)
-            .cast("long").as("cnt"))
+          $"r._2".as("code"), $"r._1".as("cnt"))
     }),
 
     // Near-dup cluster-size histogram: the dedup QA artifact (how much
@@ -142,15 +141,19 @@ object Mixing {
           sum(when(pmod($"doc_id", lit(2L)) === 1, 1L).otherwise(0L)).as("cb")))
       val tot = j.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
         count(lit(1)).as("v"))
-      j.crossJoin(broadcast(tot))
+      // UNGROUPED final aggregate, scalars re-attached after: exactly
+      // one output row even when no code has ca > 0 (half A empty),
+      // where a groupBy over the filtered-empty set would return zero
+      // rows but the oracle's ungrouped sum returns one NULL row — the
+      // degenerate corpus must agree on BOTH engines.
+      val s4 = j.crossJoin(broadcast(tot))
         .filter($"ca" > 0)
         .select(($"ca" * floor(log(
             ($"ca".cast("double") / $"na".cast("double")) /
               (($"cb" + 1).cast("double") / ($"nb" + $"v").cast("double")))
-            * 10000 + 0.5).cast("long")).as("term"),
-          $"na", $"nb", $"v")
-        .groupBy($"na", $"nb", $"v")
+            * 10000 + 0.5).cast("long")).as("term"))
         .agg(sum($"term").as("s4"))
+      s4.crossJoin(broadcast(tot))
         .select($"na".as("n_tokens_a"), $"nb".as("n_tokens_b"),
           $"v".as("n_codes"),
           rnd($"s4".cast("double") / ($"na".cast("double") * 10000.0), 6)

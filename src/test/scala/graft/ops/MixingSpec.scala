@@ -41,7 +41,49 @@ class MixingSpec extends AnyFunSuite {
       "every boosted language must be no larger than every damped one")
   }
 
-  test("q89 packed-score top-k == window row_number reference") {
+  test("TopKByLong stays exact beyond the double-packing regime") {
+    import spark.implicits._
+    // counts ~2^40: the old cnt*2^31 - code double packing sits at
+    // ~2^71, far past the 53-bit mantissa — distinct (cnt, code) pairs
+    // collapse to the SAME double and the tiebreak is lost
+    val big = 1L << 40
+    val p1 = (big + 5).toDouble * 2147483648.0 - 3.0
+    val p2 = (big + 5).toDouble * 2147483648.0 - 10.0
+    assert(p1 === p2, "double packing should collapse here (why we moved off it)")
+    // the native long aggregator keeps the exact (cnt desc, code asc) order
+    val topk = udaf(new graft.ext.TopKByLong(3))
+    val got = Seq((big + 5, 10L), (big + 5, 3L), (big + 4, 1L), (big + 3, 99L))
+      .toDF("cnt", "code").repartition(4) // force merge() across partials
+      .agg(topk($"cnt", $"code").as("top"))
+      .select(explode($"top").as("r")).select($"r._1", $"r._2")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((big + 5, 3L), (big + 5, 10L), (big + 4, 1L)))
+  }
+
+  test("q92 emits exactly one NULL-kl row when half A is empty") {
+    import spark.implicits._
+    // every even doc_id (the A half) empty or null: no code has ca > 0.
+    // The oracle's ungrouped sum yields one row with NULL s4 — the
+    // Spark side must agree (a groupBy over the filtered-empty set
+    // would return zero rows and hash-mismatch the gate).
+    val dir = java.nio.file.Files.createTempDirectory("q92_degen").toString
+    Seq((0L, "", "en", "s", 0L),
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, null.asInstanceOf[String], "en", "s", 0L),
+      (3L, "delta epsilon", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Mixing.queries("q92_token_kl_drift")(spark, dir)
+      .collect()
+    assert(rows.length === 1, s"got ${rows.length} rows")
+    val r = rows.head
+    assert(r.getAs[Long]("n_tokens_a") === 0L)
+    assert(r.getAs[Long]("n_tokens_b") === 5L)
+    assert(r.getAs[Long]("n_codes") === 5L)
+    assert(r.isNullAt(r.fieldIndex("kl_ab")), "KL undefined when A is empty")
+  }
+
+  test("q89 long-score top-k == window row_number reference") {
     import spark.implicits._
     val got = graft.queries.Mixing.queries("q89_lang_heavy_hitters")(spark, sf)
       .as[(String, Long, Long, Long)].collect().toSet
