@@ -263,12 +263,17 @@ object LlmQueries {
         .select($"doc1".as("src"), $"doc2".as("dst"))
       val members = graft.operators.Graph.connectedComponents(s, pairs)
         .join(docs.select($"doc_id".as("node"), $"n_chars"), Seq("node"))
-      val keepers = members.groupBy($"component")
-        .agg(max_by($"node", struct($"n_chars".cast("long"), -$"node"))
-          .as("keep_doc_id"))
-      members.join(keepers, Seq("component"))
-        .filter($"node" =!= $"keep_doc_id")
-        .select($"node".as("doc_id"), $"keep_doc_id")
+      // keeper election as a component-partitioned window max over
+      // (n_chars, -node): ONE pass over members — the earlier
+      // groupBy-then-join-back consumed members (and its embedded
+      // documents scan) twice, doubling the corpus read (caught by the
+      // PlanSpec single-scan contract)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"component")
+      members
+        .withColumn("best", max(struct($"n_chars".cast("long").as("nc"),
+          (-$"node").as("negn"))).over(w))
+        .filter($"node" =!= -$"best.negn")
+        .select($"node".as("doc_id"), (-$"best.negn").as("keep_doc_id"))
     }),
 
     // Test-set decontamination: q51's hash split carves a 10% holdout;

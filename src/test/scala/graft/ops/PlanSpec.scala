@@ -264,6 +264,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("the heavy corpus queries scan documents.parquet exactly once") {
+    // the q92/q95 class of bug, caught mechanically: a composition that
+    // forgets to cache (or caches the wrong frame) re-scans the corpus
+    // per consumer — invisible at sf0.001, a doubled 100 TB read at
+    // scale. Count parquet scans of `documents` structurally, looking
+    // through the AQE wrapper and INTO cached relations (each cache
+    // materializes its plan once, so a cached documents scan counts
+    // once no matter how many InMemoryTableScans consume it).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def documentScans(root: SparkPlan): Int = {
+      val seenCaches = scala.collection.mutable.Set[Int]()
+      def count(p: SparkPlan): Int = p.collect {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+        case m: InMemoryTableScanExec =>
+          if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+            count(m.relation.cachedPlan)
+          else 0
+      }.sum
+      count(root)
+    }
+    for (q <- Seq("q22_bigram_jaccard", "q65_dedup_components",
+        "q80_dedup_keep_longest", "q81_bloom_decontaminate")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val n = documentScans(physical(df))
+      assert(n <= 1, s"$q scans documents $n times:\n" +
+        physical(df).toString.take(1200))
+      graft.ext.Dedup.clearSignatureCaches()
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import org.apache.spark.sql.functions._
     val keys = Seq(
