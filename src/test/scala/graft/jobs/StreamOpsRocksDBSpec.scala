@@ -26,6 +26,36 @@ class StreamOpsRocksDBSpec extends StreamOpsBehaviors(
   override protected def stateFileMarkers: Seq[String] =
     Seq(".zip", ".changelog")
 
+  test("streaming fragment reassembly buffers across batches on RocksDB") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reassembly state is THE unbounded-key streaming buffer at ingest
+    // scale (one entry per in-flight multi-fragment message), so this
+    // is the family member that most needs the disk-backed store
+    val mem = MemoryStream[graft.ops.Reassembly.Fragment]
+    val ckpt = Files.createTempDirectory("ra_rocks_ckpt").toString
+    val q = graft.ops.Reassembly.assembleStream(mem.toDS())
+      .writeStream.format("memory").queryName("assembled_rocks")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(graft.ops.Reassembly.Fragment(9, "A", 2, 1, "!AIVDM,frag1", "tag1"))
+      q.processAllAvailable()
+      assert(spark.table("assembled_rocks").count() === 0,
+        "half-assembled message must stay buffered")
+      // completion requires batch-1's fragment to come back OUT of the
+      // RocksDB store
+      mem.addData(graft.ops.Reassembly.Fragment(9, "A", 2, 2, "!AIVDM,frag2", "tag2"))
+      q.processAllAvailable()
+      val rows = spark.table("assembled_rocks")
+        .as[graft.ops.Reassembly.Assembled].collect()
+      assert(rows.length === 1)
+      assert(rows.head.sentences === Seq("!AIVDM,frag1", "!AIVDM,frag2"))
+      assert(rows.head.tagblock === "tag1")
+      assertProviderEngaged(ckpt)
+    } finally q.stop()
+  }
+
   test("zone tracker flatMapGroupsWithState runs on RocksDB state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
