@@ -209,6 +209,28 @@ object Mixing {
             .as("quantile"))
     }),
 
+    // Exact-k per-stratum sample: EXACTLY min(k, n) docs per language,
+    // chosen deterministically by injective-hash order (q87's hash,
+    // doc_id tiebreak) — the "give me 25 docs per language" primitive.
+    // Shape: the mergeable TopKByLong carries L × k (hash, id) pairs
+    // per partition through ONE shuffle; the window-row_number
+    // formulation would shuffle and rank EVERY row. q52's permille
+    // threshold gives a binomial-sized sample; this one is exact-count.
+    "q97_exact_k_sample" -> ((s, d) => {
+      import s.implicits._
+      val topk = udaf(new graft.ext.TopKByLong(25))
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"))
+        .groupBy($"lang")
+        // score = -h: top-k by score desc == the k SMALLEST hashes,
+        // ties on doc_id asc — exact long compares, any corpus size
+        .agg(topk(-$"h", $"doc_id").as("top"))
+        .select($"lang", posexplode($"top").as(Seq("rank0", "r")))
+        .select($"lang", ($"rank0" + 1).cast("long").as("rank"),
+          $"r._2".as("doc_id"))
+    }),
+
     // Output shard balance: docs hashed into 16 training shards (same
     // injective multiplicative hash as q87's sampling order), with
     // per-shard doc and token totals — the pre-write check that no
@@ -329,6 +351,13 @@ object Mixing {
               "CAST(len(list_intersect(t1, t2)) AS DOUBLE) / least(len(t1), len(t2))",
               4)} AS containment
           FROM cand) WHERE containment >= 0.8""",
+    "q97_exact_k_sample" ->
+      """WITH t AS (SELECT lang, doc_id,
+            (doc_id * 2654435761 + 17) % 1000000007 AS h FROM documents),
+          r AS (SELECT lang, doc_id, row_number() OVER (
+              PARTITION BY lang ORDER BY h, doc_id) AS rank FROM t)
+          SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+          FROM r WHERE rank <= 25""",
     "q93_shard_balance" ->
       s"""WITH t AS (SELECT
             ((doc_id * 2654435761 + 17) % 1000000007) % 16 AS shard,

@@ -83,6 +83,28 @@ class MixingSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("kl_ab")), "KL undefined when A is empty")
   }
 
+  test("q97 exact-k sample == window reference, exactly min(k, n) per lang") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q97_exact_k_sample")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    val t = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id",
+        pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"))
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    val want = t.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 25)
+      .select($"lang", $"rank", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+    // exact count per stratum: min(25, n_lang), never a binomial draw
+    val perLang = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val nLang = Tables.documents(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    nLang.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) === math.min(25L, n).toInt, lang)
+    }
+  }
+
   test("q89 long-score top-k == window row_number reference") {
     import spark.implicits._
     val got = graft.queries.Mixing.queries("q89_lang_heavy_hitters")(spark, sf)
