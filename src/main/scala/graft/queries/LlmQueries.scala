@@ -661,6 +661,43 @@ object LlmQueries {
     "q25_embedding_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), minCos = 0.3)),
 
+    // Per-label embedding outlier detection: cosine of every vector to
+    // its LABEL centroid; vectors pointing away from their cohort
+    // (cos < 0) are flagged — the mislabeled/noise screen run before
+    // training on labeled embeddings. Determinism: vectors AND centroid
+    // are micro-quantized (1e-6) to longs, so dot and norms are EXACT
+    // 64-bit sums (64 dims × 1e12/term ≈ 6.4e13 ≪ 2^63, and ≪ 2^53 so
+    // the final double division/sqrt are on exactly-represented ints) —
+    // float enters only at the one rounded division. A float-typed
+    // formulation left ~1e-9 engine-order skew that flipped the 1e-6
+    // rounding boundary. Shape: centroid agg is (labels × dims)-sized;
+    // the centroid broadcasts; the corpus scores in one narrow map and
+    // never shuffles.
+    "q98_embedding_outliers" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("vm", transform($"embedding",
+          x => floor(x.cast("double") * 1000000 + 0.5).cast("long")))
+      val cent = emb
+        .select($"label", posexplode($"vm").as(Seq("dim", "m")))
+        .groupBy($"label", $"dim")
+        .agg(sum($"m").as("smicro"), count(lit(1)).as("n"))
+        .select($"label", $"dim",
+          floor($"smicro".cast("double") / $"n".cast("double") + 0.5)
+            .cast("long").as("cmicro"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"cmicro"))),
+          x => x.getField("cmicro")).as("cm"))
+      def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      emb.join(broadcast(cent), Seq("label"))
+        .select($"vec_id", $"label",
+          rnd(idot($"vm", $"cm").cast("double") /
+            (sqrt(idot($"vm", $"vm").cast("double")) *
+              sqrt(idot($"cm", $"cm").cast("double"))), 6).as("cos_centroid"))
+        .withColumn("is_outlier", $"cos_centroid" < 0.0)
+    }),
+
     // Multimodal plumbing: binary payloads -> partition-batched features.
     // text/plain has no container header, so this exercises the
     // degrade-to-byte-features path (format = "unknown").
@@ -1239,6 +1276,28 @@ object LlmQueries {
            CAST(0 AS INTEGER) AS sample_rate,
            CAST(0 AS INTEGER) AS channels
          FROM documents""",
+    "q98_embedding_outliers" ->
+      s"""WITH v AS (SELECT vec_id, label,
+            list_transform(embedding,
+              -- CAST first: FLOAT * DECIMAL-literal runs in float32 in
+              -- DuckDB (DECIMAL loses to FLOAT in its promotion order)
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS vm
+          FROM embeddings),
+          m AS (SELECT label, i AS dim,
+            CAST(floor(CAST(sum(vm[i]) AS DOUBLE) / count(*) + 0.5)
+              AS BIGINT) AS cmicro
+          FROM v, (SELECT unnest(generate_series(1, 64)) AS i) g
+          GROUP BY 1, 2),
+          c AS (SELECT label, array_agg(cmicro ORDER BY dim) AS cm
+            FROM m GROUP BY label)
+          SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+          FROM (SELECT v.vec_id, v.label,
+              ${Num.rSql(
+                """CAST(list_sum(list_transform(generate_series(1, 64), i -> vm[i] * cm[i])) AS DOUBLE) /
+                   (sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i -> vm[i] * vm[i])) AS DOUBLE)) *
+                    sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i -> cm[i] * cm[i])) AS DOUBLE)))""",
+                6)} AS cos_centroid
+            FROM v JOIN c USING (label))""",
     "q96_media_decode" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

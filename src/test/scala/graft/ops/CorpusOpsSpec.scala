@@ -222,6 +222,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     (0L until 8L).foreach(c => assert(refAssign(c) === c))
   }
 
+  test("q98 outlier cosine matches an exact driver-side integer replay") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    // exact integer replay of the documented pipeline: micro-quantize,
+    // average per label (rounded once), integer dot/norms, one division
+    def micro(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong)
+    val byLabel = emb.groupBy(_._2)
+    val cm: Map[Int, Seq[Long]] = byLabel.view.mapValues { vs =>
+      val ms = vs.map(t => micro(t._3))
+      val n = ms.size
+      (0 until ms.head.size).map { i =>
+        math.floor(ms.map(_(i)).sum.toDouble / n + 0.5).toLong
+      }
+    }.toMap
+    val want = emb.map { case (vid, label, v) =>
+      val vm = micro(v); val c = cm(label)
+      val dot = vm.zip(c).map { case (a, b) => a * b }.sum
+      val cos = dot.toDouble /
+        (math.sqrt(vm.map(a => a * a).sum.toDouble) *
+          math.sqrt(c.map(b => b * b).sum.toDouble))
+      (vid, math.floor(cos * 1000000 + 0.5) / 1000000)
+    }.toMap
+    val got = graft.queries.LlmQueries
+      .queries("q98_embedding_outliers")(spark, sf)
+      .select($"vec_id", $"cos_centroid", $"is_outlier")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length === emb.length)
+    got.foreach { case (vid, cos, outlier) =>
+      assert(cos === want(vid), s"vec $vid")
+      assert(outlier === (cos < 0.0), s"vec $vid flag")
+    }
+    // the screen is live: both cohort members and outliers exist
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("Pii scrub runs unchanged on a stream (stateless narrow map)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
