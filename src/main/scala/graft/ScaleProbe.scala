@@ -78,7 +78,7 @@ object ScaleProbe {
       val dir = Files.createTempDirectory(s"scale_${k}x").toString
       scaled(spark, sfDir, k).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      if (Queries.exists(Set("q84_cluster_profile")))
+      if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers")))
         scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
       val rows = for (q <- Queries) yield {
