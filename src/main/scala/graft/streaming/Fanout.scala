@@ -319,8 +319,9 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
   * edge.
   */
 object FanoutSink {
-  def start(df: DataFrame, hub: FanoutHub, queryName: String): StreamingQuery =
-    df.writeStream
+  def start(df: DataFrame, hub: FanoutHub, queryName: String,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream
       .outputMode("append")
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -330,5 +331,6 @@ object FanoutSink {
         // edge-sized batches this sink exists for.
         batch.toJSON.toLocalIterator().asScala.foreach(hub.publish)
       }
-      .start()
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

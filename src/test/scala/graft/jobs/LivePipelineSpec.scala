@@ -17,15 +17,29 @@ import graft.streaming.{FanoutHub, FanoutSink, SocketFanoutServer}
   * projection (R2) -> JSON fan-out to TCP subscribers (S4/S5). One
   * streaming query, two real socket hops, expected rows derived from
   * the batch pipeline over the same sentences.
+  *
+  * Parameterized over the state-store provider like StreamOpsBehaviors:
+  * [[LivePipelineRocksDBSpec]] runs the SAME wire with reassembly state
+  * on RocksDB — the deployment shape for ingest-scale key cardinality.
   */
-class LivePipelineSpec extends AnyFunSuite {
+abstract class LivePipelineBehaviors(stateStoreProvider: Option[String])
+    extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession() // own SQLConf: provider must not leak across suites
+    stateStoreProvider.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    s
+  }
+
+  /** Provider's per-commit artifact extensions (see StreamOpsBehaviors). */
+  protected def stateFileMarkers: Seq[String] = Seq(".delta")
 
   test("socket feed to fan-out subscribers end to end") {
     import spark.implicits._
@@ -92,7 +106,8 @@ class LivePipelineSpec extends AnyFunSuite {
         .toDF()
         .withColumn("d", AisDecoder.ais_decode($"sentences"))
         .filter($"d".isNotNull))
-    val q = FanoutSink.start(live, hub, "live_positions")
+    val ckpt = java.nio.file.Files.createTempDirectory("live_ckpt").toString
+    val q = FanoutSink.start(live, hub, "live_positions", Some(ckpt))
     try {
       val deadline = System.currentTimeMillis() + 90000
       while (sub1.size < expected.size && System.currentTimeMillis() < deadline) {
@@ -106,6 +121,18 @@ class LivePipelineSpec extends AnyFunSuite {
       }.toSet
       assert(parse(sub1) === expected, "subscriber 1 must see every position")
       assert(parse(sub2) === expected, "subscriber 2 must see every position")
+      // the reassembly state actually lives on the configured provider
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      try {
+        val it = walk.iterator()
+        var hit = false
+        while (it.hasNext && !hit) {
+          val name = it.next().getFileName.toString
+          hit = stateFileMarkers.exists(name.endsWith)
+        }
+        assert(hit, s"no ${stateFileMarkers.mkString("/")} state artifact — " +
+          "wrong state-store provider engaged")
+      } finally walk.close()
     } finally {
       q.stop()
       hub.shutdown()
@@ -113,4 +140,14 @@ class LivePipelineSpec extends AnyFunSuite {
       feed.close()
     }
   }
+}
+
+/** The live wire on the default HDFS-backed in-memory state store. */
+class LivePipelineSpec extends LivePipelineBehaviors(None)
+
+/** The live wire with reassembly state on RocksDB — ingest-scale shape. */
+class LivePipelineRocksDBSpec extends LivePipelineBehaviors(
+  Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+  override protected def stateFileMarkers: Seq[String] =
+    Seq(".zip", ".changelog")
 }
