@@ -32,6 +32,29 @@ class SmokeSpec extends AnyFunSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query plan degrades to an unbroadcast cartesian product") {
+    // repo-wide contract: every deliberate cross join in the surface has
+    // a broadcast-sized side (BroadcastNestedLoopJoin); a raw
+    // CartesianProductExec means a lost broadcast hint or a join that
+    // dropped its keys — shuffle-everything-times-everything at scale
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def offenders(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+        case _: CartesianProductExec => 1
+      }.sum
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          graft.ext.Dedup.clearSignatureCaches()
+          if (offenders(plan) > 0) Some(name) else None
+        } catch { case _: Throwable => None } // execution floor is the other test
+    }
+    assert(bad.isEmpty, s"cartesian product in: ${bad.mkString(", ")}")
+  }
+
   test("every oracle key has a query and every oracle is non-empty SQL") {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql
