@@ -144,6 +144,44 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     } finally q.stop()
   }
 
+  test("token budget state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // stop the query after batch 1, start a NEW query from the same
+    // checkpoint, and prove batch 2 sees the reloaded quota: with
+    // {en -> 60} recovered, doc 2 (50 tok) is over budget and doc 3
+    // (40 tok) lands exactly on the cap; with state lost, doc 2 would
+    // be admitted at cum 50. This is the recovery path a production
+    // restart takes (and the RocksDB subclass runs it on disk).
+    val in = MemoryStream[(String, Long, Long)]
+    val ckpt = Files.createTempDirectory("tb_restart_ckpt").toString
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val out = new java.util.concurrent.CopyOnWriteArrayList[(String, Long, Long, Long)]()
+    def start() = StreamOps.tokenBudgetStream(in.toDS(), budget = 100L)
+      .toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => out.add(
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      .start()
+    val q1 = start()
+    in.addData(("en", 1L, 60L))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      in.addData(("en", 2L, 50L), ("en", 3L, 40L))
+      q2.processAllAvailable()
+      val rows = out.toArray.map(_.asInstanceOf[(String, Long, Long, Long)]).toSet
+      assert(!rows.exists(_._2 == 2L),
+        s"doc 2 must still be over budget after restart: $rows")
+      assert(rows.contains(("en", 3L, 40L, 100L)),
+        s"quota state lost across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("event-time timeout evicts stale keys and emits expiry") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
