@@ -191,6 +191,18 @@ class FanoutSpec extends AnyFunSuite {
     assert(ok.exists { case (op, p) => op == 0x9 && p.isEmpty })
   }
 
+  test("readFrame is total over arbitrary byte streams (seeded fuzz)") {
+    // the per-client reader must drop a hostile peer via the normal
+    // None path — readFrame may never throw, whatever bytes arrive
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 2000) {
+      val n = rnd.nextInt(40)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      // exception = test failure; Some/None both acceptable
+      WebSocket.readFrame(new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
   test("acceptor survives broken and silent handshakes") {
     val hub = new FanoutHub()
     val server = new WebSocketFanoutServer(hub)

@@ -124,6 +124,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parse("text/plain", gifish).isEmpty)
   }
 
+  test("parsers are total: random, mutated, and truncated bytes never throw") {
+    // the 100 TB posture is decode-or-degrade, never crash-the-task —
+    // so parse must be a total function over arbitrary bytes.
+    // Deterministic seeded fuzz (same style as BitsPropertySpec).
+    val rnd = new scala.util.Random(1234)
+    val mimes = Seq("image/png", "image/jpeg", "image/gif", "audio/wav")
+    val body = "b".getBytes("UTF-8")
+    val valids = Seq(
+      MediaHeaders.encodePng(64, 48, body), MediaHeaders.encodeJpeg(64, 48, body),
+      MediaHeaders.encodeGif(64, 48, body), MediaHeaders.encodeWav(8000, 1, body))
+    for (i <- 1 to 2000) {
+      val payload =
+        if (i % 3 == 0) Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+        else {
+          // corrupt a valid header: flip bytes and/or truncate
+          val base = valids(rnd.nextInt(valids.length))
+          val cut = base.take(1 + rnd.nextInt(base.length))
+          val out = cut.clone()
+          for (_ <- 0 until rnd.nextInt(4); if out.nonEmpty)
+            out(rnd.nextInt(out.length)) = rnd.nextInt(256).toByte
+          out
+        }
+      mimes.foreach { m =>
+        // Option result (Some or None) is fine; an exception is the bug
+        MediaHeaders.parse(m, payload)
+      }
+    }
+  }
+
   // ---- encoder/parser round-trip + end-to-end Spark path ---------------
 
   test("fixture encoders round-trip through the parsers") {
