@@ -24,7 +24,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
-    names.foreach { n =>
+    if (names == Seq("--audit")) audit(spark, sfDir)
+    else names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           println(s"\n========== $n ==========")
@@ -33,5 +34,59 @@ object Explain {
       }
     }
     spark.stop()
+  }
+
+  /** Sweep EVERY query and print one JSON line of plan-shape counters:
+    * parquet scans per table (a table at >1 without a cache = the
+    * q92/q95 double-scan smell), exchanges, cartesians, codegen spans.
+    * `runMain graft.Explain --audit [sfDir]` — the mechanical form of
+    * the per-query `.explain` read; PlanSpec pins the known-critical
+    * ones, this surfaces new smells before they're pinned.
+    */
+  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    final case class Counts(scans: Map[String, Int], exchanges: Int,
+        cartesians: Int, codegen: Int)
+    def count(root: SparkPlan): Counts = {
+      val seenCaches = scala.collection.mutable.Set[Int]()
+      var scans = Map.empty[String, Int].withDefaultValue(0)
+      var ex = 0; var cart = 0; var cg = 0
+      def walk(p: SparkPlan): Unit = p.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.headOption.foreach { rp =>
+            val table = rp.getName.stripSuffix(".parquet")
+            scans = scans.updated(table, scans(table) + 1)
+          }
+        case m: InMemoryTableScanExec =>
+          if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+            walk(m.relation.cachedPlan)
+        case _: ShuffleExchangeLike => ex += 1
+        case _: CartesianProductExec => cart += 1
+        case _: WholeStageCodegenExec => cg += 1
+        case _ => ()
+      }
+      walk(root)
+      Counts(scans, ex, cart, cg)
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val c = count(fn(spark, sfDir).queryExecution.executedPlan)
+        graft.ext.Dedup.clearSignatureCaches()
+        val scanStr = c.scans.toSeq.sorted
+          .map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
+        val multi = c.scans.collect { case (t, n) if n > 1 => s"$t x$n" }
+        println(s"""{"query":"$name","scans":$scanStr,"exchanges":${c.exchanges},""" +
+          s""""cartesians":${c.cartesians},"codegen_spans":${c.codegen}""" +
+          (if (multi.nonEmpty) s""","multi_scan":"${multi.mkString(", ")}"""" else "") + "}")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+      }
+    }
   }
 }

@@ -625,11 +625,15 @@ object Dedup {
     // tokenize+simhash evaluated twice per row (observed in the plan)
     val sigs = docs.select(
       col("doc_id"), simhash64(tokenSet(coalesce(col(textCol), lit("")))).as("sig"))
-    val chunks = dropHotBuckets(sigs.select(col("doc_id"), col("sig"),
+    // cache the exploded chunk table: it feeds the hot-bucket count,
+    // the anti-join, AND both sides of the candidate self-join —
+    // uncached, the simhash kernel subtree (and the documents scan
+    // under it) evaluates once per consumer (4 scans, audited)
+    val exploded = cached(sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("cj"), chunk16(col("sig"), j).as("ckey"))): _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.cj").as("cj"), col("c.ckey").as("ckey")),
-      Seq("cj", "ckey"), maxBucket)
+      .select(col("doc_id"), col("sig"), col("c.cj").as("cj"), col("c.ckey").as("ckey")))
+    val chunks = dropHotBuckets(exploded, Seq("cj", "ckey"), maxBucket)
     val l = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc1"), col("sig").as("s1"))
     val r = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc2"), col("sig").as("s2"))
     val firstMatch = (0 until 4).map { j =>

@@ -502,10 +502,21 @@ object LlmQueries {
     "q85_corpus_report" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val base = docs.agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct($"text").as("n_distinct_texts"),
-        sum(size(TextStats.tokens($"text")).cast("long")).as("n_tokens"))
+      val keepCond =
+        rnd($"tf".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) <= 0.2 &&
+          rnd($"nd".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) >= 0.3
+      // ONE ungrouped pass for every doc-level aggregate (count,
+      // distinct, token total, quality keeps) — these were two separate
+      // corpus scans (audited); only the per-lang entropy pass below
+      // genuinely needs a different grouping
+      val base = docs
+        .select($"text", TextStats.repetitionStats($"text").as("r"))
+        .select($"text", $"r._1".as("nt"), $"r._2".as("nd"), $"r._3".as("tf"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_distinct_texts"),
+          sum(size(TextStats.tokens($"text")).cast("long")).as("n_tokens"),
+          sum(when(keepCond, 1L).otherwise(0L)).as("n_keep"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val ent = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
@@ -513,13 +524,7 @@ object LlmQueries {
         .agg(sum($"nl" *
           floor(log($"nl".cast("double") / $"total".cast("double"))
             * 10000 + 0.5).cast("long")).as("s4"))
-      val keepCond =
-        rnd($"tf".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) <= 0.2 &&
-          rnd($"nd".cast("double") / nullif($"nt", lit(0L)).cast("double"), 4) >= 0.3
-      val k = docs.select(TextStats.repetitionStats($"text").as("r"))
-        .select($"r._1".as("nt"), $"r._2".as("nd"), $"r._3".as("tf"))
-        .agg(sum(when(keepCond, 1L).otherwise(0L)).as("n_keep"))
-      base.crossJoin(ent).crossJoin(k).select(
+      base.crossJoin(ent).select(
         $"n_docs", $"n_tokens",
         ($"n_docs" - $"n_distinct_texts").as("n_exact_dup_docs"),
         rnd(($"n_docs" - $"n_distinct_texts").cast("double") /
@@ -602,10 +607,14 @@ object LlmQueries {
     "q71_tfidf_keywords" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val tf = docs
+      // cached: tf feeds BOTH the df derivation and the scoring join —
+      // uncached, the token kernel + corpus scan run twice (audited);
+      // the separate count(*) scan for n stays (footer-only read, and
+      // empty docs must count toward n but never enter tf)
+      val tf = Dedup.cached(docs
         .select($"doc_id", explode_outer(TextStats.tokenCodesOf($"text")).as("code"))
         .filter($"code".isNotNull)
-        .groupBy($"doc_id", $"code").agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id", $"code").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy($"code").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, Seq("code")).join(broadcast(n))

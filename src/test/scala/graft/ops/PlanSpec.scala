@@ -291,7 +291,8 @@ class PlanSpec extends AnyFunSuite {
     // q91/q92/q95 are the original double-scan fixes (round 6) — held
     // here so the cache that collapses their two consumers to one scan
     // can't silently drop out
-    for (q <- Seq("q22_bigram_jaccard", "q65_dedup_components",
+    for (q <- Seq("q22_bigram_jaccard", "q33_simhash64_pairs",
+        "q65_dedup_components",
         "q80_dedup_keep_longest", "q81_bloom_decontaminate",
         "q91_shingle_novelty", "q92_token_kl_drift",
         "q95_length_quantiles")) {
