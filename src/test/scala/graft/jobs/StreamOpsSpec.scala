@@ -306,6 +306,33 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     } finally q.stop()
   }
 
+  test("upsert sink is idempotent under batch replay (both crash windows)") {
+    import spark.implicits._
+    // foreachBatch may re-run a batchId after a failure either BEFORE
+    // the pointer swap (prev = old snapshot) or AFTER it (prev already
+    // contains the batch). Both replays must leave the snapshot
+    // byte-equal: merging already-merged rows is a no-op under
+    // max_by(seq).
+    val out = Files.createTempDirectory("upsert_replay").toString
+    def b(rows: (Long, String, Long)*) = rows.toDF("track_id", "payload", "seq")
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "a", 1L), (2L, "b", 1L)), 0L)
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "a2", 2L), (3L, "c", 1L)), 1L)
+    def snap() = UpsertSink.latest(spark, out)
+      .as[(Long, String, Long)].collect().toSet
+    val expected = Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L))
+    assert(snap() === expected)
+    // crash AFTER pointer swap: replay batch 1 against a prev that
+    // already merged it
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "a2", 2L), (3L, "c", 1L)), 1L)
+    assert(snap() === expected, "replay over merged state must be a no-op")
+    // crash BEFORE pointer swap: wind the pointer back to v0 (the write
+    // of v1 survived, the swap didn't) and replay batch 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_LATEST"), "v0")
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "a2", 2L), (3L, "c", 1L)), 1L)
+    assert(snap() === expected, "replay from the pre-swap snapshot must converge")
+  }
+
   test("streaming session_window merges events within the gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
