@@ -44,38 +44,9 @@ object Explain {
     * ones, this surfaces new smells before they're pinned.
     */
   private def audit(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.joins.CartesianProductExec
-    final case class Counts(scans: Map[String, Int], exchanges: Int,
-        cartesians: Int, codegen: Int)
-    def count(root: SparkPlan): Counts = {
-      val seenCaches = scala.collection.mutable.Set[Int]()
-      var scans = Map.empty[String, Int].withDefaultValue(0)
-      var ex = 0; var cart = 0; var cg = 0
-      def walk(p: SparkPlan): Unit = p.foreach {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.headOption.foreach { rp =>
-            val table = rp.getName.stripSuffix(".parquet")
-            scans = scans.updated(table, scans(table) + 1)
-          }
-        case m: InMemoryTableScanExec =>
-          if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
-            walk(m.relation.cachedPlan)
-        case _: ShuffleExchangeLike => ex += 1
-        case _: CartesianProductExec => cart += 1
-        case _: WholeStageCodegenExec => cg += 1
-        case _ => ()
-      }
-      walk(root)
-      Counts(scans, ex, cart, cg)
-    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val c = count(fn(spark, sfDir).queryExecution.executedPlan)
+        val c = PlanShape.count(fn(spark, sfDir).queryExecution.executedPlan)
         graft.ext.Dedup.clearSignatureCaches()
         val scanStr = c.scans.toSeq.sorted
           .map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Physical-plan shape counters, shared by the `graft.Explain --audit`
+  * sweep and PlanSpec's pinned scan contracts so the two can never
+  * disagree about what "one scan" means. The traversal is the subtle
+  * part: AQE wraps the real plan (children invisible to a plain
+  * `collect`), and cached relations embed their build plan inside every
+  * InMemoryTableScan — each cache materializes ONCE, so its inner scans
+  * are counted once no matter how many consumers read it.
+  */
+object PlanShape {
+
+  final case class Counts(
+      scans: Map[String, Int], exchanges: Int, cartesians: Int, codegen: Int) {
+    def tableScans(table: String): Int = scans.getOrElse(table, 0)
+  }
+
+  def count(root: SparkPlan): Counts = {
+    val seenCaches = scala.collection.mutable.Set[Int]()
+    var scans = Map.empty[String, Int].withDefaultValue(0)
+    var ex = 0; var cart = 0; var cg = 0
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.headOption.foreach { rp =>
+          val table = rp.getName.stripSuffix(".parquet")
+          scans = scans.updated(table, scans(table) + 1)
+        }
+      case m: InMemoryTableScanExec =>
+        if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+          walk(m.relation.cachedPlan)
+      case _: ShuffleExchangeLike => ex += 1
+      case _: CartesianProductExec => cart += 1
+      case _: WholeStageCodegenExec => cg += 1
+      case _ => ()
+    }
+    walk(root)
+    Counts(scans, ex, cart, cg)
+  }
+}

@@ -258,7 +258,6 @@ object MediaHeaders {
     var i = 12
     while (i + 8 <= p.length) {
       val sz = le32(p, i + 4)
-      if (sz < 0 || sz > Int.MaxValue) return None
       if (tag(p, i, "fmt ")) {
         if (sz < 16 || i + 8 + 16 > p.length) return None
         val ch = le16(p, i + 10)
@@ -266,7 +265,13 @@ object MediaHeaders {
         return if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
           Some(MediaMeta("wav", 0, 0, rate.toInt, ch)) else None
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are 2-byte aligned
+      // advance in LONG arithmetic: a near-2^31 declared size would wrap
+      // an Int advance negative and index out of bounds (totality bug
+      // found in review); any chunk running past the payload means fmt
+      // is unreachable anyway
+      val next = i.toLong + 8L + sz + (sz & 1L) // RIFF chunks 2-byte aligned
+      if (sz < 0 || next > p.length) return None
+      i = next.toInt
     }
     None
   }

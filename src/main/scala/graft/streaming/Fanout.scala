@@ -206,7 +206,8 @@ object WebSocket {
   * writes from the hub worker and the reader synchronize on the socket
   * output stream so a pong never interleaves mid-frame.
   */
-class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
+class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0,
+    handshakeTimeoutMs: Int = 10000) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
@@ -217,12 +218,17 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
 
   private def handshake(sock: java.net.Socket): Boolean = {
     val in = sock.getInputStream
-    // read header bytes up to the blank line (HTTP/1.1 upgrade request)
+    // read header bytes up to the blank line (HTTP/1.1 upgrade request).
+    // ABSOLUTE deadline, not just the per-read SO_TIMEOUT: a peer
+    // trickling one byte per 9 s would satisfy every individual read
+    // and hold its thread for hours otherwise (review finding)
+    val deadline = System.nanoTime() + handshakeTimeoutMs * 1000000L
     val sb = new StringBuilder
     var done = false
     while (!done) {
       val c = in.read()
-      if (c < 0 || sb.length >= MaxHandshakeBytes) done = true
+      if (c < 0 || sb.length >= MaxHandshakeBytes ||
+        System.nanoTime() > deadline) done = true
       else { sb.append(c.toChar); done = sb.endsWith("\r\n\r\n") }
     }
     val key = sb.toString.linesIterator
@@ -244,12 +250,6 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
     }
   }
 
-  /** Handshake deadline: a client that connects and never sends its
-    * upgrade request times out on its own thread instead of holding a
-    * slot forever.
-    */
-  private val HandshakeTimeoutMs = 10000
-
   // The acceptor does NOTHING but accept — all client I/O (handshake
   // included) lives on the per-client thread, so one peer disconnecting
   // mid-handshake or stalling before its headers can neither kill the
@@ -264,7 +264,7 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0) {
         val id = s"ws-client-$n"
         val reader = new Thread(() => {
           try {
-            sock.setSoTimeout(HandshakeTimeoutMs)
+            sock.setSoTimeout(handshakeTimeoutMs)
             if (handshake(sock)) {
               sock.setSoTimeout(0)
               val out = sock.getOutputStream

@@ -224,6 +224,7 @@ class FanoutSpec extends AnyFunSuite {
       assert(new String(resp, UTF_8).startsWith("HTTP/1.1 400"))
 
       // a real client AFTER all three must still handshake and receive
+      // (trickle defense is deadline-based — see the dedicated test)
       val c = new WsClient(server.boundPort, "dGhlIHNhbXBsZSBub25jZQ==")
       assert(c.handshakeResponse.startsWith("HTTP/1.1 101"))
       awaitUntil()(hub.liveClients.size == 1)
@@ -232,6 +233,44 @@ class FanoutSpec extends AnyFunSuite {
       assert(op === 0x1 && new String(p, UTF_8) === """{"alive":true}""")
       silent.close()
       noKey.close()
+      c.sock.close()
+    } finally {
+      hub.shutdown()
+      server.close()
+    }
+  }
+
+  test("a trickling handshake hits the absolute deadline, not just SO_TIMEOUT") {
+    // one byte every 100 ms satisfies every per-read timeout; only the
+    // absolute deadline cuts the peer off (review finding: without it a
+    // hostile peer held its thread for hours inside the 16 KiB cap)
+    val hub = new FanoutHub()
+    val server = new WebSocketFanoutServer(hub, handshakeTimeoutMs = 500)
+    try {
+      val trickler = new Socket("127.0.0.1", server.boundPort)
+      val out = trickler.getOutputStream
+      val in = trickler.getInputStream
+      val req = "GET /feed HTTP/1.1\r\n"
+      var closed = false
+      val start = System.currentTimeMillis()
+      var i = 0
+      // keep trickling until the server gives up on us (closed socket
+      // surfaces as EOF on read or a write failure)
+      while (!closed && System.currentTimeMillis() - start < 10000) {
+        try {
+          out.write(req.charAt(i % req.length))
+          out.flush()
+          i += 1
+          trickler.setSoTimeout(100)
+          try { if (in.read() < 0) closed = true }
+          catch { case _: java.net.SocketTimeoutException => () }
+        } catch { case _: java.io.IOException => closed = true }
+      }
+      assert(closed, "trickling peer must be cut off by the deadline")
+      assert(System.currentTimeMillis() - start < 10000)
+      // and the server still accepts a healthy client afterwards
+      val c = new WsClient(server.boundPort, "dGhlIHNhbXBsZSBub25jZQ==")
+      assert(c.handshakeResponse.startsWith("HTTP/1.1 101"))
       c.sock.close()
     } finally {
       hub.shutdown()

@@ -23,7 +23,7 @@ import graft.streaming.{FanoutHub, FanoutSink, SocketFanoutServer}
   * on RocksDB — the deployment shape for ingest-scale key cardinality.
   */
 abstract class LivePipelineBehaviors(stateStoreProvider: Option[String])
-    extends AnyFunSuite {
+    extends AnyFunSuite with StateStoreCheck {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -37,9 +37,6 @@ abstract class LivePipelineBehaviors(stateStoreProvider: Option[String])
       s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s
   }
-
-  /** Provider's per-commit artifact extensions (see StreamOpsBehaviors). */
-  protected def stateFileMarkers: Seq[String] = Seq(".delta")
 
   test("socket feed to fan-out subscribers end to end") {
     import spark.implicits._
@@ -122,17 +119,7 @@ abstract class LivePipelineBehaviors(stateStoreProvider: Option[String])
       assert(parse(sub1) === expected, "subscriber 1 must see every position")
       assert(parse(sub2) === expected, "subscriber 2 must see every position")
       // the reassembly state actually lives on the configured provider
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
-      try {
-        val it = walk.iterator()
-        var hit = false
-        while (it.hasNext && !hit) {
-          val name = it.next().getFileName.toString
-          hit = stateFileMarkers.exists(name.endsWith)
-        }
-        assert(hit, s"no ${stateFileMarkers.mkString("/")} state artifact — " +
-          "wrong state-store provider engaged")
-      } finally walk.close()
+      assertProviderEngaged(ckpt)
     } finally {
       q.stop()
       hub.shutdown()

@@ -20,7 +20,7 @@ import graft.streaming.StreamOps
   * runs green on both.
   */
 abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
-    extends AnyFunSuite {
+    extends AnyFunSuite with StateStoreCheck {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -35,28 +35,6 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     stateStoreProvider.foreach(
       s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s
-  }
-
-  /** File extensions the configured provider persists per commit —
-    * asserted against the checkpoint so a conf typo cannot silently
-    * re-test the default store (HDFS-backed writes .delta; RocksDB
-    * uploads .zip snapshots or .changelog increments).
-    */
-  protected def stateFileMarkers: Seq[String] = Seq(".delta")
-
-  protected def assertProviderEngaged(ckpt: String): Unit = {
-    val stateDir = java.nio.file.Paths.get(ckpt, "state")
-    val walk = java.nio.file.Files.walk(stateDir)
-    try {
-      val found = walk.iterator()
-      var hit = false
-      while (found.hasNext && !hit) {
-        val name = found.next().getFileName.toString
-        hit = stateFileMarkers.exists(name.endsWith)
-      }
-      assert(hit, s"no ${stateFileMarkers.mkString("/")} state file under " +
-        s"$stateDir — wrong state-store provider engaged")
-    } finally walk.close()
   }
 
   private def ts(minute: Int): Timestamp =

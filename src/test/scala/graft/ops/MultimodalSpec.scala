@@ -110,6 +110,13 @@ class MultimodalSpec extends AnyFunSuite {
     // no fmt chunk at all
     val noFmt = bytes('R', 'I', 'F', 'F', 0x04, 0x00, 0x00, 0x00, 'W', 'A', 'V', 'E')
     assert(MediaHeaders.parseWav(noFmt).isEmpty)
+    // review regression: a near-Int.MaxValue chunk size used to wrap the
+    // Int advance negative and index out of bounds — must be None, not
+    // an ArrayIndexOutOfBoundsException
+    val overflow = bytes(
+      'R', 'I', 'F', 'F', 0x10, 0x00, 0x00, 0x00, 'W', 'A', 'V', 'E',
+      'L', 'I', 'S', 'T', 0xFF, 0xFF, 0xFF, 0x7F)
+    assert(MediaHeaders.parseWav(overflow).isEmpty)
   }
 
   // ---- dispatch & fallback ---------------------------------------------

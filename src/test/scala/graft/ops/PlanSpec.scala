@@ -268,26 +268,11 @@ class PlanSpec extends AnyFunSuite {
     // the q92/q95 class of bug, caught mechanically: a composition that
     // forgets to cache (or caches the wrong frame) re-scans the corpus
     // per consumer — invisible at sf0.001, a doubled 100 TB read at
-    // scale. Count parquet scans of `documents` structurally, looking
-    // through the AQE wrapper and INTO cached relations (each cache
-    // materializes its plan once, so a cached documents scan counts
-    // once no matter how many InMemoryTableScans consume it).
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def documentScans(root: SparkPlan): Int = {
-      val seenCaches = scala.collection.mutable.Set[Int]()
-      def count(p: SparkPlan): Int = p.collect {
-        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-        case f: FileSourceScanExec
-            if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
-        case m: InMemoryTableScanExec =>
-          if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
-            count(m.relation.cachedPlan)
-          else 0
-      }.sum
-      count(root)
-    }
+    // scale. graft.PlanShape does the subtle traversal (through the AQE
+    // wrapper, INTO cached relations counted once per cache) — shared
+    // with `graft.Explain --audit` so tool and contract cannot drift.
+    def documentScans(root: org.apache.spark.sql.execution.SparkPlan): Int =
+      graft.PlanShape.count(root).tableScans("documents")
     // q91/q92/q95 are the original double-scan fixes (round 6) — held
     // here so the cache that collapses their two consumers to one scan
     // can't silently drop out
