@@ -240,4 +240,20 @@ object VecMath {
     }
     sig
   }
+
+  /** Unicode NFC canonicalization (java.text.Normalizer), UTF8String in
+    * and out. Fast path: already-normalized text (the overwhelming case
+    * in a crawl) returns the input reference without re-encoding.
+    * Canonicalize BEFORE any hash-based dedup/fingerprint — composed
+    * e-acute and e + combining-acute are byte-different but canonically
+    * the SAME text, and un-normalized corpora leak such pairs past
+    * exact and MinHash dedup alike.
+    */
+  def nfcNormalize(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

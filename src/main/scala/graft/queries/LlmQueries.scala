@@ -717,6 +717,25 @@ object LlmQueries {
           .as[Multimodal.MediaRecord]).toDF()
     }),
 
+    // Unicode NFC canonicalization report: per-doc normalized length +
+    // changed flag via the native codegen'd nfc_normalize expression —
+    // the canonicalize-before-hashing step without which composed vs
+    // decomposed accents slip past every hash-based dedup. A narrow
+    // map, no shuffle; the oracle is DuckDB's own nfc_normalize (both
+    // implement Unicode NFC). Real composed/decomposed pairs are pinned
+    // in ExtensionsSpec (the driver corpus is already-normalized text,
+    // so the gate here covers the identity fast path).
+    "q99_nfc_report" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select($"doc_id",
+        org.apache.spark.sql.graft.GraftColumns
+          .nfcNormalize(coalesce($"text", lit(""))).as("norm"),
+        coalesce($"text", lit("")).as("raw"))
+        .select($"doc_id",
+          length($"norm").cast("long").as("n_chars_nfc"),
+          ($"norm" =!= $"raw").as("changed"))
+    }),
+
     // Real container-header decode round-trip: each doc becomes a
     // payload with a genuine PNG/JPEG/GIF/WAV header (doc_id % 5; %5==4
     // stays raw bytes) and the decoder parses dims/rate back OUT of the
@@ -1284,6 +1303,12 @@ object LlmQueries {
            CAST(octet_length(CAST(text AS BLOB)) % 480 AS INTEGER) AS feat_height,
            CAST(0 AS INTEGER) AS sample_rate,
            CAST(0 AS INTEGER) AS channels
+         FROM documents""",
+    "q99_nfc_report" ->
+      """SELECT doc_id,
+           CAST(length(nfc_normalize(coalesce(text, ''))) AS BIGINT)
+             AS n_chars_nfc,
+           nfc_normalize(coalesce(text, '')) != coalesce(text, '') AS changed
          FROM documents""",
     "q98_embedding_outliers" ->
       s"""WITH v AS (SELECT vec_id, label,

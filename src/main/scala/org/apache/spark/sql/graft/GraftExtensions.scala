@@ -156,6 +156,9 @@ object GraftExtensions {
     (FunctionIdentifier("token_codes"),
       new ExpressionInfo(classOf[TokenCodes].getName, "token_codes"),
       (es: Seq[Expression]) => TokenCodes(es(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (es: Seq[Expression]) => SimHash16(es(0))),

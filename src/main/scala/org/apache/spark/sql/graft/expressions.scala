@@ -82,6 +82,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * triple-nested higher-order-function chain that interpreted three
   * lambda trees per token per row.
   */
+/** Unicode NFC canonicalization as a codegen'd unary expression — the
+  * canonicalize-before-hashing step of a text pipeline (see
+  * graft.ext.VecMath.nfcNormalize for why dedup needs it). Stays inside
+  * whole-stage codegen like the rest of the kernel family.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.nfcNormalize(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.nfcNormalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenCodes(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -261,6 +283,9 @@ object GraftColumns {
 
   def tokenCodes(text: Column): Column =
     ExpressionUtils.column(TokenCodes(ExpressionUtils.expression(text)))
+
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
   def simhash16(codes: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(codes)))

@@ -128,6 +128,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(tc.getSeq[Long](0).length === 3)
   }
 
+  test("nfc_normalize canonicalizes decomposed text so hashes converge") {
+    import spark.implicits._
+    // e + COMBINING ACUTE (U+0065 U+0301) vs precomposed U+00E9:
+    // byte-different, canonically identical -- the pair dedup misses
+    // without canonicalization. Explicit escapes: raw unicode in source
+    // would silently depend on the editor's own normalization.
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    assert(decomposed != composed)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS d, nfc_normalize('$composed') AS c")
+      .collect().head
+    assert(r.getString(0) === composed, "decomposed must normalize to composed")
+    assert(r.getString(1) === composed, "already-NFC text is identity")
+    // and the downstream hash kernel now agrees on the two spellings
+    val codes = Seq(decomposed, composed).toDF("text")
+      .selectExpr("token_codes(nfc_normalize(text)) AS t")
+      .collect().map(_.getSeq[Long](0))
+    assert(codes(0) === codes(1), "canonicalized spellings must hash equal")
+    // Angstrom sign U+212B -> A-with-ring U+00C5 (NFC singleton)
+    assert(spark.sql("SELECT nfc_normalize('\u212b') AS a").collect()
+      .head.getString(0) === "\u00c5")
+    // null flows through as null (UnaryExpression null-safety)
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n")
+      .collect().head.isNullAt(0))
+  }
+
   test("pii_redact SQL function matches the Column-function scrub") {
     import spark.implicits._
     val texts = Seq(
