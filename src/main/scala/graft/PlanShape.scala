@@ -28,10 +28,12 @@ object PlanShape {
     def walk(p: SparkPlan): Unit = p.foreach {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.headOption.foreach { rp =>
-          val table = rp.getName.stripSuffix(".parquet")
-          scans = scans.updated(table, scans(table) + 1)
-        }
+        // attribute the scan to EVERY distinct table among its root
+        // paths — a multi-root scan with documents second would
+        // otherwise hide from the single-scan contract (review finding)
+        f.relation.location.rootPaths
+          .map(_.getName.stripSuffix(".parquet")).distinct
+          .foreach(t => scans = scans.updated(t, scans(t) + 1))
       case m: InMemoryTableScanExec =>
         if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
           walk(m.relation.cachedPlan)

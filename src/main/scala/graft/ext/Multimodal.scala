@@ -265,12 +265,12 @@ object MediaHeaders {
         return if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
           Some(MediaMeta("wav", 0, 0, rate.toInt, ch)) else None
       }
-      // advance in LONG arithmetic: a near-2^31 declared size would wrap
-      // an Int advance negative and index out of bounds (totality bug
-      // found in review); any chunk running past the payload means fmt
-      // is unreachable anyway
+      // advance in LONG arithmetic: le32 is unsigned [0, 2^32), so a
+      // near-2^31 declared size would wrap an Int advance negative and
+      // index out of bounds (totality bug found in review); any chunk
+      // running past the payload means fmt is unreachable anyway
       val next = i.toLong + 8L + sz + (sz & 1L) // RIFF chunks 2-byte aligned
-      if (sz < 0 || next > p.length) return None
+      if (next > p.length) return None
       i = next.toInt
     }
     None

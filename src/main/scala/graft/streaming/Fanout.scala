@@ -225,11 +225,24 @@ class WebSocketFanoutServer(hub: FanoutHub, port: Int = 0,
     val deadline = System.nanoTime() + handshakeTimeoutMs * 1000000L
     val sb = new StringBuilder
     var done = false
+    var complete = false
     while (!done) {
       val c = in.read()
       if (c < 0 || sb.length >= MaxHandshakeBytes ||
         System.nanoTime() > deadline) done = true
-      else { sb.append(c.toChar); done = sb.endsWith("\r\n\r\n") }
+      else {
+        sb.append(c.toChar)
+        complete = sb.endsWith("\r\n\r\n")
+        done = complete
+      }
+    }
+    // deadline / EOF / cap exits fail UNCONDITIONALLY — parsing the
+    // truncated request could find a key the peer sent early and
+    // upgrade the very trickler the deadline exists to cut off
+    // (review finding)
+    if (!complete) {
+      try sock.close() catch { case _: IOException => () }
+      return false
     }
     val key = sb.toString.linesIterator
       .find(_.toLowerCase.startsWith("sec-websocket-key:"))

@@ -82,6 +82,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * triple-nested higher-order-function chain that interpreted three
   * lambda trees per token per row.
   */
+case class TokenCodes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.tokenCodes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.tokenCodes($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode NFC canonicalization as a codegen'd unary expression — the
   * canonicalize-before-hashing step of a text pipeline (see
   * graft.ext.VecMath.nfcNormalize for why dedup needs it). Stays inside
@@ -99,23 +116,6 @@ case class NfcNormalize(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.nfcNormalize($a)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-case class TokenCodes(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "token_codes"
-
-  override def nullSafeEval(a: Any): Any =
-    graft.ext.VecMath.tokenCodes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.tokenCodes($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -250,7 +250,14 @@ class FanoutSpec extends AnyFunSuite {
       val trickler = new Socket("127.0.0.1", server.boundPort)
       val out = trickler.getOutputStream
       val in = trickler.getInputStream
-      val req = "GET /feed HTTP/1.1\r\n"
+      // the peer sends a VALID key line up front, then trickles without
+      // ever finishing the request: the deadline exit must fail the
+      // handshake outright, never parse the truncated request, find the
+      // early key, and upgrade the very peer it exists to cut off
+      out.write(("GET /feed HTTP/1.1\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n").getBytes(UTF_8))
+      out.flush()
+      val req = "X-Padding: aaaaaaaa\r\n"
       var closed = false
       val start = System.currentTimeMillis()
       var i = 0
@@ -268,6 +275,8 @@ class FanoutSpec extends AnyFunSuite {
       }
       assert(closed, "trickling peer must be cut off by the deadline")
       assert(System.currentTimeMillis() - start < 10000)
+      assert(hub.liveClients.isEmpty,
+        "a cut-off trickler must never be upgraded/registered")
       // and the server still accepts a healthy client afterwards
       val c = new WsClient(server.boundPort, "dGhlIHNhbXBsZSBub25jZQ==")
       assert(c.handshakeResponse.startsWith("HTTP/1.1 101"))
