@@ -425,7 +425,8 @@ object AisDecoder {
     */
   def decode(sentences: Seq[String],
              extended: Boolean = false): Option[AisDecoded] = {
-    if (sentences == null || sentences.isEmpty) return None
+    if (sentences == null || sentences.isEmpty ||
+      sentences.exists(_ == null)) return None // null element = corrupt row
     try {
       var prev: Sentence = null
       var meta: (String, Int, String) = ("", 0, "")
