@@ -81,7 +81,76 @@ object Bench {
       name -> passes.map(_(name)).min
     }.toMap
 
+    // HOST-DRIFT CONTROL (always on, ~2 s): a frozen pure-Spark workload
+    // that touches no graft code, so its cost is identical across
+    // commits — cross-round per-query deltas divide out ambient host
+    // drift via the control_sec ratio (BASELINE.md protocol). Do not
+    // edit this block: changing it invalidates the cross-round series.
+    val controlSec = {
+      import org.apache.spark.sql.functions.sum
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id % 1000 AS k", "id AS v")
+          .groupBy("k").agg(sum("v").as("s"))
+          .orderBy("k").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); (1 to 3).map(_ => once()).min // warm once, min of 3
+    }
+
     def r3(v: Double): String = f"$v%.3f"
+
+    // PAIRED CONTROL RUN (opt-in, SPARK_GRAFT_CONTROL_COMMIT=<sha|auto>):
+    // automates the BASELINE.md drift-adjudication recipe — check the
+    // control commit out into a worktree, bench the 5 slowest HEAD
+    // queries there minutes apart from the identical HEAD timings, and
+    // emit head/control ratio over the common subset. "auto" resolves
+    // the last driver round-snapshot commit. Failures degrade to a
+    // control_error field — the main bench numbers never depend on it.
+    val controlFields: String = sys.env.get("SPARK_GRAFT_CONTROL_COMMIT")
+      .filter(_.nonEmpty).map { spec =>
+      try {
+        import scala.sys.process._
+        val repo = new java.io.File(".").getCanonicalFile
+        val commit =
+          (if (spec == "auto")
+            Process(Seq("git", "log", "--grep", "^round [0-9]*:", "-1",
+              "--format=%H"), repo).!!
+          else Process(Seq("git", "rev-parse", spec), repo).!!).trim
+        require(commit.nonEmpty, s"cannot resolve control commit '$spec'")
+        val wt = new java.io.File(s"/tmp/graft_bench_ctrl_${commit.take(12)}")
+        if (!new java.io.File(wt, "build.sbt").isFile)
+          Process(Seq("git", "worktree", "add", "--detach", "--force",
+            wt.getAbsolutePath, commit), repo).!!
+        val subset = results.toSeq.sortBy(-_._2).take(5).map(_._1)
+        val out = new StringBuilder
+        Process(Seq("sbt", "-batch", "runMain graft.Bench"), wt,
+          "SPARK_GRAFT_SF_DIR" -> sfDir,
+          "SPARK_GRAFT_CPUS" -> cpus,
+          "SPARK_GRAFT_BENCH_RUNS" -> runs.toString,
+          "SPARK_GRAFT_BENCH_FILTER" -> subset.mkString(","),
+          "SPARK_GRAFT_CONTROL_COMMIT" -> "" // no recursion
+        ).!(ProcessLogger(line => { out.append(line).append('\n'); () }))
+        val full = out.toString.linesIterator
+          .filter(_.contains("\"metric\":\"total_full\"")).toSeq.lastOption
+          .getOrElse(sys.error("control run printed no total_full line"))
+        val qre = "\"(\\w+)\":([0-9]+\\.[0-9]+)".r
+        val ctrl = qre.findAllMatchIn(full)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val common = subset.filter(ctrl.contains)
+        require(common.nonEmpty, "no common queries with control commit")
+        val headSum = common.map(results).sum
+        val ctrlSum = common.map(ctrl).sum
+        s""","control_commit":"${commit.take(12)}","control_n":${common.size},""" +
+          s""""control_head_sec":${r3(headSum)},"control_ctrl_sec":${r3(ctrlSum)},""" +
+          s""""control_ratio":${r3(headSum / ctrlSum)}"""
+      } catch { case e: Throwable =>
+        s""","control_error":"${e.getMessage.takeWhile(_ != '\n').take(120)
+          .replace('"', '\'')}""""
+      }
+    }.getOrElse("")
+
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -89,10 +158,10 @@ object Bench {
     println(s"""{"metric":"total_full","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     // ...then a compact machine line LAST: the driver tails ~2 KB of
     // stdout, and the full 79-query map exceeds that, so the final line
-    // must be short and self-contained (total + 5 slowest).
+    // must be short and self-contained (total + 5 slowest + controls).
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"control_sec":${r3(controlSec)}$controlFields,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

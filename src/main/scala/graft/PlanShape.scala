@@ -23,24 +23,33 @@ object PlanShape {
 
   def count(root: SparkPlan): Counts = {
     val seenCaches = scala.collection.mutable.Set[Int]()
+    val seenSubqueries = scala.collection.mutable.Set[Int]()
     var scans = Map.empty[String, Int].withDefaultValue(0)
     var ex = 0; var cart = 0; var cg = 0
-    def walk(p: SparkPlan): Unit = p.foreach {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case f: FileSourceScanExec =>
-        // attribute the scan to EVERY distinct table among its root
-        // paths — a multi-root scan with documents second would
-        // otherwise hide from the single-scan contract (review finding)
-        f.relation.location.rootPaths
-          .map(_.getName.stripSuffix(".parquet")).distinct
-          .foreach(t => scans = scans.updated(t, scans(t) + 1))
-      case m: InMemoryTableScanExec =>
-        if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
-          walk(m.relation.cachedPlan)
-      case _: ShuffleExchangeLike => ex += 1
-      case _: CartesianProductExec => cart += 1
-      case _: WholeStageCodegenExec => cg += 1
-      case _ => ()
+    def walk(p: SparkPlan): Unit = p.foreach { node =>
+      // Scans can hide inside expression-embedded subquery plans
+      // (ScalarSubquery / InSubqueryExec) — descend into them too, once
+      // per physical subquery so a ReusedSubqueryExec isn't double-counted.
+      node.subqueries.foreach { sq =>
+        if (seenSubqueries.add(System.identityHashCode(sq))) walk(sq)
+      }
+      node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec =>
+          // attribute the scan to EVERY distinct table among its root
+          // paths — a multi-root scan with documents second would
+          // otherwise hide from the single-scan contract (review finding)
+          f.relation.location.rootPaths
+            .map(_.getName.stripSuffix(".parquet")).distinct
+            .foreach(t => scans = scans.updated(t, scans(t) + 1))
+        case m: InMemoryTableScanExec =>
+          if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+            walk(m.relation.cachedPlan)
+        case _: ShuffleExchangeLike => ex += 1
+        case _: CartesianProductExec => cart += 1
+        case _: WholeStageCodegenExec => cg += 1
+        case _ => ()
+      }
     }
     walk(root)
     Counts(scans, ex, cart, cg)

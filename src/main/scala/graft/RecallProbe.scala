@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.Similarity
+import graft.ext.{Similarity, VecMath}
 
 /** ANN recall-vs-cost probe (SCALE.md): measured recall@k of the
   * approximate retrieval paths against the exact brute-force baseline —
@@ -13,14 +13,44 @@ import graft.ext.Similarity
   * recall-vs-cost tradeoff is a recorded number, not an assumption.
   *
   * Usage: runMain graft.RecallProbe [sfDir] [k] [nQueries]
-  * Prints one JSON line per variant: mean recall@k + wall seconds.
+  *    or: runMain graft.RecallProbe --clustered [n] [k] [nQueries]
+  *
+  * The `--clustered` mode swaps the (uniform) driver embeddings for a
+  * seeded mixture-of-Gaussians fixture and measures trained
+  * ([[Similarity.kmeansCentroids]]) against untrained (first-N)
+  * coarse quantization, reporting the SCANNED FRACTION next to each
+  * recall so "recall >> scan fraction" is a measured claim: on uniform
+  * data any 16-way partition gives recall ~ scan fraction (there is no
+  * cluster structure to exploit), so the trained-centroid payoff only
+  * shows on clustered data — which is what real embedding corpora are.
+  *
+  * Prints one JSON line per variant: mean recall@k + wall seconds
+  * (+ scanned corpus fraction for the IVF variants).
   */
 object RecallProbe {
 
+  /** Seeded mixture-of-Gaussians: `nClusters` unit-scale Gaussian
+    * centers, each vector = center + sigma*noise, cluster drawn
+    * per-row from the same seeded stream (so the first 16 vec_ids are
+    * NOT one-per-cluster — untrained first-N centroids start from a
+    * biased sample, as they would in production).
+    */
+  def clusteredFixture(spark: SparkSession, n: Int, dim: Int = 64,
+                       nClusters: Int = 16, sigma: Double = 0.25,
+                       seed: Long = 20260813L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      val c = rnd.nextInt(nClusters)
+      val v = Array.tabulate(dim)(d => (centers(c)(d) + sigma * rnd.nextGaussian()).toFloat).toSeq
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(8)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val k = args.lift(1).map(_.toInt).getOrElse(10)
-    val nQ = args.lift(2).map(_.toInt).getOrElse(32)
+    val clustered = args.headOption.contains("--clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +62,19 @@ object RecallProbe {
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
     import org.apache.spark.sql.functions.col
 
-    val emb = Tables.embeddings(spark, sfDir).cache()
+    val (emb, sfDir, k, nQ) =
+      if (clustered) {
+        val n = args.lift(1).map(_.toInt).getOrElse(20000)
+        (clusteredFixture(spark, n).cache(),
+          s"clustered_fixture_n$n",
+          args.lift(2).map(_.toInt).getOrElse(10),
+          args.lift(3).map(_.toInt).getOrElse(32))
+      } else {
+        val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+        (Tables.embeddings(spark, d).cache(), d,
+          args.lift(1).map(_.toInt).getOrElse(10),
+          args.lift(2).map(_.toInt).getOrElse(32))
+      }
     val n = emb.count()
 
     def time[A](f: => A): (A, Double) = {
@@ -56,10 +98,13 @@ object RecallProbe {
       per.sum / per.size
     }
 
-    def report(variant: String, recall: Double, sec: Double): Unit =
+    def report(variant: String, recall: Double, sec: Double,
+               scannedFrac: Option[Double] = None): Unit = {
+      val extra = scannedFrac.map(f => f""","scanned_frac":$f%.4f""").getOrElse("")
       println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","n_vectors":$n,""" +
         s""""k":$k,"n_queries":$nQ,"variant":"$variant",""" +
-        f""""recall_at_k":$recall%.4f,"sec":$sec%.2f}""")
+        f""""recall_at_k":$recall%.4f,"sec":$sec%.2f$extra}""")
+    }
 
     report("exact_batch_baseline", 1.0, tExact)
 
@@ -69,15 +114,47 @@ object RecallProbe {
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
     report("rp_lsh_multiprobe", recallOf(rpBy), tRp)
 
-    // ivfTopK: per-query path, nprobe sweep
-    for (nprobe <- Seq(1, 2, 4, 8)) {
-      val (byQ, tIvf) = time {
-        (0L until nQ.toLong).map { q =>
-          q -> Similarity.ivfTopK(emb, q, k, nCentroids = 16, nprobe = nprobe)
-            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-        }.toMap
+    // centroid sources to sweep: untrained first-16, and (clustered mode)
+    // Lloyd's-trained — same assignment/probe plan, different centroids
+    val firstN = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val centroidSources: Seq[(String, Seq[(Long, Seq[Float])])] =
+      if (clustered) {
+        val (trained, tTrain) = time { Similarity.kmeansCentroids(emb, 16, 5) }
+        println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","variant":"kmeans_train",""" +
+          f""""iters":5,"sec":$tTrain%.2f}""")
+        Seq("first16" -> firstN, "trained" -> trained)
+      } else Seq("first16" -> firstN)
+
+    // query vectors once (driver-side; nQ x dim floats)
+    val qVecs: Map[Long, Seq[Float]] = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+
+    for ((srcName, cents) <- centroidSources) {
+      // cell sizes under this centroid set — for the measured scan fraction
+      val cellSizes: Map[Long, Long] = emb
+        .withColumn("cell", Similarity.nearestCentroid(cents, col("embedding")))
+        .groupBy(col("cell")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        // mean scanned fraction: per query, the probed cells' share of n
+        val scanned = qVecs.values.map { qv =>
+          val probes = cents
+            .map { case (id, cv) => (VecMath.cosineLocal(cv, qv), id) }
+            .sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
+          probes.map(cellSizes.getOrElse(_, 0L)).sum.toDouble / n
+        }.sum / qVecs.size
+        val (byQ, tIvf) = time {
+          (0L until nQ.toLong).map { q =>
+            q -> Similarity.ivfTopK(emb, q, k, nCentroids = 16, nprobe = nprobe,
+                centroids = Some(cents))
+              .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          }.toMap
+        }
+        report(s"ivf_${srcName}_nprobe_$nprobe", recallOf(byQ), tIvf, Some(scanned))
       }
-      report(s"ivf_nprobe_$nprobe", recallOf(byQ), tIvf)
     }
 
     // single sign-bucket ANN (q24's path) for context

@@ -17,17 +17,24 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nano count and
-    * convert with integer division (`DIV`, not `/` — double division loses
-    * precision at 1e18) to Spark's microsecond TimestampType. The driver
-    * data is micro-aligned, so this is lossless.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (which Spark 4.x rejects outright — [PARQUET_TYPE_ILLEGAL] —
+    * unless read as a raw nano count via `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) in others. Adapt on schema: a Long column is a nano
+    * count converted with integer division (`DIV`, not `/` — double division
+    * loses precision at 1e18); a timestamp column is cast to the session
+    * TimestampType so downstream ops see one type either way. The driver
+    * data is micro-aligned, so both paths are lossless.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -157,9 +157,12 @@ object Similarity {
     * query by probing only the `nprobe` centroid lists nearest the query
     * vector.
     *
-    * Centroids here are the first `nCentroids` vectors by vec_id — a
-    * deterministic stand-in for k-means (the assignment/probe plan is
-    * identical; training would just produce better centroids). Plan
+    * Default centroids are the first `nCentroids` vectors by vec_id — a
+    * deterministic stand-in that keeps the oracle reproducible (the
+    * assignment/probe plan is identical whatever the centroid source).
+    * Pass `centroids = Some(kmeansCentroids(...))` for trained coarse
+    * quantization — on clustered data that is what makes recall exceed
+    * the scanned fraction (RecallProbe --clustered measures both). Plan
     * shape at 100 TB: centroids broadcast (tiny), assignment is a
     * narrow map over the corpus (nCentroids cosines per row, all in one
     * codegen stage), and the corpus is then partitioned/bucketed BY
@@ -168,17 +171,20 @@ object Similarity {
     * partition predicate on a centroid-partitioned table.
     */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nprobe: Int = 2,
+              centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     // Centroids are driver-side constants (16 x dim floats — the same
     // payload a broadcast would ship), folded into the assignment
     // expression so coarse quantization is a PURE MAP: no join, no
     // shuffle, one codegen stage computing nCentroids cosines per row.
-    val centRows = embeddings
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    val centRows = centroids.map(_.sortBy(_._1).toArray).getOrElse {
+      embeddings
+        .filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+    }
     val assigned = embeddings.withColumn("cell",
       nearestCentroid(centRows.toIndexedSeq, col("embedding")))
     val qRow = embeddings.filter(col("vec_id") === queryVecId)

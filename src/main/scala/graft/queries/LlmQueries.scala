@@ -252,10 +252,9 @@ object LlmQueries {
 
     // Drop list under a KEEPER POLICY: q73 keeps each cluster's min-id
     // doc; real pipelines keep the best doc. Here the keeper is the
-    // longest (n_chars desc, doc_id tiebreak) — keeper election is a
-    // map-side-combinable max_by over the cluster membership (dup-
-    // density-sized, NOT corpus-sized), then one broadcast-scale join
-    // back; no window over all docs, no new wide shuffle beyond q65's.
+    // longest (n_chars desc, doc_id tiebreak), elected below by a
+    // window max partitioned by component over the cluster MEMBERSHIP
+    // (dup-density-sized, NOT corpus-sized) — one pass, one shuffle.
     "q80_dedup_keep_longest" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)

@@ -146,7 +146,8 @@ object WebSocket {
 
   /** Read one client frame (must be masked, RFC 6455 §5.1) from the
     * stream: (opcode, unmasked payload), or None at EOF, on a truncated
-    * header (EOF mid-length or mid-mask-key), or on a length beyond
+    * header (EOF mid-length or mid-mask-key), on an unmasked frame
+    * (protocol error per §5.1), or on a length beyond
     * [[MaxInboundFrameBytes]] — every malformed shape maps to None so
     * the caller's single drop path runs.
     */
@@ -176,6 +177,10 @@ object WebSocket {
     // negative = a 64-bit length with the top bit set (already illegal
     // per §5.2); the cap also keeps len.toInt below exact
     if (len < 0 || len > MaxInboundFrameBytes) return None
+    // RFC 6455 §5.1: a server MUST treat an unmasked client frame as a
+    // protocol error — map it to the same drop path as other malformed
+    // shapes rather than silently accepting it with a zero mask
+    if (!masked) return None
     val mask = new Array[Byte](4)
     if (masked) {
       var i = 0

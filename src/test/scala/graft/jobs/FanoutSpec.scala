@@ -158,17 +158,32 @@ class FanoutSpec extends AnyFunSuite {
 
   test("websocket frame codec round-trips every length-encoding regime") {
     // 7-bit (<126), 16-bit (126..65535), 64-bit (>65535) length paths,
-    // plus the boundaries themselves; encodeFrame emits unmasked server
-    // frames and readFrame accepts them (mask bit clear -> no mask key)
+    // plus the boundaries themselves. encodeFrame emits unmasked SERVER
+    // frames; readFrame parses CLIENT frames and (RFC 6455 §5.1)
+    // rejects unmasked ones — so round-trip through a client-side
+    // masking step, and pin the unmasked rejection too.
+    def maskFrame(framed: Array[Byte], payloadLen: Int): Array[Byte] = {
+      val headerLen = framed.length - payloadLen
+      val mask = Array[Byte](0x12, 0x34, 0x56, 0x78)
+      val header = framed.take(headerLen).clone()
+      header(1) = (header(1) | 0x80).toByte // set MASK bit
+      val body = framed.drop(headerLen).zipWithIndex.map { case (b, i) =>
+        (b ^ mask(i & 3)).toByte
+      }
+      header ++ mask ++ body
+    }
     val rnd = new scala.util.Random(11)
     for (n <- Seq(0, 1, 125, 126, 127, 65535, 65536, 70000)) {
       val payload = Array.fill(n)(rnd.nextInt(256).toByte)
       val framed = WebSocket.encodeFrame(0x1, payload)
-      val in = new java.io.ByteArrayInputStream(framed)
+      val in = new java.io.ByteArrayInputStream(maskFrame(framed, n))
       val Some((op, got)) = WebSocket.readFrame(in)
       assert(op === 0x1)
       assert(java.util.Arrays.equals(got, payload), s"n=$n")
       assert(in.read() === -1, s"n=$n: trailing bytes after frame")
+      // the same frame without the mask is a protocol error -> None
+      assert(WebSocket.readFrame(new java.io.ByteArrayInputStream(framed)).isEmpty,
+        s"n=$n: unmasked client frame must be rejected")
     }
   }
 
