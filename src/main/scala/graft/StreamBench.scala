@@ -1,0 +1,187 @@
+package graft
+
+import java.net.ServerSocket
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Reassembly
+import graft.streaming.{FanoutHub, FanoutSink, StreamOps}
+
+/** Streaming-throughput probe (SCALE.md): measured sustained rows/s for
+  * (a) the LIVE WIRE — a real TCP server feeding synthetic AIS datalog
+  * lines through the NmeaSocket DataSource V2 source → fragment parse →
+  * stateful reassembly → native decode → FanoutHub push — and (b) the
+  * stateful operator family (windowed counts, watermark dedup,
+  * flatMapGroupsWithState token quota) on BOTH state-store providers.
+  * The stateful specs prove correctness on both stores; this records
+  * the rows/s those proofs cost, burst-shaped (the whole feed arrives
+  * as fast as loopback carries it, so micro-batches are large — the
+  * adversarial case for state-store commit latency).
+  *
+  * Usage: runMain graft.StreamBench [nLive] [nStateful]
+  * Prints one JSON line per variant.
+  */
+object StreamBench {
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val nLive = args.headOption.map(_.toInt).getOrElse(200000)
+    val nState = args.lift(1).map(_.toInt).getOrElse(500000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+
+    liveWire(spark, nLive)
+    for (provider <- Seq(None, Some(RocksDb))) statefulFamily(spark, nState, provider)
+    spark.stop()
+  }
+
+  private def report(op: String, provider: String, rows: Long, sec: Double,
+                     batches: Int, extra: String = ""): Unit =
+    println(s"""{"probe":"stream_throughput","op":"$op","provider":"$provider",""" +
+      f""""rows":$rows,"sec":$sec%.2f,"rows_per_sec":${(rows / sec).toLong},""" +
+      s""""batches":$batches$extra}""")
+
+  /** TCP server → NmeaSocket source → reassembly → decode → fan-out. */
+  private def liveWire(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val lines = graft.ais.Synth.datalogLines(n)
+    val server = new ServerSocket(0)
+    @volatile var served = false
+    val serverThread = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        lines.foreach { l => out.write(l.getBytes("UTF-8")); out.write('\n') }
+        out.flush()
+        served = true
+        // keep the socket open: EOF would trigger the client's reconnect
+        while (!Thread.interrupted()) Thread.sleep(50)
+      } catch { case _: Throwable => () }
+    }, "stream-bench-nmea-server")
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val hub = new FanoutHub(queueCapacity = 1 << 16)
+    val received = new AtomicLong
+    hub.register("counter", new FanoutHub.Transport {
+      override def send(msg: String): Unit = { received.incrementAndGet(); () }
+    })
+    val raw = graft.sources.Sources.tcpLines(spark, "127.0.0.1", server.getLocalPort)
+    val decoded = Reassembly
+      .assembleStream(Reassembly.parseFragments(raw).as[Reassembly.Fragment]).toDF()
+      .withColumn("d", graft.ais.AisDecoder.ais_decode(col("sentences")))
+      .filter(col("d").isNotNull)
+      .select(col("d.mmsi").as("mmsi"), col("d.position.latitude").as("lat"),
+        col("d.position.longitude").as("lon"))
+    val t0 = System.nanoTime()
+    val q = FanoutSink.start(decoded, hub, "stream_bench_live")
+    try {
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (received.get() < n && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        if (received.get() < n) Thread.sleep(100)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      report("live_wire_nmea_reassembly_decode_fanout", "default",
+        received.get(), sec, batches,
+        s""","expected":$n,"served":$served""")
+    } finally {
+      q.stop(); serverThread.interrupt(); server.close(); hub.shutdown()
+    }
+  }
+
+  /** The stateful family at nState rows in ~20 burst micro-batches. */
+  private def statefulFamily(spark: SparkSession, n: Int,
+                             provider: Option[String]): Unit = {
+    val provName = provider.map(_ => "rocksdb").getOrElse("default")
+    provider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val chunks = 20
+    val base = 1673222400000L
+
+    /** Drive a MemoryStream query chunk-by-chunk; return (sec, batches, out). */
+    def drive[T](mem: MemoryStream[T], data: IndexedSeq[T],
+                 q: org.apache.spark.sql.streaming.StreamingQuery): (Double, Int) = {
+      val t0 = System.nanoTime()
+      data.grouped(math.max(1, data.size / chunks)).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      ((System.nanoTime() - t0) / 1e9, q.recentProgress.count(_.numInputRows > 0))
+    }
+
+    /** RocksDB engagement guard: a conf typo must not silently re-bench
+      * the default store (same marker contract as the RocksDB specs). */
+    def engaged(ckpt: String): Boolean = provider.isEmpty || {
+      val stateDir = new java.io.File(ckpt, "state")
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+        else Iterator(f)
+      walk(stateDir).exists(f =>
+        f.getName.endsWith(".zip") || f.getName.endsWith(".changelog"))
+    }
+
+    def bench[T](op: String, mem: MemoryStream[T], data: IndexedSeq[T],
+                 build: Dataset[T] => org.apache.spark.sql.Dataset[_]): Unit = {
+      val outCount = new AtomicLong
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sb_${op}_$provName").toString
+      val q = build(mem.toDS()).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[_], _: Long) => outCount.addAndGet(b.count()); () }
+        .start()
+      try {
+        val (sec, batches) = drive(mem, data, q)
+        report(op, provName, n, sec, batches,
+          s""","out_rows":${outCount.get()},"provider_engaged":${engaged(ckpt)}""")
+      } finally q.stop()
+    }
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 1. windowed counts: 10k keys, 1-min windows, rows 20ms apart in
+    // event time so the watermark closes ~170 windows over the run
+    val evs = (0 until n).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 20), (i % 10000).toLong)
+    }
+    bench[(java.sql.Timestamp, Long)]("windowed_counts",
+      MemoryStream[(java.sql.Timestamp, Long)], evs,
+      ds => StreamOps.windowedCounts(ds.toDF("ts", "key"), "ts", "key",
+        "1 minute", "30 seconds"))
+
+    // 2. watermark dedup: every 5th row duplicates its predecessor's id
+    // inside the horizon, so ~20% of rows hit an existing state entry
+    val dups = (0 until n).map { i =>
+      val id = if (i % 5 == 0 && i > 0) (i - 1).toLong else i.toLong
+      (new java.sql.Timestamp(base + i.toLong * 20), id)
+    }
+    bench[(java.sql.Timestamp, Long)]("dedup_within_watermark",
+      MemoryStream[(java.sql.Timestamp, Long)], dups,
+      ds => StreamOps.dedupWithinWatermark(ds.toDF("ts", "id"), "ts",
+        Seq("id"), "30 seconds"))
+
+    // 3. token-budget quota: flatMapGroupsWithState over 5 language
+    // groups — the shuffle+sort+state path with tiny state (5 longs)
+    val docs = (0 until n).map { i =>
+      (s"l${i % 5}", i.toLong, 100L)
+    }
+    bench[(String, Long, Long)]("token_budget_fmgws",
+      MemoryStream[(String, Long, Long)], docs,
+      ds => StreamOps.tokenBudgetStream(ds, budget = Long.MaxValue / 4))
+  }
+}

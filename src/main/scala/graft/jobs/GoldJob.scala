@@ -121,14 +121,20 @@ object GoldJob {
     * table is written partitioned by event date so downstream
     * time-ranged reads prune whole partitions before row-group pruning
     * (SCALE.md scan contract) — at 100 TB a day's analysis touches a
-    * day's files.
+    * day's files. Within each date partition, rows are sorted by
+    * (mmsi, ts): parquet row-group min/max stats on mmsi then cover
+    * disjoint id ranges, so a vessel-probe query (`WHERE mmsi = x`)
+    * skips every row group but the one holding that vessel — without
+    * the sort, each vessel's rows smear across all row groups and the
+    * stats prune nothing.
     */
   def run(spark: SparkSession, datalogPath: String, goldOut: String): Long = {
     // peek pushdown: types 1/2/3 + 5 only (the gold table's inputs)
     val decoded = decode(spark.read.text(datalogPath), Seq("1", "2", "3", "5"))
     val g = gold(decoded)
       .withColumn("event_date", org.apache.spark.sql.functions.to_date(col("ts")))
-    g.write.mode("overwrite").partitionBy("event_date").parquet(goldOut)
+    g.sortWithinPartitions(col("event_date"), col("mmsi"), col("ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(goldOut)
     zoneCount(spark.read.parquet(goldOut)).head().getLong(0)
   }
 }

@@ -86,6 +86,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts.nonEmpty, "gold table must be date-partitioned on disk")
   }
 
+  test("gold write layout: date-partitioned files are (mmsi, ts)-sorted") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("gold_sort_in").toString
+    val out = Files.createTempDirectory("gold_sort_out").toString + "/gold"
+    // 10 repeats of the fixture datalog at 2h-shifted tags: 30 position
+    // rows across 3 mmsis, so the within-file sort has runs to check
+    val lines = (0 until 10).flatMap { rep =>
+      Fixtures.sentenceGroups.flatMap { case (fx, sentences) =>
+        val epoch = 1673222400L + fx * 60 + rep * 7200
+        sentences.map(s => s"\\s:stn,q:u,c:$epoch*00$s")
+      }
+    }
+    Files.write(java.nio.file.Paths.get(in, "d.log"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    GoldJob.run(spark, in, out)
+    val partDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+    assert(partDirs.nonEmpty, "gold table must be date-partitioned on disk")
+    val files = partDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    var multiRowFiles = 0
+    for (f <- files) {
+      // read ONE physical file: row order in it is the written order
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select($"mmsi", $"ts").as[(Long, java.sql.Timestamp)].collect()
+      if (rows.length > 1) multiRowFiles += 1
+      val sorted = rows.sortBy(r => (r._1, r._2.getTime))
+      assert(rows.toSeq === sorted.toSeq,
+        s"${f.getName}: rows not (mmsi, ts)-sorted — row-group stats won't prune")
+    }
+    // the assertion must have had something to bite on
+    assert(multiRowFiles > 0, "expected at least one multi-row gold file")
+  }
+
   test("as-of join picks latest static at or before position ts per mmsi") {
     import spark.implicits._
     val pos = Seq(
