@@ -27,6 +27,22 @@ object ScaleProbe {
   private val DefaultQueries = Seq("q21_minhash_pairs", "q22_bigram_jaccard",
     "q33_simhash64_pairs", "q65_dedup_components")
 
+  /** Probe-only variants beyond SparkEntry: `q65_tier2_forced` runs the
+    * q65 pair set through connectedComponents with `driverEdgeLimit = 0`,
+    * forcing the distributed min-label tier on a graph that would
+    * normally ride tier-0 union-find — the only way to put a measured
+    * number on the tier-2 path before a corpus big enough to engage it
+    * naturally (>500k edges) exists.
+    */
+  private val ExtraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
+      val pairs = graft.ext.Dedup
+        .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.Graph.connectedComponents(s, pairs, driverEdgeLimit = 0L)
+    })
+  )
+
   private def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = lit(1000000L) // id stride safely above any sf0.1 doc_id
@@ -83,7 +99,7 @@ object ScaleProbe {
           .parquet(s"$dir/embeddings.parquet")
       val rows = for (q <- Queries) yield {
         graft.ext.Dedup.clearSignatureCaches()
-        val fn = SparkEntry.queries(q)
+        val fn = ExtraProbes.getOrElse(q, SparkEntry.queries(q))
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
