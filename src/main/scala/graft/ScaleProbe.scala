@@ -39,7 +39,8 @@ object ScaleProbe {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
         .select(col("doc1").as("src"), col("doc2").as("dst"))
-      graft.operators.Graph.connectedComponents(s, pairs, driverEdgeLimit = 0L)
+      graft.operators.Graph.connectedComponents(s, pairs, driverEdgeLimit = 0L,
+        verbose = sys.env.contains("SPARK_GRAFT_CC_VERBOSE"))
     })
   )
 

@@ -153,7 +153,7 @@ object Graph {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIters: Int = 50, checkpointEvery: Int = 10,
-      driverEdgeLimit: Long = 500000L): DataFrame = {
+      driverEdgeLimit: Long = 500000L, verbose: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = edges.cache()
 
@@ -205,6 +205,8 @@ object Graph {
           cp
         } else next.cache()
       val fp = labels.agg(sum(col("lbl"))).as[Long].head()
+      if (verbose)
+        System.err.println(s"[cc] iter=${iter + 1} fingerprint=$fp")
       if (fp == fingerprint) done = true
       else {
         fingerprint = fp

@@ -446,6 +446,47 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(assigned.toSeq === assigned2.toSeq)
   }
 
+  test("ivfTopK with injected trained centroids: full recall at nprobe=1 on clustered data") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(13)
+    // four orthogonal directions in 8-d; cluster drawn per row EXCEPT
+    // vec_ids 0-3 are pinned to clusters (0,0,1,1) so the untrained
+    // first-4 centroid set never sees clusters 2 and 3 — the biased
+    // sample a production first-N stand-in actually is
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val pts = (0 until 200).map { i =>
+      val c = if (i < 4) i / 2 else rnd.nextInt(4)
+      (i.toLong, dirs(c).map(x => x + rnd.nextFloat() * 0.05f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        lit(0L).as("label"))
+    def recallAt10(centroids: Option[Seq[(Long, Seq[Float])]]): Double = {
+      val per = (0L until 8L).map { q =>
+        val truth = Similarity.bruteForceTopK(df, q, 10)
+          .select($"vec_id").as[Long].collect().toSet
+        val got = Similarity.ivfTopK(df, q, 10, nCentroids = 4, nprobe = 1,
+          centroids = centroids)
+          .select($"vec_id").as[Long].collect().toSet
+        got.count(truth).toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    // ideal (trained) centroids = the four true directions: every
+    // cluster maps to its own cell, so one probed cell holds ALL of a
+    // query's true neighbors — recall must be exactly 1.0
+    val ideal = dirs.zipWithIndex.map { case (d, i) => (i.toLong, d.toSeq) }
+    assert(recallAt10(Some(ideal)) === 1.0)
+    // the biased untrained set cannot: clusters 2/3 scatter across
+    // cells driven by noise, so single-probe recall drops below 1
+    assert(recallAt10(None) < 1.0)
+  }
+
   test("sessionize splits on gap strictly greater than threshold") {
     import spark.implicits._
     val rows = Seq(
