@@ -226,4 +226,120 @@ object Graph {
         "largest component's diameter; raise it for this graph.")
     labels.select(col("node"), col("lbl").as("component"))
   }
+
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): same contract as
+    * [[connectedComponents]] — every node appearing in an edge maps to
+    * its component's minimum id — but **O(log n) rounds instead of
+    * O(diameter)**, so it is the variant for graphs with long chains
+    * (lineage graphs, session stitches). Dedup similarity graphs are
+    * near-cliques (diameter 2–3), where min-label's cheaper rounds win;
+    * this exists for the other shape and is property-tested equal to
+    * union-find on both.
+    *
+    * Each round is two groupBy-min + join passes (no per-node adjacency
+    * arrays — a skewed high-degree node never materializes its neighbor
+    * list in one task):
+    *  - large-star: every node u points its LARGER neighbors at
+    *    m(u) = min(Γ(u) ∪ u) — halves long chains;
+    *  - small-star: with edges directed larger→smaller, every node's
+    *    smaller neighbors and u itself re-point at the minimum —
+    *    flattens partial stars.
+    * The edge multiset shrinks monotonically toward the star fixpoint
+    * {(v, min(C)) : v ∈ C}; convergence = (count, hash-sum) stable,
+    * checked once per round on the cached edge table.
+    *
+    * `checkpointEvery` defaults to 1 — NOT the laxer cadence of the
+    * other fixpoint loops — because one star round references the
+    * previous round's frame ~12× in the LOGICAL plan (e twice in the
+    * symmetrized adjacency, again under both groupBy-min tables, again
+    * on each join side), so an uncheckpointed k-round lineage is a
+    * ~12^k-node plan that stalls canonicalization/cache-lookup long
+    * before execution is the problem (measured: cadence 5 on a 41-node
+    * chain wedged plan canonicalization for minutes; cadence 1 runs the
+    * whole fixpoint in seconds). Min-label only doubles per round, which
+    * is why IT can afford cadence 10.
+    */
+  def connectedComponentsStar(spark: SparkSession, edges: DataFrame,
+      maxIters: Int = 30, checkpointEvery: Int = 1): DataFrame = {
+    import spark.implicits._
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      und.filter(col("dst") > col("src"))
+        .join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val viaNeighbors = dir.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val self = m.select(col("src"), col("m").as("dst"))
+      viaNeighbors.union(self)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // contract: every node APPEARING in an edge gets a component row —
+    // including self-loop-only nodes, which the contraction below would
+    // otherwise drop (a self-loop carries no connectivity)
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    // change detector: (row count, order-independent hash sum) — src+dst
+    // sums can collide across distinct edge sets under re-pointing
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        sum(hash(col("src"), col("dst")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var iter = 0
+    var done = fp._1 == 0
+    var lastCheckpoint: DataFrame = e
+    while (iter < maxIters && !done) {
+      val next0 = smallStar(largeStar(e))
+      val prev = e
+      e =
+        if ((iter + 1) % checkpointEvery == 0) {
+          val cp = next0.localCheckpoint(true)
+          if (prev ne lastCheckpoint) prev.unpersist(blocking = false)
+          lastCheckpoint.unpersist(blocking = false)
+          lastCheckpoint = cp
+          cp
+        } else next0.cache()
+      val nfp = fingerprint(e)
+      if (nfp == fp) done = true
+      else {
+        fp = nfp
+        if ((prev ne lastCheckpoint) && (prev ne e)) prev.unpersist(blocking = false)
+      }
+      iter += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds — " +
+        "the bound is O(log n); raise maxIters only for astronomically " +
+        "large graphs, otherwise suspect an edge-generation bug.")
+    // fixpoint edges are the stars (v → component min); centers map to
+    // themselves; nodes that fell out (self-loop-only) are their own
+    // singleton components
+    val stars = e.select(col("src").as("node"), col("dst").as("component"))
+    val centers = e.select(col("dst")).distinct()
+      .select(col("dst").as("node"), col("dst").as("component"))
+    val mapped = stars.union(centers).distinct()
+    val singletons = allNodes.join(mapped, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    mapped.union(singletons)
+  }
 }

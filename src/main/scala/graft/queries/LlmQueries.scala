@@ -178,6 +178,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // q65's clusters via ALTERNATING STAR CONTRACTION instead of
+    // min-label propagation: O(log n) rounds vs O(diameter) — the
+    // variant for long-chain graphs (lineage stitches), oracle-gated
+    // against the same recursive-CTE min-label replay because the
+    // (node -> component-min) contract is identical whatever the
+    // algorithm. See Graph.connectedComponentsStar.
+    "q100_components_star" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select($"doc1".as("src"), $"doc2".as("dst"))
+      graft.operators.Graph.connectedComponentsStar(s, pairs)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Incremental dedup: the q66-style 90/10 hash split plays "existing
     // corpus store" vs "incoming batch"; near-dup pairs are generated
     // ONLY across the boundary (batch × store) via the asymmetric
@@ -878,6 +893,19 @@ object LlmQueries {
              * 1000000 + 0.5) / 1000000 AS max_err
          FROM b""",
     "q65_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($q21Sql),
+          e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                UNION SELECT doc2, doc1 FROM pairs),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          r AS (SELECT node, node AS lbl FROM n
+                UNION
+                SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node)
+          SELECT component, count(*) AS n_docs
+          FROM (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+          GROUP BY component""",
+    // identical oracle to q65: the algorithm differs, the contract
+    // (component = min reachable id) does not
+    "q100_components_star" ->
       s"""WITH RECURSIVE pairs AS ($q21Sql),
           e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
                 UNION SELECT doc2, doc1 FROM pairs),

@@ -117,4 +117,43 @@ class GraphSpec extends AnyFunSuite {
     assert(run(broadcastRows = 1000000L, checkpointEvery = 2,
       driverNodeLimit = 6) === expected)
   }
+
+  test("star-contraction components == union-find on adversarial shapes") {
+    import spark.implicits._
+    // the three shapes that stress star contraction differently: a long
+    // chain (the O(diameter) killer min-label exists to avoid), a clique
+    // (max edge redundancy), and seeded random graphs (arbitrary merges)
+    val chain = (0L until 40L).map(i => (i + 1, i))
+    val clique = for (a <- 50L to 56L; b <- (a + 1) to 56L) yield (a, b)
+    val rnd = new scala.util.Random(17)
+    val random = (0 until 60).map { _ =>
+      (100L + rnd.nextInt(30), 100L + rnd.nextInt(30))
+    }.filter { case (a, b) => a != b }
+    val edges = (chain ++ clique ++ random).toDF("src", "dst")
+    val expectedCC = Graph.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap // tier-0 union-find reference
+    val star = Graph.connectedComponentsStar(spark, edges, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(star === expectedCC)
+    // the 41-node chain must converge in O(log n) rounds, far under the
+    // ~40 min-label would need: maxIters = 12 must suffice
+    val chainOnly = chain.toDF("src", "dst")
+    val starChain = Graph.connectedComponentsStar(spark, chainOnly, maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(starChain === (0L to 40L).map(n => n -> 0L).toMap)
+  }
+
+  test("star-contraction handles empty edge sets and self-loops") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponentsStar(spark, empty).count() === 0)
+    // self-loops carry no connectivity; (7,7) alone yields node 7 as
+    // its own singleton component... which matches union-find's contract
+    val loops = Seq((7L, 7L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.connectedComponentsStar(spark, loops)
+      .as[(Long, Long)].collect().toMap
+    val ref = Graph.connectedComponents(spark, loops)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+  }
 }
