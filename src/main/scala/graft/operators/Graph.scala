@@ -153,7 +153,8 @@ object Graph {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIters: Int = 50, checkpointEvery: Int = 10,
-      driverEdgeLimit: Long = 500000L, verbose: Boolean = false): DataFrame = {
+      driverEdgeLimit: Long = 500000L, verbose: Boolean = false,
+      fallbackToStar: Boolean = true): DataFrame = {
     import spark.implicits._
     val e = edges.cache()
 
@@ -218,12 +219,23 @@ object Graph {
     e.unpersist(blocking = false)
     // Unlike reachable — where hitting maxIters merely under-approximates
     // a closure — unconverged labels here LOOK valid but are wrong for
-    // every component whose diameter exceeds the iteration budget. Fail
-    // loudly instead of returning them.
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters iterations: " +
-        "label sums were still decreasing. maxIters must exceed the " +
-        "largest component's diameter; raise it for this graph.")
+    // every component whose diameter exceeds the iteration budget. Never
+    // return them: a diameter > maxIters graph is exactly the long-chain
+    // shape star contraction finishes in O(log n) rounds, so delegate
+    // (default), or fail loudly when the caller pinned the algorithm.
+    if (!done) {
+      labels.unpersist(blocking = false)
+      if (fallbackToStar) {
+        if (verbose) System.err.println(
+          s"[cc] min-label hit maxIters=$maxIters; falling back to star contraction")
+        return connectedComponentsStar(spark, edges)
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations: " +
+          "label sums were still decreasing. maxIters must exceed the " +
+          "largest component's diameter; raise it for this graph, or leave " +
+          "fallbackToStar on to delegate to the O(log n)-round variant.")
+    }
     labels.select(col("node"), col("lbl").as("component"))
   }
 
@@ -290,13 +302,20 @@ object Graph {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
+    // The input projection is cached ONCE and every derivation (the
+    // contraction loop, the node roster, the singleton anti-join) reads
+    // it — `edges` is typically the far end of an expensive pipeline
+    // (LSH pair generation), and the roster referencing it directly
+    // would re-run that pipeline inside the OUTPUT plan. Registered in
+    // the query-scoped cache registry so Verify/Bench release it
+    // between timings like the signature tables.
+    val eAll = graft.ext.Dedup.cached(edges.select(col("src"), col("dst")))
     // contract: every node APPEARING in an edge gets a component row —
     // including self-loop-only nodes, which the contraction below would
     // otherwise drop (a self-loop carries no connectivity)
-    val allNodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().cache()
+    val allNodes = eAll.select(col("src").as("node"))
+      .union(eAll.select(col("dst").as("node"))).distinct()
+    var e = eAll.filter(col("src") =!= col("dst")).distinct().cache()
     // change detector: (row count, order-independent hash sum) — src+dst
     // sums can collide across distinct edge sets under re-pointing
     def fingerprint(d: DataFrame): (Long, Long) = {

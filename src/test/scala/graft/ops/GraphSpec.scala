@@ -100,15 +100,27 @@ class GraphSpec extends AnyFunSuite {
     assert(t2 === expectedCC)
   }
 
-  test("connected components: unconverged labels fail loudly") {
+  test("connected components: unconverged labels fail loudly when pinned") {
     import spark.implicits._
     // a 5-node path needs ~4 min-label rounds; 1 round cannot converge.
     // Unconverged labels LOOK valid (every node gets one), so returning
     // them silently is the failure mode this guards against.
     val path = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
     assertThrows[IllegalStateException] {
-      Graph.connectedComponents(spark, path, maxIters = 1, driverEdgeLimit = 0L)
+      Graph.connectedComponents(spark, path, maxIters = 1, driverEdgeLimit = 0L,
+        fallbackToStar = false)
     }
+  }
+
+  test("connected components: maxIters overflow falls back to star contraction") {
+    import spark.implicits._
+    // same starved budget, default behavior: the answer must come back
+    // CORRECT via the O(log n) star path, never as unconverged labels
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(spark, path, maxIters = 1,
+        driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 5L).map(n => n -> 1L).toMap)
   }
 
   test("mid-BFS spill from tier 1 to tier 2 matches") {
