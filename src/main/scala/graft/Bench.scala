@@ -84,8 +84,11 @@ object Bench {
     // HOST-DRIFT CONTROL (always on, ~2 s): a frozen pure-Spark workload
     // that touches no graft code, so its cost is identical across
     // commits — cross-round per-query deltas divide out ambient host
-    // drift via the control_sec ratio (BASELINE.md protocol). Do not
-    // edit this block: changing it invalidates the cross-round series.
+    // drift via the control_sec ratio (BASELINE.md protocol). The sorted
+    // result is COLLECTED (1000 rows): under a bare count() the
+    // optimizer eliminates the sort and prunes the sum, and the executed
+    // workload silently diverges from the documented one. Do not edit
+    // this block: changing it invalidates the cross-round series.
     val controlSec = {
       import org.apache.spark.sql.functions.sum
       def once(): Double = {
@@ -93,7 +96,7 @@ object Bench {
         spark.range(0L, 20000000L, 1L, 32)
           .selectExpr("id % 1000 AS k", "id AS v")
           .groupBy("k").agg(sum("v").as("s"))
-          .orderBy("k").count()
+          .orderBy("k").collect()
         (System.nanoTime() - t0) / 1e9
       }
       once(); (1 to 3).map(_ => once()).min // warm once, min of 3
@@ -146,8 +149,17 @@ object Bench {
           s""""control_head_sec":${r3(headSum)},"control_ctrl_sec":${r3(ctrlSum)},""" +
           s""""control_ratio":${r3(headSum / ctrlSum)}"""
       } catch { case e: Throwable =>
-        s""","control_error":"${e.getMessage.takeWhile(_ != '\n').take(120)
-          .replace('"', '\'')}""""
+        // full JSON-string escape: a backslash or control char in the
+        // exception message must not corrupt the machine line the
+        // driver parses (same discipline as Verify's oracle dump)
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .take(120).flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+        s""","control_error":"$msg""""
       }
     }.getOrElse("")
 

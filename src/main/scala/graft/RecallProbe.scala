@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Similarity, VecMath}
+import graft.ext.Similarity
 
 /** ANN recall-vs-cost probe (SCALE.md): measured recall@k of the
   * approximate retrieval paths against the exact brute-force baseline —
@@ -140,11 +140,10 @@ object RecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       for (nprobe <- Seq(1, 2, 4, 8)) {
         // mean scanned fraction: per query, the probed cells' share of n
+        // (probe selection shared with ivfTopK so ties resolve identically)
         val scanned = qVecs.values.map { qv =>
-          val probes = cents
-            .map { case (id, cv) => (VecMath.cosineLocal(cv, qv), id) }
-            .sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
-          probes.map(cellSizes.getOrElse(_, 0L)).sum.toDouble / n
+          Similarity.probeCells(cents, qv, nprobe)
+            .map(cellSizes.getOrElse(_, 0L)).sum.toDouble / n
         }.sum / qVecs.size
         val (byQ, tIvf) = time {
           (0L until nQ.toLong).map { q =>

@@ -39,8 +39,12 @@ object ScaleProbe {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
         .select(col("doc1").as("src"), col("doc2").as("dst"))
+      // fallbackToStar = false: this probe MEASURES the min-label tier;
+      // silently timing the star path on non-convergence would corrupt
+      // the SCALE.md tier-2 series — fail loudly instead
       graft.operators.Graph.connectedComponents(s, pairs, driverEdgeLimit = 0L,
-        verbose = sys.env.contains("SPARK_GRAFT_CC_VERBOSE"))
+        verbose = sys.env.contains("SPARK_GRAFT_CC_VERBOSE"),
+        fallbackToStar = false)
     })
   )
 

@@ -42,10 +42,32 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
 
-    liveWire(spark, nLive)
+    for (provider <- Seq(None, Some(RocksDb))) liveWire(spark, nLive, provider)
     for (provider <- Seq(None, Some(RocksDb))) statefulFamily(spark, nState, provider)
     spark.stop()
   }
+
+  /** Apply (or clear) the state-store provider conf; returns the label. */
+  private def setProvider(spark: SparkSession, provider: Option[String]): String = {
+    provider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    provider.map(_ => "rocksdb").getOrElse("default")
+  }
+
+  /** RocksDB engagement guard (same checkpoint-artifact contract as the
+    * RocksDB specs): a conf typo must not silently re-bench the default
+    * store.
+    */
+  private def providerEngaged(provider: Option[String], ckpt: String): Boolean =
+    provider.isEmpty || {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+        else Iterator(f)
+      walk(new java.io.File(ckpt, "state")).exists(f =>
+        f.getName.endsWith(".zip") || f.getName.endsWith(".changelog"))
+    }
 
   private def report(op: String, provider: String, rows: Long, sec: Double,
                      batches: Int, extra: String = ""): Unit =
@@ -53,9 +75,14 @@ object StreamBench {
       f""""rows":$rows,"sec":$sec%.2f,"rows_per_sec":${(rows / sec).toLong},""" +
       s""""batches":$batches$extra}""")
 
-  /** TCP server → NmeaSocket source → reassembly → decode → fan-out. */
-  private def liveWire(spark: SparkSession, n: Int): Unit = {
+  /** TCP server → NmeaSocket source → reassembly → decode → fan-out.
+    * Reassembly's flatMapGroupsWithState is the unbounded-key state at
+    * ingest scale, so the wire is measured on BOTH providers.
+    */
+  private def liveWire(spark: SparkSession, n: Int,
+                       provider: Option[String]): Unit = {
     import spark.implicits._
+    val provName = setProvider(spark, provider)
     val lines = graft.ais.Synth.datalogLines(n)
     val server = new ServerSocket(0)
     @volatile var served = false
@@ -85,8 +112,11 @@ object StreamBench {
       .filter(col("d").isNotNull)
       .select(col("d.mmsi").as("mmsi"), col("d.position.latitude").as("lat"),
         col("d.position.longitude").as("lon"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"sb_live_$provName").toString
     val t0 = System.nanoTime()
-    val q = FanoutSink.start(decoded, hub, "stream_bench_live")
+    val q = FanoutSink.start(decoded, hub, s"stream_bench_live_$provName",
+      checkpointLocation = Some(ckpt))
     try {
       val deadline = System.nanoTime() + 300L * 1000000000L
       while (received.get() < n && System.nanoTime() < deadline) {
@@ -95,9 +125,10 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val batches = q.recentProgress.count(_.numInputRows > 0)
-      report("live_wire_nmea_reassembly_decode_fanout", "default",
+      report("live_wire_nmea_reassembly_decode_fanout", provName,
         received.get(), sec, batches,
-        s""","expected":$n,"served":$served""")
+        s""","expected":$n,"served":$served,""" +
+          s""""provider_engaged":${providerEngaged(provider, ckpt)}""")
     } finally {
       q.stop(); serverThread.interrupt(); server.close(); hub.shutdown()
     }
@@ -106,11 +137,7 @@ object StreamBench {
   /** The stateful family at nState rows in ~20 burst micro-batches. */
   private def statefulFamily(spark: SparkSession, n: Int,
                              provider: Option[String]): Unit = {
-    val provName = provider.map(_ => "rocksdb").getOrElse("default")
-    provider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    val provName = setProvider(spark, provider)
     val chunks = 20
     val base = 1673222400000L
 
@@ -122,17 +149,6 @@ object StreamBench {
         mem.addData(c); q.processAllAvailable()
       }
       ((System.nanoTime() - t0) / 1e9, q.recentProgress.count(_.numInputRows > 0))
-    }
-
-    /** RocksDB engagement guard: a conf typo must not silently re-bench
-      * the default store (same marker contract as the RocksDB specs). */
-    def engaged(ckpt: String): Boolean = provider.isEmpty || {
-      val stateDir = new java.io.File(ckpt, "state")
-      def walk(f: java.io.File): Iterator[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
-        else Iterator(f)
-      walk(stateDir).exists(f =>
-        f.getName.endsWith(".zip") || f.getName.endsWith(".changelog"))
     }
 
     def bench[T](op: String, mem: MemoryStream[T], data: IndexedSeq[T],
@@ -147,7 +163,8 @@ object StreamBench {
       try {
         val (sec, batches) = drive(mem, data, q)
         report(op, provName, n, sec, batches,
-          s""","out_rows":${outCount.get()},"provider_engaged":${engaged(ckpt)}""")
+          s""","out_rows":${outCount.get()},""" +
+            s""""provider_engaged":${providerEngaged(provider, ckpt)}""")
       } finally q.stop()
     }
 

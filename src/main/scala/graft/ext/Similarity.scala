@@ -119,6 +119,18 @@ object Similarity {
     (array_max(array(cands: _*)).getField("negid") * -1L).as("cell")
   }
 
+  /** The IVF index lookup: the `nprobe` centroids nearest `qvec`, under
+    * the SAME rounded-cosine (1e-6) + centroid-id tie-break total order
+    * the cell assignment uses — any probe-selection reimplementation
+    * with raw cosines can pick a different cell across a sub-1e-6 tie
+    * (RecallProbe's scanned-fraction estimate did, review finding).
+    */
+  def probeCells(cents: Seq[(Long, Seq[Float])], qvec: Seq[Float],
+                 nprobe: Int): Seq[Long] =
+    cents.map { case (id, cv) =>
+      (math.floor(VecMath.cosineLocal(cv, qvec) * 1e6 + 0.5) / 1e6, id)
+    }.sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
+
   /** Lloyd's iterations for IVF training: deterministic init (first k
     * vectors by vec_id), assignment = argmax cosine (spherical k-means —
     * the mean centroid needs no normalization because cosine argmax is
@@ -190,12 +202,7 @@ object Similarity {
     val qRow = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect().head.getSeq[Float](0)
     val qvec = typedLit(qRow)
-    // probe list: nprobe centroids nearest the query vector (driver-side
-    // constant fold over nCentroids entries — an IVF index lookup)
-    val scored = centRows.map { case (id, cv) =>
-      (math.floor(VecMath.cosineLocal(cv, qRow) * 1e6 + 0.5) / 1e6, id)
-    }
-    val probes = scored.sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2)
+    val probes = probeCells(centRows.toIndexedSeq, qRow, nprobe)
     assigned
       .filter(col("cell").isin(probes.toIndexedSeq: _*))
       .filter(col("vec_id") =!= queryVecId)

@@ -216,7 +216,6 @@ object Graph {
       iter += 1
     }
     und.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     // Unlike reachable — where hitting maxIters merely under-approximates
     // a closure — unconverged labels here LOOK valid but are wrong for
     // every component whose diameter exceeds the iteration budget. Never
@@ -225,17 +224,26 @@ object Graph {
     // (default), or fail loudly when the caller pinned the algorithm.
     if (!done) {
       labels.unpersist(blocking = false)
+      if (lastCheckpoint ne labels) lastCheckpoint.unpersist(blocking = false)
       if (fallbackToStar) {
         if (verbose) System.err.println(
           s"[cc] min-label hit maxIters=$maxIters; falling back to star contraction")
-        return connectedComponentsStar(spark, edges)
+        // hand the STILL-CACHED edge table to the star pass — passing the
+        // raw `edges` would re-run its upstream pipeline (LSH pair
+        // generation) from scratch on a graph that already paid maxIters
+        // failed rounds. e's lifecycle moves to the query-scoped registry
+        // (star's eAll derives from it; released by clearSignatureCaches).
+        graft.ext.Dedup.cached(e)
+        return connectedComponentsStar(spark, e)
       }
+      e.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations: " +
           "label sums were still decreasing. maxIters must exceed the " +
           "largest component's diameter; raise it for this graph, or leave " +
           "fallbackToStar on to delegate to the O(log n)-round variant.")
     }
+    e.unpersist(blocking = false)
     labels.select(col("node"), col("lbl").as("component"))
   }
 

@@ -179,17 +179,16 @@ object WebSocket {
     if (len < 0 || len > MaxInboundFrameBytes) return None
     // RFC 6455 §5.1: a server MUST treat an unmasked client frame as a
     // protocol error — map it to the same drop path as other malformed
-    // shapes rather than silently accepting it with a zero mask
+    // shapes rather than silently accepting it with a zero mask. Every
+    // frame past this point is masked.
     if (!masked) return None
     val mask = new Array[Byte](4)
-    if (masked) {
-      var i = 0
-      while (i < 4) {
-        val x = b()
-        if (x < 0) return None
-        mask(i) = x.toByte
-        i += 1
-      }
+    var i = 0
+    while (i < 4) {
+      val x = b()
+      if (x < 0) return None
+      mask(i) = x.toByte
+      i += 1
     }
     val payload = new Array[Byte](len.toInt)
     var off = 0
@@ -198,8 +197,8 @@ object WebSocket {
       if (r < 0) return None
       off += r
     }
-    if (masked) for (i <- payload.indices)
-      payload(i) = (payload(i) ^ mask(i & 3)).toByte
+    for (j <- payload.indices)
+      payload(j) = (payload(j) ^ mask(j & 3)).toByte
     Some((opcode, payload))
   }
 }
