@@ -140,8 +140,18 @@ object Similarity {
     * (k x dim floats — broadcast-sized) to fold into the next
     * assignment expression. Cells that lose all members keep their old
     * centroid.
+    *
+    * `roundTo >= 0` rounds each per-dim mean to that many decimals
+    * BEFORE the float cast (q40's quantization discipline): a
+    * distributed double mean's last bits depend on partition order, so
+    * rounding is what makes the trained centroids — and everything
+    * probed through them — bit-reproducible across runs AND replayable
+    * by an external engine (the q101 oracle). Default -1 keeps raw
+    * means for callers that only need good (not reproducible) geometry.
     */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                      roundTo: Int = -1): Seq[(Long, Seq[Float])] = {
+    val mean = if (roundTo >= 0) rnd(avg(col("v")), roundTo) else avg(col("v"))
     var cents = embeddings
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
@@ -153,7 +163,7 @@ object Similarity {
         .withColumn("cell", nearestCentroid(cents, col("embedding")))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("c"))
+        .agg(mean.as("c"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>

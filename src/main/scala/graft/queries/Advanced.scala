@@ -129,6 +129,19 @@ object Advanced {
     "q32_ivf_ann" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
 
+    // TRAINED IVF, end-to-end oracle-gated: one Lloyd iteration from the
+    // first-16 seed under q40's quantization discipline (per-dim mean
+    // rounded 1e-4 before the float32 cast — what makes distributed
+    // training bit-reproducible and externally replayable), then the
+    // same assignment/probe/topk plan as q32 with the trained centroids
+    // injected. The oracle unrolls the iteration in SQL.
+    "q101_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+      Similarity.ivfTopK(emb, queryVecId = 0L, k = 10, nCentroids = 16,
+        nprobe = 2, centroids = Some(trained))
+    }),
+
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
@@ -617,6 +630,39 @@ object Advanced {
             ORDER BY ${cosSql("cvec", "qvec")} DESC, cent_id ASC LIMIT 2)
           SELECT vec_id, cell, ${cosSql("embedding", "qvec")} AS cos
           FROM assigned JOIN probes ON assigned.cell = probes.cent_id, q
+          WHERE vec_id != 0
+          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // q32 with ONE unrolled Lloyd iteration: assign to the first-16
+    // seed, per-(cell, dim) mean rounded 1e-4 then cast float32 (q40's
+    // quantization — bit-equal to Spark's rnd(avg)+toFloat), cells that
+    // lose every member keep their seed centroid, then the q32
+    // probe/topk against the trained set.
+    "q101_ivf_trained" ->
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents0 c),
+          as0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE rn = 1),
+          upd AS (SELECT cell, i,
+              CAST(floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS FLOAT) AS m
+            FROM as0, (SELECT unnest(generate_series(1, 64)) AS i) g
+            GROUP BY cell, i),
+          cent1 AS (SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
+            FROM cents0 c0 LEFT JOIN
+              (SELECT cell, list(m ORDER BY i) AS cvec FROM upd GROUP BY cell) u
+              ON u.cell = c0.cent_id),
+          a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent1 c),
+          as1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1),
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          probes AS (SELECT cent_id FROM cent1, q
+            ORDER BY ${cosSql("cvec", "qvec")} DESC, cent_id ASC LIMIT 2)
+          SELECT vec_id, cell, ${cosSql("embedding", "qvec")} AS cos
+          FROM as1 JOIN probes ON as1.cell = probes.cent_id, q
           WHERE vec_id != 0
           ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "q34_session_window" ->

@@ -446,6 +446,24 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(assigned.toSeq === assigned2.toSeq)
   }
 
+  test("quantized k-means training is partition-order invariant") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // a distributed double mean's low bits depend on partition order;
+    // roundTo=4 must erase that — identical centroids from any layout
+    val rnd = new scala.util.Random(29)
+    val pts = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }
+    def train(parts: Int): Seq[(Long, Seq[Float])] = {
+      val df = pts.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+        .repartition(parts)
+      Similarity.kmeansCentroids(df, k = 4, iters = 2, roundTo = 4)
+    }
+    assert(train(3) === train(7))
+  }
+
   test("ivfTopK with injected trained centroids: full recall at nprobe=1 on clustered data") {
     import spark.implicits._
     import graft.ext.Similarity
