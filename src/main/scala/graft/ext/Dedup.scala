@@ -82,7 +82,12 @@ object Dedup {
     * kernel makes: scalar-heavy per-row logic belongs in one JVM function;
     * joins/shuffles stay relational.)
     */
-  private def signatureScala(text: String): (Array[Long], Array[String]) = {
+  /** The tset-building half of [[signatureScala]]: distinct 5-gram
+    * shingle codes only, no minhash work — the per-row kernel for
+    * consumers that never read the bands (decontamination guards hash
+    * K permutations per shingle for nothing otherwise).
+    */
+  private def shingleCodesScala(text: String): Array[Long] = {
     val toks = text.split(" ")
     val codes = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
     toks.foreach { t =>
@@ -106,6 +111,18 @@ object Dedup {
     val it = seen.iterator()
     var n = 0
     while (it.hasNext) { tset(n) = it.next(); n += 1 }
+    tset
+  }
+
+  private def signatureScala(text: String): (Array[Long], Array[String]) = {
+    val tset = shingleCodesScala(text)
+    // a doc under 5 tokens has NO shingles; minhash over the empty set
+    // degenerates to the all-Long.MaxValue signature, whose band keys
+    // are identical non-null sentinels — every short doc would collide
+    // with every other. No shingles -> no bands (the batch pair
+    // generators additionally filter size(tset) > 0; the streaming
+    // guard relies on this being intrinsic).
+    if (tset.isEmpty) return (tset, Array.empty[String])
     val mins = Array.fill(K)(Long.MaxValue)
     tset.foreach { c =>
       var j = 0
@@ -123,6 +140,9 @@ object Dedup {
 
   private val signatureUdf =
     org.apache.spark.sql.functions.udf((text: String) => signatureScala(text))
+
+  private val shingleCodesUdf =
+    org.apache.spark.sql.functions.udf((text: String) => shingleCodesScala(text))
 
   /** Single-pass bigram signature: text -> (distinct word-bigram shingle
     * codes, min of two universal hash permutations over them). Same
@@ -176,13 +196,10 @@ object Dedup {
     * sessions scanning many corpora should call [[clearSignatureCaches]]
     * between corpora.
     */
-  private val cachedSigTables =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val cachedSigTables = new CacheRegistry
 
-  private def registerSigCache(df: DataFrame): DataFrame = {
-    cachedSigTables.add(df)
-    df
-  }
+  private def registerSigCache(df: DataFrame): DataFrame =
+    cachedSigTables.register(df)
 
   /** Cache a derived signature/gram table under the same lifecycle as
     * the pair generators' caches (released by [[clearSignatureCaches]]).
@@ -190,22 +207,18 @@ object Dedup {
     * DIFFERENT keys — exchange reuse cannot kick in there, so without
     * caching the generating kernel runs once per consumer.
     */
-  def cached(df: DataFrame): DataFrame = registerSigCache(df.cache())
+  def cached(df: DataFrame): DataFrame = cachedSigTables.register(df.cache())
 
   /** Snapshot of the currently registered signature caches. Test hook:
     * `df.storageLevel` reads the cache-manager entry synchronously, so
     * specs can assert release without racing the async block sweep that
     * a global `getPersistentRDDs` count is subject to.
     */
-  private[graft] def signatureCacheSnapshot: Seq[DataFrame] = {
-    val it = cachedSigTables.iterator()
-    val buf = Seq.newBuilder[DataFrame]
-    while (it.hasNext) buf += it.next()
-    buf.result()
-  }
+  private[graft] def signatureCacheSnapshot: Seq[DataFrame] =
+    cachedSigTables.snapshot
 
   /** Number of signature tables currently registered (not yet released). */
-  def registeredSignatureCacheCount: Int = cachedSigTables.size()
+  def registeredSignatureCacheCount: Int = cachedSigTables.snapshot.size
 
   /** Unpersist every signature table the pair generators have cached.
     * Safe while results are outstanding — an unpersisted dependency is
@@ -214,13 +227,8 @@ object Dedup {
     * cost lands between timed queries instead of as surprise GC/eviction
     * pressure inside the next one (the round-5 bench drift).
     */
-  def clearSignatureCaches(blocking: Boolean = false): Unit = {
-    var df = cachedSigTables.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = cachedSigTables.poll()
-    }
-  }
+  def clearSignatureCaches(blocking: Boolean = false): Unit =
+    cachedSigTables.clear(blocking)
 
   /** (doc_id, bg, k1, k2) bigram-signature table for q22-style n-gram
     * near-dup: one kernel pass per row.
@@ -293,14 +301,15 @@ object Dedup {
     * dedup and decontamination primitives share it.
     */
   def shingleSets(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), signatureUdf(coalesce(col(textCol), lit(""))).as("s"))
-      .select(col("doc_id"), col("s._1").as("tset"))
+    docs.select(col("doc_id"),
+      shingleCodesUdf(coalesce(col(textCol), lit(""))).as("tset"))
 
   /** Column form of the 5-gram shingle set (streaming pipelines compose
-    * it against their own watermark/selection).
+    * it against their own watermark/selection). Shingle-only kernel —
+    * no minhash/band work per row.
     */
   def shingleCol(text: Column): Column =
-    signatureUdf(coalesce(text, lit(""))).getField("_1")
+    shingleCodesUdf(coalesce(text, lit("")))
 
   /** LSH band keys for one text column (same kernel as the pair
     * generators — one arithmetic, every consumer).

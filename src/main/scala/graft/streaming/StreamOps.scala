@@ -52,9 +52,21 @@ object StreamOps {
     * maps that only ever grow): state size is live keys, not all keys
     * ever seen. Event-time timeout (not processing-time) keeps the
     * operator deterministic in replay/backfill.
+    *
+    * Spark only fires the timeout path for keys with NO data in the
+    * batch, so a silence longer than ttl that ends INSIDE a batch (a
+    * same-batch revival, or a whole backfill landing in one batch)
+    * would never surface through hasTimedOut. The data branch therefore
+    * emits the EXPIRED record for every gap > ttl it can see itself —
+    * between the stored last_ts and the batch's events, and between
+    * successive events within the batch — which is exactly what makes
+    * live and replay runs emit the SAME expiries regardless of
+    * batching. (The events slice is buffered and sorted per (key,
+    * batch) — trigger sizing bounds it, as with tokenBudgetStream.)
     */
   def trackExpiry(events: Dataset[(Long, Timestamp)], ttlSeconds: Long,
                   watermarkDelay: String): Dataset[Expiry] = {
+    require(ttlSeconds > 0, s"ttlSeconds must be positive, got $ttlSeconds")
     val spark = events.sparkSession
     import spark.implicits._
     events.toDF("key", "ts")
@@ -69,11 +81,17 @@ object StreamOps {
             state.remove()
             Iterator.single(Expiry(key, last, "EXPIRED"))
           } else {
-            val newest = (it.map(_._2) ++ state.getOption.iterator)
-              .maxBy(_.getTime)
-            state.update(newest)
-            state.setTimeoutTimestamp(newest.getTime + ttlSeconds * 1000L)
-            Iterator.empty
+            val ts = it.map(_._2).toArray.sortBy(_.getTime)
+            val expiries = Vector.newBuilder[Expiry]
+            var last: Timestamp = state.getOption.orNull
+            ts.foreach { t =>
+              if (last != null && t.getTime - last.getTime > ttlSeconds * 1000L)
+                expiries += Expiry(key, last, "EXPIRED")
+              if (last == null || t.getTime > last.getTime) last = t
+            }
+            state.update(last)
+            state.setTimeoutTimestamp(last.getTime + ttlSeconds * 1000L)
+            expiries.result().iterator
           }
       }
   }
@@ -105,6 +123,7 @@ object StreamOps {
     */
   def tokenBudgetStream(docs: Dataset[(String, Long, Long)],
       budget: Long): Dataset[Admitted] = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.groupByKey(_._1)
@@ -114,7 +133,12 @@ object StreamOps {
           var cum = state.getOption.getOrElse(0L)
           val out = it.toArray.sortBy(_._2).iterator.flatMap {
             case (_, docId, nTok) =>
-              if (cum + nTok <= budget) {
+              // overflow-safe admission: `cum + nTok <= budget` wraps
+              // negative for an adversarial nTok near Long.MaxValue and
+              // would admit it, leaving cum corrupt in state forever.
+              // cum <= budget is invariant, so compare against the
+              // remaining headroom instead.
+              if (nTok >= 0 && nTok <= budget - cum) {
                 cum += nTok
                 Some(Admitted(lang, docId, nTok, cum))
               } else None
@@ -150,6 +174,7 @@ object StreamOps {
     */
   def heavyHittersStream(toks: Dataset[(String, Long)],
       k: Int): Dataset[HeavyHitter] = {
+    require(k > 0, s"k must be positive, got $k (k = 0 would silently emit nothing)")
     val spark = toks.sparkSession
     import spark.implicits._
     toks.groupByKey(_._1)
@@ -173,32 +198,24 @@ object StreamOps {
       }
   }
 
-  /** Static shingle indexes persisted by [[contaminationStream]]; one
-    * entry per guard. [[clearStaticIndexes]] releases them when a guard's
-    * query stops (same lifecycle pattern as Dedup.clearSignatureCaches).
+  /** Static shingle indexes persisted by [[contaminationStream]] /
+    * [[nearDupStream]]; one entry per guard. [[clearStaticIndexes]]
+    * releases them when a guard's query stops (shared
+    * [[graft.ext.CacheRegistry]] lifecycle with Dedup's signature
+    * tables).
     */
-  private val staticIndexes =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val staticIndexes = new graft.ext.CacheRegistry
 
   /** Test hook: snapshot of the persisted holdout indexes. */
-  private[graft] def staticIndexSnapshot: Seq[DataFrame] = {
-    val it = staticIndexes.iterator()
-    val buf = Seq.newBuilder[DataFrame]
-    while (it.hasNext) buf += it.next()
-    buf.result()
-  }
+  private[graft] def staticIndexSnapshot: Seq[DataFrame] =
+    staticIndexes.snapshot
 
   /** Unpersist every holdout index registered by running guards. Call
     * after stopping the streaming queries that use them; an unpersisted
     * dependency recomputes, so calling early is safe, just slow.
     */
-  def clearStaticIndexes(blocking: Boolean = false): Unit = {
-    var df = staticIndexes.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = staticIndexes.poll()
-    }
-  }
+  def clearStaticIndexes(blocking: Boolean = false): Unit =
+    staticIndexes.clear(blocking)
 
   /** Streaming contamination guard — the stream-static join shape: a
     * STATIC holdout corpus is indexed once (distinct 5-gram shingle
@@ -223,7 +240,7 @@ object StreamOps {
       .select(explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull).distinct()
       .persist()
-    staticIndexes.add(testCodes)
+    staticIndexes.register(testCodes)
     docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col("doc_id"), col(tsCol),
@@ -252,7 +269,7 @@ object StreamOps {
     val bandIndex = graft.ext.Dedup.bandTable(storeDocs)
       .select(col("band"), col("key")).distinct()
       .persist()
-    staticIndexes.add(bandIndex)
+    staticIndexes.register(bandIndex)
     docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col("doc_id"), col(tsCol),

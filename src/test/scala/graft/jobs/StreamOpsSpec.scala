@@ -311,6 +311,100 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     assert(snap() === expected, "replay from the pre-swap snapshot must converge")
   }
 
+  test("near-dup guard: shingle-less short docs never collide on sentinel bands") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    StreamOps.clearStaticIndexes()
+    // a doc under 5 tokens has NO shingles; minhash over the empty set
+    // used to degenerate to identical all-Long.MaxValue band keys, so a
+    // store containing ANY short doc flagged EVERY streaming short doc.
+    // The kernel now emits no bands for no shingles — unrelated short
+    // docs must pass, while a genuine store hit still flags.
+    val base = (0 until 12).map(w => s"s$w").mkString(" ")
+    val store = Seq((100L, "tiny store doc"), (101L, base)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.nearDupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), store,
+      tsCol = "ts", watermarkDelay = "2 minutes")
+    val ckpt = Files.createTempDirectory("nd_short_ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("neardup_short").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, ts(0), "other tiny doc"), (2L, ts(1), base))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup_short").select($"doc_id")
+        .as[Long].collect().toSeq
+      assert(flagged === Seq(2L),
+        s"only the true store hit may flag, got $flagged")
+    } finally {
+      q.stop()
+      StreamOps.clearStaticIndexes()
+    }
+  }
+
+  test("trackExpiry emits the expiry when the revival lands in the same batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // Spark's timeout path only fires for keys with NO batch data, so a
+    // silence that ends inside a batch (same-batch revival / backfill)
+    // must be surfaced by the data branch — otherwise live and replay
+    // runs emit different expiries for identical event histories.
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.trackExpiry(in.toDS(), ttlSeconds = 600L,
+      watermarkDelay = "1 minute")
+    val ckpt = Files.createTempDirectory("exp_same_ckpt").toString
+    val q = out.toDF().writeStream
+      .format("memory").queryName("exp_same").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // both events in ONE batch, 2h apart (ttl 10 min)
+      in.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("exp_same")
+        .select($"key", $"last_ts", $"status")
+        .as[(Long, Timestamp, String)].collect().toSet
+      assert(rows === Set((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "EXPIRED")),
+        s"the in-batch 2h silence must emit one expiry for 10:00, got $rows")
+    } finally q.stop()
+  }
+
+  test("token budget admission is Long-overflow-safe") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val budget = Long.MaxValue / 4
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.tokenBudgetStream(in.toDS(), budget)
+    val ckpt = Files.createTempDirectory("tb_ovf_ckpt").toString
+    val q = out.toDF().writeStream
+      .format("memory").queryName("tb_ovf").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // doc 2's nTok makes `cum + nTok` wrap negative under the naive
+      // check — it must be REJECTED, and first-fit must continue
+      in.addData(("en", 1L, 10L), ("en", 2L, Long.MaxValue - 5L),
+        ("en", 3L, 7L))
+      q.processAllAvailable()
+      val admitted = spark.table("tb_ovf")
+        .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+      assert(admitted === Map(1L -> 10L, 3L -> 17L),
+        s"overflow doc must be rejected with state intact, got $admitted")
+    } finally q.stop()
+  }
+
+  test("heavyHittersStream rejects non-positive k at call time") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    assertThrows[IllegalArgumentException] {
+      StreamOps.heavyHittersStream(in.toDS(), k = 0)
+    }
+  }
+
   test("streaming session_window merges events within the gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
