@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   * handled by AQE; there is no driver-side state. This survives 100 TB:
   * each partition streams sorted rows with O(1) carried state per key.
   *
-  * Caveat: a right row holding a genuine null in a rightCol is skipped in
-  * favor of an older non-null value (ignoreNulls). Project a sentinel
-  * before the join if null-propagation semantics are needed.
+  * Caveats:
+  *  - a right row holding a genuine null in a rightCol is skipped in
+  *    favor of an older non-null value (ignoreNulls). Project a sentinel
+  *    before the join if null-propagation semantics are needed.
+  *  - right rows with a null `on` are DROPPED (merge_asof semantics: a
+  *    null timestamp precedes nothing) — without the filter they sort
+  *    NULLS FIRST and get carried into left rows that have no true match.
+  *  - right rows tied on (by, on) resolve by the greatest rightCols
+  *    tuple (appended to the window order), making the pick
+  *    deterministic where merge_asof's "last input row" depends on
+  *    arrival order; rightCols must therefore be orderable types.
   */
 object AsofJoin {
   private val SIDE = "__asof_side"
@@ -41,23 +49,27 @@ object AsofJoin {
     require(rightCols.intersect(left.columns).isEmpty,
       s"rightCols ${rightCols.mkString(",")} must not collide with left columns")
 
-    val leftU = rightCols.foldLeft(left.withColumn(SIDE, lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val rightProjected = right
-      .select((by :+ on).map(col) ++ rightCols.map(col): _*)
-      .withColumn(SIDE, lit(0))
-    val rightU = leftOnly.foldLeft(rightProjected) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
+    // single projection per side (a per-column withColumn fold stacks one
+    // Project node per added column — real planning cost on wide tables)
+    val leftU = left.select(
+      left.columns.map(col) ++ (lit(1).as(SIDE) +:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rightU = right
+      .filter(col(on).isNotNull)
+      .select(((by :+ on).map(col) ++ rightCols.map(col)) ++
+        (lit(0).as(SIDE) +:
+          leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col(on).asc, col(SIDE).asc)
+      .orderBy(col(on).asc +: col(SIDE).asc +: rightCols.map(c => col(c).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(leftU.unionByName(rightU)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val union = leftU.unionByName(rightU)
+    val filled = union.select(union.columns.map {
+      case c if rightCols.contains(c) =>
+        last(col(c), ignoreNulls = true).over(w).as(c)
+      case c => col(c)
+    }: _*)
     filled.filter(col(SIDE) === 1).drop(SIDE)
   }
 }

@@ -55,6 +55,17 @@ object Graph {
     // data; when the EDGE TABLE itself is driver-sized, the entire
     // closure is one collect + an in-memory BFS (2 jobs total instead
     // of jobs x diameter)
+    // A closure deeper than maxIters must FAIL, not silently truncate:
+    // a partial "reachable" set looks valid and downstream joins lose
+    // rows with no signal (same contract as connectedComponents).
+    def truncatedError(): Nothing = {
+      e.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"reachable did not converge in $maxIters rounds: the closure is " +
+          "deeper than the iteration budget. maxIters must exceed the " +
+          "graph's depth from the start node; raise it for this graph.")
+    }
+
     if (e.count() <= driverEdgeLimit) {
       val adj = e.select(col("src"), col("dst")).as[(Long, Long)]
         .collect().groupMap(_._1)(_._2)
@@ -67,6 +78,7 @@ object Graph {
         seen ++= front
         it += 1
       }
+      if (front.nonEmpty) truncatedError()
       e.unpersist(blocking = false)
       return seen.toSeq.toDF("node")
     }
@@ -83,14 +95,22 @@ object Graph {
       val nextArr = e.filter(col("src").isin(frontierSet.toSeq: _*))
         .select(col("dst")).distinct()
         .limit(driverNodeLimit + 1).as[Long].collect()
-      if (nextArr.length + visitedSet.size > driverNodeLimit) spilled = true
+      if (nextArr.length > driverNodeLimit) spilled = true // truncated: size unknown
       else {
-        frontierSet = nextArr.toSet -- visitedSet
-        visitedSet ++= frontierSet
-        iter += 1
+        // spill on the TRUE closure size, not nextArr + visited — an
+        // expansion dominated by already-visited nodes (dense graphs)
+        // must not push a closure that still fits onto the join tier
+        val fresh = nextArr.toSet -- visitedSet
+        if (visitedSet.size + fresh.size > driverNodeLimit) spilled = true
+        else {
+          frontierSet = fresh
+          visitedSet ++= fresh
+          iter += 1
+        }
       }
     }
     if (!spilled) {
+      if (frontierSet.nonEmpty) truncatedError()
       e.unpersist(blocking = false)
       return visitedSet.toSeq.toDF("node")
     }
@@ -112,7 +132,14 @@ object Graph {
         .join(v, Seq("node"), "left_anti")
         .cache()
       frontierRows = next.count()
-      if (frontierRows == 0) done = true
+      if (frontierRows == 0) {
+        done = true
+        // convergence round: neither the final (empty) next nor the
+        // last frontier is consumed again — release both or they stay
+        // cached for the session (the else-branch cleanup never runs)
+        next.unpersist(blocking = false)
+        frontier.unpersist(blocking = false)
+      }
       else {
         val prevFrontier = frontier
         val prevVisited = visited
@@ -134,6 +161,10 @@ object Graph {
         prevFrontier.unpersist(blocking = false)
       }
       iter += 1
+    }
+    if (!done) {
+      frontier.unpersist(blocking = false)
+      truncatedError()
     }
     e.unpersist(blocking = false)
     visited
@@ -209,10 +240,11 @@ object Graph {
       if (verbose)
         System.err.println(s"[cc] iter=${iter + 1} fingerprint=$fp")
       if (fp == fingerprint) done = true
-      else {
-        fingerprint = fp
-        if ((prev ne lastCheckpoint) && (prev ne labels)) prev.unpersist(blocking = false)
-      }
+      else fingerprint = fp
+      // release prev on EVERY path incl. the convergence round — the
+      // done branch previously skipped it, leaving the prior label
+      // table cached for the session
+      if ((prev ne lastCheckpoint) && (prev ne labels)) prev.unpersist(blocking = false)
       iter += 1
     }
     und.unpersist(blocking = false)
@@ -348,10 +380,10 @@ object Graph {
         } else next0.cache()
       val nfp = fingerprint(e)
       if (nfp == fp) done = true
-      else {
-        fp = nfp
-        if ((prev ne lastCheckpoint) && (prev ne e)) prev.unpersist(blocking = false)
-      }
+      else fp = nfp
+      // release prev on every path incl. the convergence round (same
+      // leak shape as the min-label loop)
+      if ((prev ne lastCheckpoint) && (prev ne e)) prev.unpersist(blocking = false)
       iter += 1
     }
     if (!done) throw new IllegalStateException(

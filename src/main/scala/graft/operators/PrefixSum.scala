@@ -66,10 +66,16 @@ object PrefixSum {
     val valIdx = schema.fieldIndex(valCol)
     val maxKeys = maxKeysPerPartition
 
-    // pass 1: (partition, rowCount, key partial sums), in partition order
-    val partials: Array[(Int, Long, Seq[(Any, Long)])] =
+    // pass 1: (partition, rowCount, key -> (partial sum, sawNonNull)),
+    // in partition order. The seen-flag rides along so pass 2 can
+    // reproduce SQL window-sum null semantics exactly: `sum() OVER` is
+    // NULL until the frame holds its first non-null value — a key whose
+    // leading rows are all null must emit NULL cums, not 0, even when
+    // those rows span partitions.
+    val partials: Array[(Int, Long, Seq[(Any, (Long, Boolean))])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        val acc =
+          scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Boolean)]
         var n = 0L
         it.foreach { r =>
           val k = r.get(keyIdx)
@@ -81,21 +87,23 @@ object PrefixSum {
                 "keys (lang, source). Use a window " +
                 s"(sum over partitionBy($keyCol) orderBy ...) for " +
                 "high-cardinality keys, or raise maxKeysPerPartition.")
-          // null value contributes 0, matching SQL sum() null handling
-          val v = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
-          acc.update(k, acc.getOrElse(k, 0L) + v)
+          val isNull = r.isNullAt(valIdx)
+          val v = if (isNull) 0L else r.getLong(valIdx)
+          val (s0, seen0) = acc.getOrElse(k, (0L, false))
+          acc.update(k, (s0 + v, seen0 || !isNull))
           n += 1
         }
         Iterator.single((pid, n, acc.toSeq))
       }.collect()
 
-    // driver: running offset per key across partitions
-    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
-    val runningByKey = scala.collection.mutable.HashMap.empty[Any, Long]
+    // driver: running (offset, seen-any-non-null) per key across partitions
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), (Long, Boolean)]
+    val runningByKey = scala.collection.mutable.HashMap.empty[Any, (Long, Boolean)]
     partials.sortBy(_._1).foreach { case (pid, _, ks) =>
-      ks.foreach { case (k, s) =>
-        offsets.update((pid, k), runningByKey.getOrElse(k, 0L))
-        runningByKey.update(k, runningByKey.getOrElse(k, 0L) + s)
+      ks.foreach { case (k, (s, seen)) =>
+        val (run0, seen0) = runningByKey.getOrElse(k, (0L, false))
+        offsets.update((pid, k), (run0, seen0))
+        runningByKey.update(k, (run0 + s, seen0 || seen))
       }
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets.toMap)
@@ -110,6 +118,7 @@ object PrefixSum {
       var curKey: Any = null
       var started = false
       var run = 0L
+      var seen = false
       var n = 0L
       val expected = expectedCounts.value.getOrElse(pid, 0L)
       new Iterator[Row] {
@@ -130,15 +139,23 @@ object PrefixSum {
           if (!started || k != curKey) {
             curKey = k
             started = true
-            run = bcOffsets.value.getOrElse((pid, k), 0L)
+            val (off, seenBefore) =
+              bcOffsets.value.getOrElse((pid, k), (0L, false))
+            run = off
+            seen = seenBefore
           }
-          run += (if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
+          if (!r.isNullAt(valIdx)) {
+            run += r.getLong(valIdx)
+            seen = true
+          }
           n += 1
-          Row.fromSeq(r.toSeq :+ run)
+          // SQL window-sum null semantics: NULL until the key's frame
+          // holds its first non-null value, then nulls are ignored
+          Row.fromSeq(r.toSeq :+ (if (seen) run else null))
         }
       }
     }
     spark.createDataFrame(outRows,
-      StructType(schema.fields :+ StructField(cumCol, LongType, nullable = false)))
+      StructType(schema.fields :+ StructField(cumCol, LongType, nullable = true)))
   }
 }

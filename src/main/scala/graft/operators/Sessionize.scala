@@ -25,9 +25,13 @@ object Sessionize {
                  tiebreak: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
     val prev = lag(ts, 1).over(w)
+    // microsecond-exact gap: cast(ts as long) floors to whole seconds,
+    // under which a 600.9s gap reads as 600 and fails a >600 split —
+    // silently different sessions than session_window on sub-second data
     val isNew = when(
       prev.isNull ||
-        (ts.cast("long") - prev.cast("long")) > gapSeconds, 1L).otherwise(0L)
+        (unix_micros(ts) - unix_micros(prev)) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
     df.withColumn("session_seq", sum(isNew).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

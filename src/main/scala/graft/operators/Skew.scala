@@ -27,6 +27,9 @@ object Skew {
     */
   def saltedEquiJoin(left: DataFrame, keyL: String, saltFrom: Column,
                      right: DataFrame, keyR: String, buckets: Int): DataFrame = {
+    // buckets = 0 would make pmod(_, 0) null on the left while the right
+    // explodes sequence(0, -1) — a silently EMPTY join, not an error
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val l = left.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -539,15 +539,15 @@ object Advanced {
   private val P = graft.ext.TextStats.P
 
   /** Sessions CTE chain shared by q30/q31 — mirrors Sessionize exactly:
-    * gap compared on floor-to-second epochs (Spark `cast(ts as long)`),
+    * gap compared on exact microsecond epochs (Spark `unix_micros`),
     * ties broken by event_id.
     */
   private val sessSql =
     s"""e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         s0 AS (SELECT user_id, event_id, ts,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR CAST(floor(epoch(ts)) AS BIGINT)
-                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > $SessionGap
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    > ${SessionGap * 1000000L}
                THEN 1 ELSE 0 END AS is_new
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s1 AS (SELECT user_id, ts,

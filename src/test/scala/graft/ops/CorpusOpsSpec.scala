@@ -333,6 +333,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixSum matches window-sum NULL semantics on leading nulls") {
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    // sum() OVER is NULL until the frame's first non-null value; a key
+    // whose leading rows are all null must emit NULL cums, not 0 —
+    // including when the null run crosses partitions (key "n" below is
+    // large enough to span range partitions)
+    val rows =
+      (0 until 200).map(i => ("n", i.toLong, Option.empty[Long])) ++
+        Seq(("n", 200L, Some(5L)), ("n", 201L, None), ("n", 202L, Some(3L))) ++
+        Seq(("m", 0L, Some(1L)), ("m", 1L, None))
+    val df = rows.toDF("key", "ord", "v")
+    val got = PrefixSum.cumSumByKey(df, "key", Seq("ord"), "v")
+      .select($"key", $"ord", $"cum")
+      .as[(String, Long, Option[Long])].collect().toSet
+    val w = Window.partitionBy($"key").orderBy($"ord")
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select($"key", $"ord", $"cum")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got === want)
+    // spot-pin the shape: all-null prefix is None, then sums ignore nulls
+    val n = got.filter(_._1 == "n").toSeq.sortBy(_._2)
+    assert(n.take(200).forall(_._3.isEmpty), "leading nulls must be NULL")
+    assert(n(200)._3 === Some(5L) && n(201)._3 === Some(5L) && n(202)._3 === Some(8L))
+    Dedup.clearSignatureCaches()
+  }
+
   test("PrefixSum fails loud on high-cardinality keys (driver-state guard)") {
     import spark.implicits._
     import graft.operators.PrefixSum

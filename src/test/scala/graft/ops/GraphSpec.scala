@@ -155,6 +155,24 @@ class GraphSpec extends AnyFunSuite {
     assert(starChain === (0L to 40L).map(n => n -> 0L).toMap)
   }
 
+  test("reachable refuses to return a truncated closure (all tiers)") {
+    import spark.implicits._
+    // a 10-deep chain with maxIters=3: a silent partial closure loses
+    // rows in downstream joins with no signal — every tier must throw
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    assertThrows[IllegalStateException] { // tier 0 (edges fit driver)
+      Graph.reachable(spark, chain, start = 0L, maxIters = 3)
+    }
+    assertThrows[IllegalStateException] { // tier 1 (driver-set BFS)
+      Graph.reachable(spark, chain, start = 0L, maxIters = 3,
+        driverEdgeLimit = 0L)
+    }
+    assertThrows[IllegalStateException] { // tier 2 (join loop)
+      Graph.reachable(spark, chain, start = 0L, maxIters = 3,
+        driverEdgeLimit = 0L, driverNodeLimit = 1)
+    }
+  }
+
   test("star-contraction handles empty edge sets and self-loops") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -139,6 +139,32 @@ class PipelineSpec extends AnyFunSuite {
       (100L, 20L, None)))         // static arrives later
   }
 
+  test("as-of join drops null-ts right rows and resolves ties deterministically") {
+    import spark.implicits._
+    // a right row with null `on` must never match (merge_asof: a null
+    // timestamp precedes nothing) — it used to sort NULLS FIRST and be
+    // carried into left rows with no true predecessor
+    val pos = Seq((50L, 10L, 1.0)).toDF("ts", "mmsi", "sog")
+    val statNull = Seq(
+      (Option.empty[Long], 10L, "GHOST"), (Option(100L), 10L, "LATE"))
+      .toDF("ts", "mmsi", "shipName")
+    val j1 = graft.operators.AsofJoin
+      .asofJoin(pos, statNull, on = "ts", by = Seq("mmsi"),
+        rightCols = Seq("shipName"))
+      .select($"shipName").as[Option[String]].collect().toSeq
+    assert(j1 === Seq(None), s"null-ts right row must not match, got $j1")
+    // right rows tied on (by, on): the greatest rightCols tuple wins,
+    // every run (window order would otherwise leave it to shuffle order)
+    val statTie = Seq((40L, 10L, "A"), (40L, 10L, "B")).toDF("ts", "mmsi", "shipName")
+    (1 to 3).foreach { _ =>
+      val j2 = graft.operators.AsofJoin
+        .asofJoin(pos, statTie, on = "ts", by = Seq("mmsi"),
+          rightCols = Seq("shipName"))
+        .select($"shipName").as[String].collect().toSeq
+      assert(j2 === Seq("B"), s"tie must resolve to the greatest tuple, got $j2")
+    }
+  }
+
   test("streaming reassembly completes sessions and evicts on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
