@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Num.{r => rnd}
@@ -59,7 +58,13 @@ object Dedup {
       org.apache.spark.sql.graft.GraftColumns.gramCodes(codes, n),
       x => x.isNotNull))
 
-  /** Declarative zip_with reference of the gram chain (parity spec). */
+  /** Declarative zip_with reference of the gram chain (parity spec).
+    * CAVEAT: `slice(_, k, MaxLen)` bounds the reference at 2^20 tokens —
+    * beyond that the chain pairs with null padding and emits fewer
+    * shingles than the kernel, so the VecMathSpec parity contract holds
+    * only for docs under MaxLen tokens (every real doc; this form is
+    * never a hot path).
+    */
   private[graft] def chainCodesHof(codes: Column, n: Int): Column = {
     var acc = codes
     for (k <- 2 to n)
@@ -254,6 +259,10 @@ object Dedup {
     * cached (see [[clearSignatureCaches]]); rounding replicates Num.r
     * bit-for-bit (floor(x*10^4 + 0.5) as a long, divided by 10^4).
     */
+  /** NOTE: unlike the other pair generators (pure joins/aggregations,
+    * doc_id-type agnostic), the in-group pair step here rides a typed
+    * Dataset encoder and requires a LONG doc_id.
+    */
   def bigramJaccardPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = 500, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -326,10 +335,13 @@ object Dedup {
         posexplode_outer(bandCol(col(textCol))).as(Seq("band", "key")))
       .filter(col("key").isNotNull)
 
-  /** Test-set decontamination: for every train document, the number of
-    * distinct 5-gram shingles it shares with ANY test document — the
-    * standard n-gram-overlap contamination check run before training on
-    * a corpus that might contain evaluation data.
+  /** Test-set decontamination: for every CONTAMINATED train document
+    * (≥1 shared shingle), the number of distinct 5-gram shingles it
+    * shares with ANY test document — the standard n-gram-overlap
+    * contamination check run before training on a corpus that might
+    * contain evaluation data. Clean documents produce NO row (inner
+    * join): compute the keep-set as an anti-join on the output's
+    * doc_ids, not as `filter(n_shared === 0)`.
     *
     * Scale shape: both sides explode to (doc_id, code) pairs — ids and
     * 64-bit codes only, never text — and meet in an equi-join on the
@@ -421,6 +433,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
 
+  /** The cached (doc_id, tset, bands) signature table every MinHash
+    * pair generator starts from — ONE definition so the guards (empty
+    * shingle sets dropped: their MinHash degenerates to the
+    * all-MaxValue signature, floods one band bucket, and Jaccard
+    * divides 0/0) can never drift between generators. Registered for
+    * release via [[clearSignatureCaches]].
+    */
+  private def sigTable(docs: DataFrame): DataFrame = registerSigCache(docs
+    .select(col("doc_id"),
+      signatureUdf(coalesce(col("text"), lit(""))).as("s"))
+    .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
+    .filter(size(col("tset")) > 0)
+    .cache())
+
   /** Drop rows whose (band-)key bucket exceeds `maxBucket` members. A
     * bucket of size m emits m^2/2 candidate pairs, so one boilerplate
     * flood turns LSH quadratic; hot keys are few by definition, so the
@@ -449,20 +475,10 @@ object Dedup {
     // is evaluated once per branch. This is the in-flight form of the
     // dedup-at-rest layout (PlanSpec's bucketed signature store);
     // Spark's cache manager keys on the analyzed plan, so repeated
-    // calls over the same corpus share one entry. Registered for
-    // explicit release — see clearSignatureCaches.
-    // empty shingle sets (docs shorter than one full n-gram) are
-    // dropped: their MinHash degenerates to the all-MaxValue signature,
-    // so every short doc in the corpus floods ONE band bucket and the
-    // Jaccard verification divides 0/0 (an ANSI-mode crash). Jaccard is
-    // undefined on empty sets — the oracle's NULL band keys drop them
-    // identically (and its bands CTE filters len(tset) > 0 explicitly).
-    val sigs = registerSigCache(docs
-      .select(col("doc_id"),
-        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
-      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
-      .filter(size(col("tset")) > 0)
-      .cache())
+    // calls over the same corpus share one entry. The oracle's NULL
+    // band keys drop empty-shingle docs identically (its bands CTE
+    // filters len(tset) > 0 explicitly).
+    val sigs = sigTable(docs)
     val candidates = bandCandidates(sigs, maxBucket)
     // Verification joins the (small) distinct pair list back to the sets.
     val sets = sigs.select(col("doc_id"), col("tset"))
@@ -512,12 +528,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainment: Double,
       maxBucket: Int = 1000): DataFrame = {
-    val sigs = registerSigCache(docs
-      .select(col("doc_id"),
-        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
-      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
-      .filter(size(col("tset")) > 0)
-      .cache())
+    val sigs = sigTable(docs)
     val sets = sigs.select(col("doc_id"), col("tset"))
     val inner1 = (size(col("t1")) < size(col("t2"))) ||
       (size(col("t1")) === size(col("t2")) && col("doc1") < col("doc2"))
@@ -548,12 +559,6 @@ object Dedup {
     */
   def minhashPairsAgainst(store: DataFrame, incoming: DataFrame,
       minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
-    def sigTable(df: DataFrame) = registerSigCache(df
-      .select(col("doc_id"),
-        signatureUdf(coalesce(col("text"), lit(""))).as("s"))
-      .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
-      .filter(size(col("tset")) > 0) // see minhashPairs: 0/0 guard
-      .cache())
     def explodeBands(sigs: DataFrame) = dropHotBuckets(sigs.select(
       col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucket)
@@ -611,11 +616,19 @@ object Dedup {
     * Blocking: split the 64-bit signature into four 16-bit chunks; by
     * pigeonhole any pair within hamming 3 agrees on at least one chunk,
     * so candidates come from four equi-joins on (chunk index, chunk
-    * value) — never an all-pairs loop. A pair agreeing on several chunks
-    * would surface several times; instead of a distinct() shuffle, a
-    * pair is kept only at its FIRST agreeing chunk (the j where all
-    * j' < j chunks differ — recomputable from the two signatures, so
-    * dedup costs three comparisons instead of a shuffle).
+    * value) — never an all-pairs loop. A pair agreeing on several
+    * surviving chunks surfaces several times; the multi-chunk dedup is
+    * a distinct() over the verified (doc1, doc2, hamming) rows — an
+    * ids-only shuffle sized by output multiplicity (≤ 4× the pair
+    * count), NOT a corpus shuffle. (A local first-agreeing-chunk filter
+    * used to stand here; it silently dropped any pair whose first
+    * agreeing chunk had been removed by the hot-bucket guard, even when
+    * a surviving chunk generated the pair.)
+    *
+    * Docs with an EMPTY token set are excluded, mirroring the other
+    * pair generators: simhash of the empty set is the 0L sentinel, so
+    * all empty/null docs would pair with each other at hamming 0 —
+    * quadratic output for what is exactGroups' job.
     *
     * Scale: candidate volume is driven by 16-bit-chunk collisions
     * (65536 blocks per chunk index). On corpora where one chunk value
@@ -632,8 +645,10 @@ object Dedup {
     // inserts isnotnull(sig) on the join key and predicate pushdown
     // substitutes the WHOLE signature expression into that filter —
     // tokenize+simhash evaluated twice per row (observed in the plan)
-    val sigs = docs.select(
-      col("doc_id"), simhash64(tokenSet(coalesce(col(textCol), lit("")))).as("sig"))
+    val sigs = docs
+      .filter(size(tokenSet(coalesce(col(textCol), lit("")))) > 0)
+      .select(
+        col("doc_id"), simhash64(tokenSet(coalesce(col(textCol), lit("")))).as("sig"))
     // cache the exploded chunk table: it feeds the hot-bucket count,
     // the anti-join, AND both sides of the candidate self-join —
     // uncached, the simhash kernel subtree (and the documents scan
@@ -645,17 +660,12 @@ object Dedup {
     val chunks = dropHotBuckets(exploded, Seq("cj", "ckey"), maxBucket)
     val l = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc1"), col("sig").as("s1"))
     val r = chunks.select(col("cj"), col("ckey"), col("doc_id").as("doc2"), col("sig").as("s2"))
-    val firstMatch = (0 until 4).map { j =>
-      (col("cj") === j) && (0 until j)
-        .map(jp => chunk16(col("s1"), jp) =!= chunk16(col("s2"), jp))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
     l.join(r, Seq("cj", "ckey"))
       .filter(col("doc1") < col("doc2"))
-      .filter(firstMatch)
       .withColumn("hamming",
         expr("bit_count(s1 ^ s2)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc1"), col("doc2"), col("hamming"))
+      .distinct()
   }
 }

@@ -893,7 +893,8 @@ object Advanced {
          FROM j""",
     "q33_simhash64_pairs" ->
       s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
-          t AS (SELECT doc_id, list_distinct(codes) AS tset FROM c),
+          t AS (SELECT doc_id, list_distinct(codes) AS tset FROM c
+                WHERE len(list_distinct(codes)) > 0),
           s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sig FROM t)
           SELECT l.doc_id AS doc1, r.doc_id AS doc2,
             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming

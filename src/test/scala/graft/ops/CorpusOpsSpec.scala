@@ -416,12 +416,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.bigramJaccardPairs(docs, minJaccard = 0.5)
       .as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
-    // empty docs share the degenerate all-ones simhash in the kernel
-    // and the all-zeros one in the SQL replay — hamming 0 EITHER way,
-    // so both engines pair them; the jaccard generators drop them
+    // empty/null docs are EXCLUDED (round 8): they used to share a
+    // degenerate sentinel simhash and pair quadratically — the guard
+    // now mirrors the jaccard generators (oracle filters len(tset)>0)
     assert(Dedup.hammingPairs(docs, maxDist = 3)
       .as[(Long, Long, Long)].collect()
-      .map(p => (p._1, p._2)).toSet === Set((1L, 2L), (3L, 4L)))
+      .map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
     val red = docs.select(Pii.redact($"text")).as[String].collect()
     assert(red.count(_ == null) === 1)
     val fps = docs.select(TextStats.fingerprint($"text")).collect()

@@ -66,6 +66,26 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(planted.subsetOf(capped), "identical planted pairs must be kept")
   }
 
+  test("hammingPairs excludes empty-token docs and emits each pair once") {
+    import spark.implicits._
+    // simhash of an empty token set is the 0L sentinel: without the
+    // guard, every empty/null/whitespace doc pairs with every other at
+    // hamming 0 — quadratic output for what exactGroups handles
+    val base = (0 until 30).map(w => s"w$w").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),                   // identical -> hamming 0
+      (10L, ""), (11L, " "), (12L, null.asInstanceOf[String]),
+      (13L, "   ")).toDF("doc_id", "text")
+    val pairs = Dedup.hammingPairs(docs, maxDist = 3)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSeq
+    assert(pairs.forall { case (a, b) => a < 10 && b < 10 },
+      s"empty-token docs must never pair, got $pairs")
+    assert(pairs.toSet === Set((1L, 2L)))
+    // each surviving pair appears exactly ONCE even when it agrees on
+    // several chunks (identical sigs agree on all four)
+    assert(pairs.size === pairs.distinct.size)
+  }
+
   test("bigram flood guard excludes hot keys BEFORE aggregation") {
     import spark.implicits._
     val docs = skewedCorpus
