@@ -29,42 +29,48 @@ import graft.queries.Num.{r => rnd}
   */
 object LangModel {
 
-  import TextStats.P
-
-  private val MaxLen = 1 << 20
-
   /** (doc_id, n_bigrams, avg_nll): per-document average negative
     * log-probability under the corpus bigram model. Documents with
     * fewer than 2 tokens have no bigrams and drop out (the oracle's
     * UNNEST does the same).
     */
   def bigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val codes = TextStats.tokenCodesOf(col(textCol))
-    // (doc, a = history code, ab = hashed bigram code) per position;
-    // zip_with pads the shifted side with null, so the tail position
-    // yields ab = null and is filtered on the generated column.
-    // Cached (signature-cache lifecycle): three consumers shuffle this
-    // table on DIFFERENT keys (a, ab, then ab again for scoring), so
-    // exchange reuse can't deduplicate the tokenize+zip kernel —
-    // uncached it would run over the corpus once per consumer.
-    val pairs = Dedup.cached(docs
+    // ONE tokenize-kernel pass: the cached (doc_id, codes) table feeds
+    // the bigram-pair derivation AND the vocabulary scalar — the pair
+    // table itself stays uncached because re-deriving it per consumer
+    // is a cheap zip+explode over cached arrays, not a kernel run.
+    val toks = Dedup.cached(docs.select(col("doc_id"),
+      TextStats.tokenCodesOf(col(textCol)).as("codes")))
+    // (doc, a = history code, b = next code) per position; the shifted
+    // side is sliced to the ACTUAL remaining length (no fixed cap — a
+    // constant bound would silently drop bigrams of longer docs), and
+    // zip_with pads the final position with null b, filtered out.
+    // Bigrams are keyed EXACTLY by the (a, b) code pair — hashing the
+    // pair into one value mod P would conflate distinct bigrams once
+    // the corpus holds ~1e9 of them (birthday load at the advertised
+    // scale), silently deflating NLL for exactly the garbled documents
+    // the filter exists to catch. Two uniform longs join/aggregate as
+    // well as one.
+    val pairs = toks
       .select(col("doc_id"),
-        explode_outer(zip_with(codes, slice(codes, 2, MaxLen),
-          (a, b) => struct(a.as("a"), ((a * 131 + b) % P).as("ab")))).as("pr"))
-      .select(col("doc_id"), col("pr.a").as("a"), col("pr.ab").as("ab"))
-      .filter(col("ab").isNotNull))
+        explode_outer(zip_with(col("codes"),
+          slice(col("codes"), lit(2), greatest(size(col("codes")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .filter(col("b").isNotNull)
     val cA = pairs.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
-    val cAB = pairs.groupBy(col("ab")).agg(count(lit(1)).as("c_ab"))
+    val cAB = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     // vocabulary size for add-one smoothing: distinct token codes,
     // collected as a driver-side scalar (one long — the k-means-
     // centroid precedent) and inlined as a literal, so the smoothing
     // term doesn't ride a single-row nested-loop cross join through
     // every scored row
-    val vs = docs
-      .select(explode_outer(codes).as("code")).filter(col("code").isNotNull)
+    val vs = toks
+      .select(explode_outer(col("codes")).as("code"))
+      .filter(col("code").isNotNull)
       .agg(countDistinct(col("code"))).first().getLong(0)
     val scored = pairs
-      .join(cAB, Seq("ab"))
+      .join(cAB, Seq("a", "b"))
       .join(cA, Seq("a"))
       .select(col("doc_id"),
         // ln p(b|a) = ln((c_ab + 1) / (c_a + V)), rounded to 4 and

@@ -7,10 +7,13 @@ import graft.queries.Num.{r => rnd}
 
 /** Text-analysis operators for a training-data pipeline (north-star ops):
   * token counting, quality scoring, language ID, and document
-  * fingerprinting — every formula built from codegen'd higher-order array
-  * functions (no UDFs), with arithmetic chosen to be expressible
-  * identically in DuckDB SQL for the oracle (integer polynomial hashes mod
-  * a 31-bit prime; explicit cast-to-double divisions; fixed rounding).
+  * fingerprinting — formulas built from codegen'd array functions and
+  * native kernels (the one exception: repetitionStats rides a ScalaUDF,
+  * the honest trade for mode-of-a-list, which in column algebra is a
+  * quadratic CodegenFallback chain), with arithmetic chosen to be
+  * expressible identically in DuckDB SQL for the oracle (integer
+  * polynomial hashes mod a 31-bit prime; explicit cast-to-double
+  * divisions; fixed rounding).
   *
   * Scale: all per-row narrow transforms — no shuffle, no explode; a 100 TB
   * corpus maps straight through whole-stage codegen.
@@ -68,17 +71,21 @@ object TextStats {
     size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
 
   /** Predicted language: argmax of marker counts, ties broken by the
-    * declaration order of [[langMarkers]] (greater-than comparison).
+    * declaration order of [[langMarkers]]. Implemented as one
+    * `array_max` over (count, -index, lang) structs — the earlier
+    * when/otherwise fold embedded the growing best-count expression
+    * twice per step, so the final tree re-evaluated the lambda-bearing
+    * markerCount subtrees ~41 times per row (lambdas are excluded from
+    * subexpression elimination); here each count evaluates exactly
+    * once. Lexicographic struct max = max count, then max -index
+    * (earliest language) — identical semantics to the strict-> fold.
     */
   def langId(toks: Column): Column = {
-    val counts = langMarkers.map { case (lang, markers) =>
-      (lang, markerCount(toks, markers))
+    val cands = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(markerCount(toks, markers).as("c"),
+        lit(-i).as("negidx"), lit(lang).as("lang"))
     }
-    counts.tail.foldLeft((lit(counts.head._1), counts.head._2)) {
-      case ((bestLang, bestCnt), (lang, cnt)) =>
-        (when(cnt > bestCnt, lit(lang)).otherwise(bestLang),
-         when(cnt > bestCnt, cnt).otherwise(bestCnt))
-    }._1
+    array_max(array(cands: _*)).getField("lang")
   }
 
   /** English stopwords used by the quality score. */

@@ -19,7 +19,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VecMath {
 
-  /** Sequential dot product: float32 multiply, double accumulate. */
+  /** Sequential dot product: float32 multiply, double accumulate.
+    * CAVEAT: truncates to min(length) — callers needing the declarative
+    * form's NULL-on-ragged semantics must gate on [[cosineComparable]]
+    * first (the CosineSimilarity expression does).
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -29,6 +33,23 @@ object VecMath {
       i += 1
     }
     acc
+  }
+
+  /** True when the pair is comparable under the declarative reference:
+    * equal lengths and no null elements. zip_with null-pads a ragged
+    * pair and propagates null elements, so the HOF cosine is NULL in
+    * both cases — the kernel caller must map !comparable to SQL NULL
+    * rather than silently truncating to min(length).
+    */
+  def cosineComparable(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
   }
 
   /** cos(a,b) = dot(a,b) / (||a|| * ||b||), one pass over both arrays. */
@@ -52,7 +73,11 @@ object VecMath {
   /** Driver-side cosine over materialized vectors (same float discipline
     * as `cosine`) — used to fold IVF probe selection into the plan.
     */
-  def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosineLocal(a0: Seq[Float], b0: Seq[Float]): Double = {
+    // materialize once: Seq apply() is O(n) on a List, turning the loop
+    // quadratic in dim for non-indexed callers
+    val a = a0.toArray
+    val b = b0.toArray
     val n = math.min(a.length, b.length)
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
@@ -66,12 +91,19 @@ object VecMath {
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
-  /** Sign bucket over the first `bits` dims: bit d set when a(d) > 0f. */
+  /** Sign bucket over the first `bits` dims: bit d set when a(d) > 0f.
+    * A vector shorter than `bits` (or a null element) leaves the
+    * missing bits UNSET — the SQL reference's `element_at` past the end
+    * is NULL and its CASE falls to 0; reading past numElements here
+    * would instead throw (generic arrays) or read garbage (unsafe
+    * arrays), and sign_bucket is a user-callable SQL function.
+    */
   def signBucket(a: ArrayData, bits: Int): Long = {
     var acc = 0L
     var d = 0
-    while (d < bits) {
-      if (a.getFloat(d) > 0f) acc |= (1L << d)
+    val lim = math.min(bits, a.numElements())
+    while (d < lim) {
+      if (!a.isNullAt(d) && a.getFloat(d) > 0f) acc |= (1L << d)
       d += 1
     }
     acc
@@ -192,6 +224,12 @@ object VecMath {
   def simhash16(codes: ArrayData): Long = {
     val n = codes.numElements()
     if (n == 0) return 0L
+    // any null element: the HOF reference's aggregate goes null and
+    // every majority CASE falls to ELSE 0 — signature 0, not a hash of
+    // nulls unboxed as 0 (reachable via SQL simhash16(gram_codes(...)),
+    // whose tail positions are null by contract)
+    var j = 0
+    while (j < n) { if (codes.isNullAt(j)) return 0L; j += 1 }
     var sig = 0L
     var k = 0
     while (k < 16) {
@@ -205,7 +243,9 @@ object VecMath {
   }
 
   /** Rolling polynomial fold over codes in order: fold((acc*131+c) % P),
-    * the document fingerprint.
+    * the document fingerprint. Input contract: non-null elements only —
+    * its sole wiring is tokenCodes output (containsNull = false); a
+    * null-bearing array would diverge from the HOF fold's null result.
     */
   def rollingHash(codes: ArrayData): Long = {
     val n = codes.numElements()
@@ -224,6 +264,9 @@ object VecMath {
   def simhash64(codes: ArrayData): Long = {
     val n = codes.numElements()
     if (n == 0) return 0L
+    // any null element -> 0L, matching the HOF reference (see simhash16)
+    var j = 0
+    while (j < n) { if (codes.isNullAt(j)) return 0L; j += 1 }
     var sig = 0L
     var k = 0
     while (k < 64) {

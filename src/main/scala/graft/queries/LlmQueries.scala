@@ -1234,18 +1234,21 @@ object LlmQueries {
             ${Num.rSql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)}
               AS oov_ratio
           FROM s""",
+    // bigrams keyed EXACTLY by the (a, b) code pair (round 8; the old
+    // single-value (a*131+b) % P key conflates distinct bigrams at
+    // ~1e9-bigram scale — and the oracle mirrored the same hash, so the
+    // gate could never see the collisions)
     "q83_bigram_lm_score" ->
       s"""WITH c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
-          pr AS (SELECT doc_id, codes[i] AS a,
-              (codes[i] * 131 + codes[i + 1]) % $P AS ab
+          pr AS (SELECT doc_id, codes[i] AS a, codes[i + 1] AS b
             FROM c, UNNEST(generate_series(1, len(codes) - 1)) AS u(i)),
           ca AS (SELECT a, count(*) AS c_a FROM pr GROUP BY a),
-          cab AS (SELECT ab, count(*) AS c_ab FROM pr GROUP BY ab),
+          cab AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b),
           v AS (SELECT count(DISTINCT code) AS vs
                 FROM (SELECT unnest(codes) AS code FROM c)),
           sc AS (SELECT pr.doc_id,
               CAST(floor(ln((c_ab + 1.0) / (c_a + vs)) * 10000 + 0.5) AS BIGINT) AS lp4
-            FROM pr JOIN cab ON pr.ab = cab.ab
+            FROM pr JOIN cab ON pr.a = cab.a AND pr.b = cab.b
                     JOIN ca ON pr.a = ca.a CROSS JOIN v),
           s AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp4) AS s4 FROM sc
                 GROUP BY doc_id)

@@ -65,12 +65,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    graft.ext.VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // NULL on a ragged pair or null element, matching the declarative
+  // reference (zip_with null-pads ragged lengths and propagates null
+  // elements, so the HOF cosine is NULL) — the kernel alone would
+  // silently truncate to min(length) and rank garbage rows in top-k
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (!graft.ext.VecMath.cosineComparable(aa, bb)) null
+    else graft.ext.VecMath.cosine(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.ext.VecMath.cosine($a, $b);")
+      s"""
+         if (graft.ext.VecMath.cosineComparable($a, $b)) {
+           ${ev.value} = graft.ext.VecMath.cosine($a, $b);
+         } else {
+           ${ev.isNull} = true;
+         }
+       """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -165,16 +165,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val P = TextStats.P
     def tcode(t: String): Long =
       t.foldLeft(0L)((h, c) => (h * 31 + c) % P)
-    def bcode(a: Long, b: Long): Long = (a * 131 + b) % P
     val corpus = Seq("a b a b a", "a b c", "c c c c", "z")
       .map(_.split(" ").toSeq.map(tcode))
     val pairs = corpus.flatMap(cs => cs.zip(cs.drop(1)))
     val cA = pairs.groupBy(_._1).view.mapValues(_.size).toMap
-    val cAB = pairs.map { case (a, b) => (a, bcode(a, b)) }
-      .groupBy(_._2).view.mapValues(_.size).toMap
+    // bigrams keyed by the exact (a, b) pair, as the operator does
+    val cAB = pairs.groupBy(identity).view.mapValues(_.size).toMap
     val vs = corpus.flatten.distinct.size
     def lp4(a: Long, b: Long): Long = {
-      val p = (cAB(bcode(a, b)) + 1.0) / (cA(a) + vs)
+      val p = (cAB((a, b)) + 1.0) / (cA(a) + vs)
       math.floor(math.log(p) * 10000 + 0.5).toLong
     }
     val ref = corpus.zipWithIndex.flatMap { case (cs, i) =>
