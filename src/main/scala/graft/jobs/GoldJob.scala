@@ -39,8 +39,17 @@ object GoldJob {
     * for unwanted types — Catalyst can't derive this through an opaque
     * expression.
     */
-  def decode(lines: DataFrame, peekChars: Seq[String] = Nil): DataFrame = {
-    val assembled = Reassembly.assembleBatch(Reassembly.parseFragments(lines))
+  def decode(lines: DataFrame, peekChars: Seq[String] = Nil): DataFrame =
+    decodeAssembled(
+      Reassembly.assembleBatch(Reassembly.parseFragments(lines)), peekChars)
+
+  /** The shared peek-filter + decode chain over an assembled frame —
+    * one implementation for the batch and streaming paths (the stream
+    * used to inline a copy WITHOUT the peek pushdown, running the
+    * decode kernel on every message to keep a fraction of them).
+    */
+  private def decodeAssembled(assembled: DataFrame,
+      peekChars: Seq[String]): DataFrame = {
     val peek = substring(element_at(split(element_at(col("sentences"), 1), ","), 6), 1, 1)
     val filtered =
       if (peekChars.nonEmpty) assembled.filter(peek.isin(peekChars: _*))
@@ -97,15 +106,19 @@ object GoldJob {
     * Checkpointed file sink => exactly-once appends at 100 TB.
     */
   def runStream(spark: SparkSession, datalogDir: String, goldOut: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      evictionTimeout: Option[String] = Some("60 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val lines = graft.sources.Sources.datalogStream(spark, datalogDir)
     val frags = Reassembly.parseFragments(lines)
     import spark.implicits._
-    val assembled = Reassembly.assembleStream(frags.as[Reassembly.Fragment]).toDF()
-    val decoded = assembled
-      .withColumn("ts", tagTs(col("tagblock")))
-      .withColumn("d", AisDecoder.ais_decode(col("sentences")))
-      .filter(col("d").isNotNull)
+    // evictionTimeout bounds reassembly state: package ids cycle 0-9,
+    // so a lost fragment's stale state would otherwise splice with the
+    // next message reusing its key. Peek pushdown (types 1/2/3) skips
+    // the decode kernel for messages positions() would discard anyway.
+    val assembled = Reassembly
+      .assembleStream(frags.as[Reassembly.Fragment], evictionTimeout).toDF()
+    val decoded = decodeAssembled(assembled, Seq("1", "2", "3"))
     positions(decoded)
       .withColumn("event_date", to_date(col("ts")))
       .writeStream

@@ -1,5 +1,6 @@
 package graft.jobs
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,18 @@ import org.apache.spark.sql.functions._
   * function body issues the JDBC merge; the snapshot/pointer variant is
   * what object storage without a transactional table format supports.
   *
+  * The pointer goes through the Hadoop FileSystem API — java.io would
+  * silently see `exists = false` on every non-local outDir (s3://,
+  * hdfs://), degrading the snapshot to latest-batch-only — and is
+  * swapped via write-temp-then-OVERWRITE-rename, atomic on HDFS/local,
+  * so a crash mid-swap leaves the previous pointer intact instead of a
+  * truncated file.
+  *
+  * Merge ties on `seqCol` resolve to the INCOMING row (Postgres
+  * ON CONFLICT DO UPDATE semantics: the new payload wins at equal
+  * sequence) — a bare max_by over seq would pick whichever tied row the
+  * shuffle delivered first.
+  *
   * Scale: the merge is last-by-key over (previous snapshot ∪ batch) —
   * one shuffle on the key per micro-batch, snapshot size bounded by
   * live-key cardinality, not stream length. For very large key spaces,
@@ -20,29 +33,77 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
+  private val Src = "__upsert_src"
+
+  /** FileSystem for the pointer, checksums off: the pointer is a tiny
+    * human-fixable file — an out-of-band edit (operator recovery, the
+    * replay spec's crash-window simulation) must not strand the sink on
+    * a stale local-FS .crc sidecar.
+    */
+  private def pointerFs(spark: org.apache.spark.sql.SparkSession,
+                        p: Path): org.apache.hadoop.fs.FileSystem = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setVerifyChecksum(false)
+    fs.setWriteChecksum(false)
+    fs
+  }
+
+  private def readPointer(spark: org.apache.spark.sql.SparkSession,
+                          outDir: String): Option[String] = {
+    val p = new Path(outDir, "_LATEST")
+    val fs = pointerFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      val v = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      if (v.isEmpty) None else Some(v) // blank = interrupted legacy write
+    }
+  }
+
+  private def writePointer(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String, v: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(outDir, "_LATEST")
+    val tmp = new Path(outDir, s"_LATEST.tmp")
+    val fs = pointerFs(spark, dest)
+    val out = fs.create(tmp, true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(dest.toUri, conf)
+      .rename(tmp, dest, Options.Rename.OVERWRITE)
+  }
+
   def foreachBatchUpsert(outDir: String, keyCol: String, seqCol: String)
                         (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val ptr = new java.io.File(outDir, "_LATEST")
-    val prev =
-      if (ptr.exists) {
-        val v = java.nio.file.Files.readString(ptr.toPath).trim
-        Some(spark.read.parquet(s"$outDir/$v"))
-      } else None
-    val unioned = prev.map(_.unionByName(batch)).getOrElse(batch)
+    val prev = readPointer(spark, outDir)
+      .map(v => spark.read.parquet(s"$outDir/$v"))
+    // src flag: 0 = previous snapshot, 1 = incoming batch — the
+    // deterministic tiebreak at equal seq (incoming wins)
+    val unioned = prev match {
+      case Some(p) => p.withColumn(Src, lit(0))
+        .unionByName(batch.withColumn(Src, lit(1)))
+      case None => batch.withColumn(Src, lit(1))
+    }
+    val payload = unioned.columns.filterNot(_ == Src)
     val merged = unioned
       .groupBy(col(keyCol))
-      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(seqCol)).as("r"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*),
+        struct(col(seqCol), col(Src))).as("r"))
       .select(col("r.*"))
     val v = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$outDir/$v")
-    java.nio.file.Files.writeString(ptr.toPath, v)
+    writePointer(spark, outDir, v)
   }
 
   /** Read the current snapshot (test/consumer convenience). */
   def latest(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val v = java.nio.file.Files
-      .readString(new java.io.File(outDir, "_LATEST").toPath).trim
+    val v = readPointer(spark, outDir).getOrElse(
+      throw new IllegalStateException(s"no _LATEST pointer under $outDir"))
     spark.read.parquet(s"$outDir/$v")
   }
 }

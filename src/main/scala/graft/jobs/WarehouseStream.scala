@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -19,12 +19,17 @@ import graft.ops.{Reassembly, Routes}
   */
 object WarehouseStream {
 
-  /** Raw sentence lines -> decoded union-struct stream (with event ts). */
-  def decodedStream(lines: DataFrame): DataFrame = {
+  /** Raw sentence lines -> decoded union-struct stream (with event ts).
+    * `evictionTimeout` bounds reassembly state: NMEA package ids cycle
+    * 0-9, so without eviction a lost fragment's stale state splices
+    * with the NEXT message that reuses its key (garbage decode rows).
+    */
+  def decodedStream(lines: DataFrame,
+      evictionTimeout: Option[String] = Some("60 seconds")): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val frags = Reassembly.parseFragments(lines).as[Reassembly.Fragment]
-    val assembled = Reassembly.assembleStream(frags).toDF()
+    val assembled = Reassembly.assembleStream(frags, evictionTimeout).toDF()
     assembled
       .withColumn("ts", current_timestamp()) // processing-time stamp, as the
                                              // reference does at ingest
@@ -33,27 +38,39 @@ object WarehouseStream {
       .filter(col("d").isNotNull)
   }
 
-  /** Start the four warehouse routes as parquet table sinks under
-    * `outDir`/(position|static|type21|type6_533). One decoded lineage,
-    * four writers — Spark runs them as independent queries sharing the
-    * source; `foreachBatch` is the JDBC/ClickHouse hook in production.
+  /** Start the four warehouse routes under `outDir`/(position|static|
+    * type21|type6_533) as ONE streaming query whose foreachBatch fans
+    * the cached micro-batch out to the four route writers.
+    *
+    * One query, not four: four independent .start()s would each
+    * re-execute the full source+reassembly+decode lineage per trigger,
+    * and with the push-buffer socket sources (driver-buffered,
+    * non-replayable) each query would consume a DIFFERENT slice of the
+    * feed — the four tables would disagree about which messages exist.
+    * Here the batch is decoded once, persisted, routed four ways, and
+    * every route sees the identical slice. foreachBatch is also exactly
+    * the JDBC/ClickHouse hook in production; the parquet appends here
+    * are at-least-once under crash-replay (the JDBC variant's upsert
+    * absorbs replays — see UpsertSink's idempotence spec).
     */
   def start(spark: SparkSession, lines: DataFrame, outDir: String,
-      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
-      : Seq[StreamingQuery] = {
-    val decoded = decodedStream(lines)
-    def sink(df: DataFrame, name: String): StreamingQuery =
-      df.writeStream
-        .outputMode("append")
-        .trigger(trigger)
-        .option("checkpointLocation", s"$checkpointDir/$name")
-        .format("parquet")
-        .option("path", s"$outDir/$name")
-        .start()
-    Seq(
-      sink(Routes.positionRoute(decoded), "position"),
-      sink(Routes.staticRoute(decoded), "static"),
-      sink(Routes.aidNavRoute(decoded), "type21"),
-      sink(Routes.telemetryRoute(decoded), "type6_533"))
+      checkpointDir: String, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      evictionTimeout: Option[String] = Some("60 seconds"))
+      : StreamingQuery = {
+    val decoded = decodedStream(lines, evictionTimeout)
+    decoded.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$checkpointDir/warehouse")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          Routes.positionRoute(b).write.mode("append").parquet(s"$outDir/position")
+          Routes.staticRoute(b).write.mode("append").parquet(s"$outDir/static")
+          Routes.aidNavRoute(b).write.mode("append").parquet(s"$outDir/type21")
+          Routes.telemetryRoute(b).write.mode("append").parquet(s"$outDir/type6_533")
+        } finally { b.unpersist(); () }
+      }
+      .start()
   }
 }

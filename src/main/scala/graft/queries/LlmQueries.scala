@@ -11,6 +11,13 @@ import graft.queries.Num.{r => rnd}
   * similarity search, multimodal plumbing — each mirrored by a DuckDB
   * oracle built from the SAME constants (hash params, marker lists,
   * polygon of thresholds) so arithmetic matches bit-for-bit.
+  *
+  * ORACLE INVARIANT — non-negative ids: the split/shard hashes here use
+  * Spark `pmod` while the oracles use SQL `%`, which differ on NEGATIVE
+  * dividends (pmod is non-negative; `%` follows the dividend's sign).
+  * The driver schema guarantees doc_id/vec_id >= 0, so the two agree
+  * everywhere these queries run; a corpus with negative ids would need
+  * `((x % m) + m) % m` on the oracle side.
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -198,7 +198,11 @@ object Mixing {
         .withColumn("h", $"q" * ($"n" - 1).cast("double"))
         .withColumn("lo", floor($"h").cast("long"))
         .withColumn("frac", $"h" - $"lo".cast("double"))
-      ranks.join(cum, Seq("lang"))
+      // null-safe on lang: a NULL-lang group survives groupBy on both
+      // engines, and the oracle's GROUP BY emits its quantile row — a
+      // plain equi-join would silently drop it here (NULL != NULL)
+      ranks.join(cum, ranks("lang") <=> cum("lang"))
+        .drop(cum("lang"))
         .groupBy($"lang", $"q", $"lo", $"frac")
         .agg(
           min(when($"cum" >= $"lo" + 1, $"v")).as("vlo"),

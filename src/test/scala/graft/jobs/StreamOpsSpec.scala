@@ -284,6 +284,21 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     } finally q.stop()
   }
 
+  test("upsert sink: incoming row wins a sequence tie (ON CONFLICT semantics)") {
+    import spark.implicits._
+    // same-seq update (second-granularity sequence columns make this
+    // common): Postgres ON CONFLICT DO UPDATE always takes the incoming
+    // row; a bare max_by(seq) would keep whichever tied row the shuffle
+    // delivered first
+    val out = Files.createTempDirectory("upsert_tie").toString
+    def b(rows: (Long, String, Long)*) = rows.toDF("track_id", "payload", "seq")
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "stale", 7L)), 0L)
+    UpsertSink.foreachBatchUpsert(out, "track_id", "seq")(b((1L, "corrected", 7L)), 1L)
+    val got = UpsertSink.latest(spark, out)
+      .select($"payload").as[String].collect().toSeq
+    assert(got === Seq("corrected"))
+  }
+
   test("upsert sink is idempotent under batch replay (both crash windows)") {
     import spark.implicits._
     // foreachBatch may re-run a batchId after a failure either BEFORE

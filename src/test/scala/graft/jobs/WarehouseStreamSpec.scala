@@ -26,12 +26,14 @@ class WarehouseStreamSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(in, "datalog.txt"),
       lines.mkString("\n").getBytes)
 
-    val queries = WarehouseStream.start(
+    // single query: one decode per trigger, all four routes fed the
+    // identical micro-batch slice
+    val q = WarehouseStream.start(
       spark,
       graft.sources.Sources.datalogStream(spark, in),
-      out, ckpt, Trigger.AvailableNow())
-    try queries.foreach(_.awaitTermination(120000))
-    finally queries.foreach(_.stop())
+      out, ckpt, Trigger.AvailableNow(), evictionTimeout = None)
+    try q.awaitTermination(120000)
+    finally q.stop()
 
     val pos = spark.read.parquet(s"$out/position")
     val stat = spark.read.parquet(s"$out/static")

@@ -61,7 +61,10 @@ class PipelineSpec extends AnyFunSuite {
     val (a, b) = datalogLines.splitAt(12)
     Files.write(java.nio.file.Paths.get(in, "part-0.log"),
       a.mkString("\n").getBytes("UTF-8"))
-    val q = GoldJob.runStream(spark, in, out, cp)
+    // evictionTimeout None: processing-time timers fire empty timer
+    // micro-batches forever, livelocking processAllAvailable (see
+    // assembleStream's doc) — the synchronous test drives the sync path
+    val q = GoldJob.runStream(spark, in, out, cp, evictionTimeout = None)
     try {
       q.processAllAvailable()
       // late-arriving file: the stream must pick it up incrementally
@@ -137,6 +140,39 @@ class PipelineSpec extends AnyFunSuite {
       (100L, 10L, Some("B")),     // tie at 100 -> inclusive (backward)
       (200L, 10L, Some("C")),
       (100L, 20L, None)))         // static arrives later
+  }
+
+  test("reassembly eviction prevents stale-fragment splices on key reuse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NMEA package ids cycle 0-9: a lost fragment's state must EVICT
+    // before a later message reuses its (packageId, channel, total) key,
+    // or distinctBy(packageNo) splices the stale fragment into the new
+    // message (garbage decode). Driven WITHOUT processAllAvailable —
+    // processing-time timers fire empty micro-batches forever, so the
+    // test polls the sink instead.
+    val mem = MemoryStream[Reassembly.Fragment]
+    val q = Reassembly.assembleStream(mem.toDS(), Some("200 milliseconds"))
+      .writeStream.format("memory").queryName("assembled_evict")
+      .outputMode("append").start()
+    try {
+      val Seq(s1, s2) = Fixtures.sentenceGroups(3)._2
+      mem.addData(Reassembly.Fragment(9, "A", 2, 1, s1, "tagM1")) // frag 2 lost
+      Thread.sleep(1500) // timer batches evict the orphan
+      mem.addData(
+        Reassembly.Fragment(9, "A", 2, 1, s1, "tagM2"),
+        Reassembly.Fragment(9, "A", 2, 2, s2, "tagM2"))
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var rows = Array.empty[Reassembly.Assembled]
+      while (rows.isEmpty && System.nanoTime() < deadline) {
+        rows = spark.table("assembled_evict").as[Reassembly.Assembled].collect()
+        if (rows.isEmpty) Thread.sleep(100)
+      }
+      assert(rows.length === 1, "exactly the reused-key message assembles")
+      assert(rows.head.tagblock === "tagM2",
+        "the stale M1 fragment must have been evicted, not spliced in")
+      assert(rows.head.sentences === Seq(s1, s2))
+    } finally q.stop()
   }
 
   test("as-of join drops null-ts right rows and resolves ties deterministically") {
