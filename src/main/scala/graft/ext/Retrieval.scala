@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Num.{r => rnd}
+
+/** Sparse lexical retrieval over the documents table: Okapi BM25 with the
+  * Lucene idf form `ln((N - df + 0.5) / (df + 0.5) + 1)` (always
+  * positive, so a term in >half the corpus can't subtract score).
+  *
+  * Shape for 100 TB: the token array is filtered to the query terms
+  * BEFORE the explode, so the exploded row count is O(matching
+  * occurrences), not O(corpus tokens); df / N / avgdl are count-sized
+  * aggregates broadcast back onto the (small) match table; per-term
+  * partials are integer-scaled so the per-doc sum is an exact long sum —
+  * order-independent, hence identical across engines and merge orders.
+  *
+  * Cross-engine determinism (the q71 discipline): idf is rounded EARLY,
+  * at the few distinct df values, because JVM `Math.log` and libm `ln`
+  * can disagree by 1 ULP; every other factor is +,*,/ over identically
+  * derived doubles, which IEEE 754 makes bit-deterministic as long as
+  * the oracle SQL mirrors this exact expression tree.
+  *
+  * Corpus passes: two (one for N/avgdl — doc length needs the tokenizer
+  * — and one for the match table); `corpus` is cached here so the second
+  * pass reads the pruned (doc_id, dl, qtoks) projection, not the raw
+  * text. At cluster scale you'd keep the doc-length table as a
+  * maintained side artifact instead of caching.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** k1 + 1 as a LITERAL, not `K1 + 1.0`: the exact sum 1.2 + 1.0 lands
+    * a near-halfway case between adjacent doubles, so the computed sum
+    * and the oracle's literal `2.2` are not guaranteed to be the same
+    * bit pattern. Both sides use the literal.
+    */
+  val K1Plus1 = 2.2
+
+  /** Top-k docs for `terms`, scored sum over matched terms; ties broken
+    * by doc_id. Output: (doc_id, n_terms, score).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = Dedup.cached(docs
+      .select($"doc_id", TextStats.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        filter($"toks", t => t.isInCollection(terms)).as("qtoks")))
+    val stats = base.agg(count(lit(1)).as("n"), sum($"dl").as("sum_dl"))
+    val tf = Dedup.cached(base
+      .select($"doc_id", $"dl", explode($"qtoks").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term")).join(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n".cast("double"))
+      .withColumn("idf_r", rnd(log(
+        ($"n".cast("double") - $"df".cast("double") + 0.5) /
+          ($"df".cast("double") + 0.5) + 1.0), 4))
+      .withColumn("tfs", $"tf".cast("double") * lit(K1Plus1) /
+        ($"tf".cast("double") +
+          lit(K1) * (lit(1.0 - B) + lit(B) * $"dl".cast("double") / $"avgdl")))
+      .select($"doc_id",
+        floor($"idf_r" * $"tfs" * 10000 + 0.5).cast("long").as("s4"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        rnd(sum($"s4").cast("double") / 10000.0, 4).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+}

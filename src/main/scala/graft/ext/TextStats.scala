@@ -125,6 +125,40 @@ object TextStats {
   def repetitionStats(text: Column): Column =
     repStatsUdf(coalesce(text, lit("")))
 
+  /** Vocabulary-richness columns over a SORTED token-code array: type
+    * count, hapax count (codes occurring exactly once in the doc) and
+    * the derived type-token / hapax ratios — the vocabulary-diversity
+    * screen complementary to [[repetitionStats]] (which rides a UDF for
+    * mode-of-a-list; these stay pure column algebra). Run-boundary scan:
+    * position i of the sorted array is a hapax iff it differs from both
+    * neighbours. Entirely narrow — the sort happens INSIDE the row, so a
+    * 100 TB corpus maps straight through with no explode and no shuffle
+    * (the groupBy formulation would shuffle every token). Neighbour
+    * indices are clamped with greatest/least so ANSI mode can never see
+    * an out-of-range index: at a clamped position the other disjunct is
+    * already true, so the self-comparison is unreachable in the result.
+    */
+  def vocabRichness(text: Column): Seq[Column] = {
+    val srt = array_sort(coalesce(tokenCodesOf(text),
+      array().cast("array<long>")))
+    val n = size(srt).cast("long")
+    val hapax = when(n === 0L, lit(0)).otherwise(
+      size(filter(sequence(lit(1L), n), i =>
+        (i === 1L || element_at(srt, i.cast("int")) =!=
+          element_at(srt, greatest(i - 1L, lit(1L)).cast("int"))) &&
+          (i === n || element_at(srt, i.cast("int")) =!=
+            element_at(srt, least(i + 1L, n).cast("int"))))))
+    val nTypes = size(array_distinct(srt)).cast("long")
+    Seq(
+      n.as("n_tokens"),
+      nTypes.as("n_types"),
+      hapax.cast("long").as("n_hapax"),
+      when(n > 0L, rnd(nTypes.cast("double") / n.cast("double"), 4))
+        .as("ttr"),
+      when(n > 0L, rnd(hapax.cast("double") / n.cast("double"), 4))
+        .as("hapax_ratio"))
+  }
+
   /** Quality heuristics bundle; every double rounded for oracle parity. */
   def statsColumns(text: Column): Seq[Column] = {
     val toks = tokens(text)

@@ -768,7 +768,26 @@ object LlmQueries {
         .toDF()
         .select(col("media_id"), col("format"), col("feat_width"),
           col("feat_height"), col("sample_rate"), col("channels"))),
+
+    // BM25 lexical retrieval: top-20 docs for a fixed 3-term query
+    // (Okapi, Lucene idf). See graft.ext.Retrieval for the 100 TB shape
+    // (filter-before-explode, broadcast term stats, integer-scaled
+    // per-term partials) and the cross-engine determinism argument.
+    "q102_bm25" -> ((s, d) =>
+      graft.ext.Retrieval.bm25TopK(Tables.documents(s, d), Bm25Terms, 20)),
+
+    // Vocabulary-richness report: per-doc type/token counts, hapax count
+    // and ratios from a row-local sorted-code scan — narrow, no explode,
+    // no shuffle (see TextStats.vocabRichness).
+    "q103_vocab_richness" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        Seq($"doc_id") ++ TextStats.vocabRichness($"text"): _*)
+    }),
   )
+
+  /** q102's fixed query terms — shared verbatim with the oracle SQL. */
+  private[queries] val Bm25Terms = Seq("spark", "table", "hash")
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -1386,5 +1405,54 @@ object LlmQueries {
            CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
                 ELSE 0 END AS INTEGER) AS channels
          FROM documents""",
+    "q102_bm25" -> {
+      val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val idfR = Num.rSql(
+        "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+          b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+              list_filter(toks, t -> list_contains($termsList, t)) AS qtoks
+            FROM t),
+          st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
+          tfg AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM b)
+            GROUP BY doc_id, dl, term),
+          dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
+          sc AS (SELECT doc_id,
+              CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
+            FROM (SELECT tfg.doc_id,
+                $idfR AS idf_r,
+                CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
+              FROM tfg JOIN dft USING (term)
+              CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+                FROM st) s))
+          SELECT doc_id, count(*) AS n_terms,
+            ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
+    "q103_vocab_richness" ->
+      s"""WITH c AS (SELECT doc_id, list_sort(codes) AS srt
+            FROM (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents)),
+          s AS (SELECT doc_id, srt,
+              CAST(len(srt) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(srt)) AS BIGINT) AS n_types
+            FROM c),
+          h AS (SELECT doc_id, n_tokens, n_types,
+              CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+                len(list_filter(generate_series(1, n_tokens), i ->
+                  (i = 1 OR srt[i] != srt[i-1]) AND
+                  (i = n_tokens OR srt[i] != srt[i+1])))
+                END AS BIGINT) AS n_hapax
+            FROM s)
+          SELECT doc_id, n_tokens, n_types, n_hapax,
+            CASE WHEN n_tokens > 0 THEN
+              ${Num.rSql("CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)}
+            END AS ttr,
+            CASE WHEN n_tokens > 0 THEN
+              ${Num.rSql("CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)}
+            END AS hapax_ratio
+          FROM h""",
   )
 }

@@ -538,4 +538,84 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.contaminationBloom(a, b).count() === 0L)
     Dedup.clearSignatureCaches()
   }
+
+  test("Retrieval.bm25TopK matches a plain-Scala BM25 on a hand fixture") {
+    import spark.implicits._
+    // d4's empty text must still count toward N and avgdl; d3 matches
+    // nothing and must not appear; d1 repeats a term (tf=2 saturation).
+    val docs = Seq(
+      (1L, "spark table spark"),
+      (2L, "hash"),
+      (3L, "x y z w"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Retrieval
+      .bm25TopK(docs, Seq("spark", "table", "hash"), 20)
+      .as[(Long, Long, Double)].collect().toList
+    Dedup.clearSignatureCaches()
+
+    // independent reference: same formulas in plain Scala doubles
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val n = 4L; val avgdl = 8.0 / 4.0
+    def idfR(df: Long) =
+      r4(math.log((n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0))
+    def tfs(tf: Long, dl: Long) =
+      tf.toDouble * 2.2 / (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+    def s4(tf: Long, dl: Long, df: Long) =
+      math.floor(idfR(df) * tfs(tf, dl) * 10000 + 0.5).toLong
+    val d1 = r4((s4(2, 3, 1) + s4(1, 3, 1)).toDouble / 10000.0)
+    val d2 = r4(s4(1, 1, 1).toDouble / 10000.0)
+    val expect = List((1L, 2L, d1), (2L, 1L, d2))
+      .sortBy { case (id, _, sc) => (-sc, id) }
+    assert(got === expect)
+    // with df=1 of N=4 everywhere, the 2-term doc must outrank the 1-term doc
+    assert(got.head._1 === 1L)
+  }
+
+  test("bm25TopK ranks an unmatched corpus empty and caps at k") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"w$i filler tokens here"))
+      .toDF("doc_id", "text")
+    assert(graft.ext.Retrieval.bm25TopK(docs, Seq("absent"), 20).count() === 0L)
+    val hits = (1L to 30L).map(i => (i, "needle plus some padding"))
+      .toDF("doc_id", "text")
+    val top = graft.ext.Retrieval.bm25TopK(hits, Seq("needle"), 20)
+      .as[(Long, Long, Double)].collect()
+    Dedup.clearSignatureCaches()
+    // identical docs -> identical scores; k cap + doc_id tiebreak
+    assert(top.length === 20)
+    assert(top.map(_._1).toList === (1L to 20L).toList)
+    assert(top.map(_._3).distinct.length === 1)
+  }
+
+  test("TextStats.vocabRichness equals a word-count reference on edge docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b a"),        // a:3 b:2 c:1 -> hapax 1
+      (2L, "same same same same"), // one type, no hapax
+      (3L, "all unique words here"), // every token hapax
+      (4L, ""),                   // empty -> zero row, null ratios
+      (5L, "  padded   spaces  "), // multi-space tokenisation
+      (6L, "solo")                // single token: type=hapax=1, ratios 1.0
+    ).toDF("doc_id", "text")
+    val got = docs.select(
+      Seq($"doc_id") ++ graft.ext.TextStats.vocabRichness($"text"): _*)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toList
+    def ref(id: Long, text: String) = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val cnt = toks.groupBy(identity).view.mapValues(_.size)
+      val (nt, ty, hp) = (toks.size.toLong, cnt.size.toLong,
+        cnt.count(_._2 == 1).toLong)
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val (ttr, hr) =
+        if (nt == 0) (None, None)
+        else (Some(r4(ty.toDouble / nt)), Some(r4(hp.toDouble / nt)))
+      (id, nt, ty, hp, ttr, hr)
+    }
+    val expect = Seq(1L -> "a b c a b a", 2L -> "same same same same",
+      3L -> "all unique words here", 4L -> "", 5L -> "  padded   spaces  ",
+      6L -> "solo").map { case (i, t) => ref(i, t) }.toList
+    assert(got === expect)
+  }
 }
