@@ -1,0 +1,61 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sharded JSONL corpus export — the materialization step that ends a
+  * training-data pipeline: ingest → clean → dedup → mix → EXPORT.
+  * Training stacks consume line-delimited JSON in size-balanced shards,
+  * so the writer must (a) balance bytes across shards, (b) be
+  * deterministic enough that re-running the export reproduces the same
+  * bytes, and (c) never funnel data through the driver.
+  *
+  * Shard assignment is the SAME injective multiplicative hash as
+  * q93_shard_balance (`(id * 2654435761 + 17) % 1000000007 % nShards`),
+  * so q93 over the corpus IS the pre-write balance check for this
+  * writer — run the count-sized aggregate first, then materialize.
+  *
+  * Reproducibility: rows are hash-repartitioned ON the shard id (each
+  * shard's rows land wholly in one task) and sorted by (shard, id)
+  * within the task, so each shard directory holds exactly ONE part file
+  * whose bytes depend only on the input rows — byte-identical across
+  * re-runs, partition layouts, and cluster sizes. `to_json` escapes
+  * embedded newlines/quotes, so one row is always one line.
+  *
+  * Scale: one narrow projection + one shuffle keyed on nShards values.
+  * Per SCALE.md's sizing rule, nShards = ceil(corpus bytes / target
+  * file size); at 100 TB with 1 GB shards that is ~10^5 shards — far
+  * above any task-count concern, and the sort is per-shard, never
+  * global. For multi-file shards (relaxing single-file determinism for
+  * write parallelism within a shard), raise `spark.sql.files
+  * .maxRecordsPerFile` instead of changing this layout.
+  */
+object JsonlExport {
+
+  val Mult = 2654435761L
+  val Salt = 17L
+  val Mod = 1000000007L
+
+  /** q93's shard hash, shared verbatim. */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(pmod(id * Mult + Salt, lit(Mod)), lit(nShards))
+
+  /** Write `df` as `outDir/shard=K/part-*.txt` JSONL, one line per row,
+    * one file per shard, deterministic bytes. `idCol` must be a unique
+    * non-negative long (drives both shard assignment and in-file
+    * order). Pass `compression = Some("gzip")` for .gz shards.
+    */
+  def export(df: DataFrame, idCol: String, outDir: String, nShards: Int,
+      compression: Option[String] = None): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val cols = df.columns.map(col)
+    val lines = df
+      .withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("__ord", col(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .select(col("shard"), to_json(struct(cols: _*)).as("value"))
+    val w = lines.write.mode("overwrite").partitionBy("shard")
+    compression.fold(w)(c => w.option("compression", c)).text(outDir)
+  }
+}
