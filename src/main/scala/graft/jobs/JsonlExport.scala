@@ -48,6 +48,13 @@ object JsonlExport {
   def export(df: DataFrame, idCol: String, outDir: String, nShards: Int,
       compression: Option[String] = None): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // the two internal columns would silently CLOBBER same-named input
+    // columns (withColumn replaces, and the serialized struct would then
+    // carry the internal value instead of the user's data) — fail loud
+    val clash = df.columns.toSet.intersect(Set("shard", "__ord"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with JsonlExport's " +
+        "internal shard/__ord columns; rename them before exporting")
     val cols = df.columns.map(col)
     val lines = df
       .withColumn("shard", shardOf(col(idCol), nShards))

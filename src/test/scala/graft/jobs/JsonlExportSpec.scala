@@ -98,6 +98,16 @@ class JsonlExportSpec extends AnyFunSuite {
     b1.keySet.foreach(k => assert(b1(k) === b2(k), s"bytes differ in $k"))
   }
 
+  test("a pre-existing 'shard' column fails loud instead of being clobbered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val withShard = fixture.withColumn("shard", lit(99))
+    val e = intercept[IllegalArgumentException] {
+      JsonlExport.export(withShard, "doc_id", dir, nShards = 4)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("gzip compression writes .gz shards that read back whole") {
     val dir = Files.createTempDirectory("jsonl").toString
     JsonlExport.export(fixture, "doc_id", dir, nShards = 4,
