@@ -588,6 +588,76 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.map(_._3).distinct.length === 1)
   }
 
+  test("bm25TopK equals the plain-Scala reference on randomized corpora") {
+    import spark.implicits._
+    // seeded-random corpora over a 10-token vocabulary, query = 3 of the
+    // tokens: every (tf, dl, df, avgdl) combination the formula can see,
+    // including empty docs and docs with no query term
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector.tabulate(10)(i => s"t$i")
+    val terms = Seq("t1", "t3", "t7")
+    def refBm25(docs: Seq[(Long, String)], k: Int): List[(Long, Long, Double)] = {
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val toks = docs.map { case (id, t) =>
+        (id, t.split(" ").filter(_.nonEmpty).toSeq)
+      }
+      val n = docs.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n.toDouble
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.filter(terms.contains).groupBy(identity).toSeq.map {
+          case (term, occ) => (id, ts.size.toLong, term, occ.size.toLong)
+        }
+      }
+      val df = tf.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      def idfR(d: Long) =
+        r4(math.log((n.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5) + 1.0))
+      val s4 = tf.map { case (id, dl, term, c) =>
+        val tfs = c.toDouble * 2.2 /
+          (c.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+        (id, math.floor(idfR(df(term)) * tfs * 10000 + 0.5).toLong)
+      }
+      s4.groupBy(_._1).toList.map { case (id, xs) =>
+        (id, xs.size.toLong, r4(xs.map(_._2).sum.toDouble / 10000.0))
+      }.sortBy { case (id, _, sc) => (-sc, id) }.take(k)
+    }
+    for (round <- 1 to 3) {
+      val docs = (0L until 60L).map { i =>
+        val nt = rnd.nextInt(26) // 0 => empty doc
+        (i, Seq.fill(nt)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = graft.ext.Retrieval
+        .bm25TopK(docs.toDF("doc_id", "text"), terms, 15)
+        .as[(Long, Long, Double)].collect().toList
+      Dedup.clearSignatureCaches()
+      assert(got === refBm25(docs, 15), s"round $round")
+    }
+  }
+
+  test("vocabRichness equals the reference on randomized heavy-dup corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = (0L until 120L).map { i =>
+      val nt = rnd.nextInt(31)
+      (i, Seq.fill(nt)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text").select(
+      Seq(col("doc_id")) ++ graft.ext.TextStats.vocabRichness($"text"): _*)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toList
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val cnt = toks.groupBy(identity).view.mapValues(_.size)
+      val (nt, ty, hp) = (toks.size.toLong, cnt.size.toLong,
+        cnt.count(_._2 == 1).toLong)
+      if (nt == 0) (id, 0L, 0L, 0L, None, None)
+      else (id, nt, ty, hp,
+        Some(r4(ty.toDouble / nt)), Some(r4(hp.toDouble / nt)))
+    }.toList
+    assert(got === expect)
+  }
+
   test("TextStats.vocabRichness equals a word-count reference on edge docs") {
     import spark.implicits._
     val docs = Seq(
