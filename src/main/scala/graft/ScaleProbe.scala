@@ -35,6 +35,16 @@ object ScaleProbe {
     * naturally (>500k edges) exists.
     */
   private val ExtraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Materialization throughput: JsonlExport the (scaled) documents
+    // table into 16 shards and return the read-back line frame, so the
+    // counted rows double as the exported-line self-check. The timing
+    // covers serialize + shuffle + sort + write + re-read.
+    "export_jsonl" -> ((s: SparkSession, d: String) => {
+      val out = java.nio.file.Files.createTempDirectory("export_probe").toString
+      graft.jobs.JsonlExport.export(Tables.documents(s, d), "doc_id",
+        out, nShards = 16)
+      s.read.text(s"$out/shard=*/")
+    }),
     "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
