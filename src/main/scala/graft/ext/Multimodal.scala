@@ -101,6 +101,96 @@ object Multimodal {
         expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
           .as("frame"))
 
+  /** An already-decoded raster row: what a real pixel codec would hand
+    * the resize stage. `payload` is the raster bytes, (w, h) the decoded
+    * dimensions.
+    */
+  final case class RawRaster(media_id: Long, payload: Array[Byte], w: Int, h: Int)
+
+  final case class ResizedMedia(
+      media_id: Long,
+      format: String,
+      src_width: Int,
+      src_height: Int,
+      out_width: Int,
+      out_height: Int,
+      raster: Array[Byte])
+
+  /** Nearest-neighbor resize kernel: source pixel (x, y) of a w×h
+    * raster is `payload[(y * w + x) mod payload.length]`.
+    *
+    * REAL: the index arithmetic (sx = floor(x·w/outW), sy =
+    * floor(y·h/outH)), the output schema, and the partition-batched
+    * call shape. STUB (clearly marked, per the no-codec sandbox): the
+    * raster itself — without codec libs a PNG payload cannot become
+    * pixels, so the "decoded raster" is the deterministic byte-grid
+    * above (payload bytes row-major, wrapped modulo length). A real
+    * decoder replaces that one indexing rule; every index, loop, and
+    * schema stays.
+    *
+    * Returns null (not an exception) on degenerate inputs — empty
+    * payload or non-positive dims — the degrade-don't-crash posture of
+    * the rest of this file.
+    */
+  def resizeKernel(payload: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return null
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        out(y * outW + x) =
+          payload(((sy.toLong * w + sx) % payload.length).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize via container-header decode: (w, h) parsed out of the real
+    * PNG/JPEG/GIF header bytes, then [[resizeKernel]]. WAV (no 2D
+    * raster) and unparsable payloads degrade to a null raster with
+    * format "unknown".
+    */
+  def resize(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0, s"output dims must be positive: $outW x $outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        MediaHeaders.parse(r.mime, r.payload) match {
+          case Some(m) if m.width > 0 && m.height > 0 =>
+            ResizedMedia(r.media_id, m.format, m.width, m.height, outW, outH,
+              resizeKernel(r.payload, m.width, m.height, outW, outH))
+          case _ =>
+            ResizedMedia(r.media_id, "unknown", 0, 0, outW, outH, null)
+        }
+      }
+    }
+  }
+
+  /** Resize from DECLARED dims — the entry point a real codec feeds
+    * (raster + dims in, raster out), and the oracle-gatable one: with
+    * the byte-grid stub the output is pure index arithmetic over the
+    * payload, which DuckDB replays with substring. Degenerate rows keep
+    * their declared dims and get a null raster.
+    */
+  def resizeRaw(media: Dataset[RawRaster], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0, s"output dims must be positive: $outW x $outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        ResizedMedia(r.media_id, "raster", r.w, r.h, outW, outH,
+          resizeKernel(r.payload, r.w, r.h, outW, outH))
+      }
+    }
+  }
+
   /** Documents table as a synthetic media table (text bytes as payload) —
     * exercises the full binary-column path on driver-provided data.
     */

@@ -784,6 +784,25 @@ object LlmQueries {
       Tables.documents(s, d).select(
         Seq($"doc_id") ++ TextStats.vocabRichness($"text"): _*)
     }),
+
+    // Multimodal resize over the raw-raster seam: each doc's text bytes
+    // as a meta-declared (w × h) raster, nearest-neighbor-resized to
+    // 8×6 by Multimodal.resizeKernel (the deterministic byte-grid stub
+    // standing in for a pixel codec — the index arithmetic, degrade
+    // path and batch shape are the real, oracle-gated part; see the
+    // kernel Scaladoc). Output compared as string (ASCII corpus, same
+    // precedent as q48's frame slices). Degenerate dims/empty payload
+    // -> NULL raster, row kept.
+    "q104_resize" -> ((s, d) => {
+      import s.implicits._
+      val raw = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .select($"media_id", $"payload",
+          $"meta_width".as("w"), $"meta_height".as("h"))
+        .as[Multimodal.RawRaster]
+      Multimodal.resizeRaw(raw, 8, 6).toDF()
+        .select($"media_id", $"src_width", $"src_height",
+          $"raster".cast("string").as("resized"))
+    }),
   )
 
   /** q102's fixed query terms — shared verbatim with the oracle SQL. */
@@ -1454,5 +1473,24 @@ object LlmQueries {
               ${Num.rSql("CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)}
             END AS hapax_ratio
           FROM h""",
+    // resizeKernel replay: out pixel i (row-major 8×6) reads source
+    // char (sy*w + sx) mod len, sy = (i//8)*h//6, sx = (i%8)*w//8 —
+    // pure integer arithmetic on both engines; string compare rides the
+    // ASCII-corpus precedent of q48.
+    "q104_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+            coalesce(text, '') AS t,
+            CAST(coalesce(n_chars, 0) % 640 AS INTEGER) AS w,
+            CAST(coalesce(n_chars, 0) % 480 AS INTEGER) AS h,
+            octet_length(CAST(coalesce(text, '') AS BLOB)) AS len
+          FROM documents)
+         SELECT media_id, w AS src_width, h AS src_height,
+           CASE WHEN w > 0 AND h > 0 AND len > 0 THEN
+             array_to_string(list_transform(generate_series(0, 47), i ->
+               substring(t,
+                 CAST((((i // 8) * h // 6) * w + ((i % 8) * w // 8)) % len + 1
+                   AS INTEGER), 1)), '')
+           END AS resized
+         FROM m""",
   )
 }

@@ -215,4 +215,55 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- resize ----------------------------------------------------------
+
+  test("resizeKernel: hand-computed nearest-neighbor picks on a 4x3 grid") {
+    // payload = 12 distinct bytes read as a 4x3 row-major raster
+    val p = (10 until 22).map(_.toByte).toArray
+    // 2x2 output: sx = x*4/2 in {0,2}; sy = y*3/2 in {0,1}
+    // picks: (0,0)->p[0], (2,0)->p[2], (0,1)->p[4], (2,1)->p[6]
+    val out = Multimodal.resizeKernel(p, 4, 3, 2, 2)
+    assert(out.toSeq === Seq(p(0), p(2), p(4), p(6)).map(identity))
+    // identity dims reproduce the byte grid itself
+    val id = Multimodal.resizeKernel(p, 4, 3, 4, 3)
+    assert(id.toSeq === p.toSeq)
+    // shorter payload than w*h wraps modulo length, never throws
+    val short = Multimodal.resizeKernel(Array[Byte](1, 2, 3), 4, 3, 2, 2)
+    assert(short.toSeq === Seq[Byte](1, 3, 2, 1))
+    // degenerate inputs -> null, not an exception
+    assert(Multimodal.resizeKernel(Array.emptyByteArray, 4, 3, 2, 2) == null)
+    assert(Multimodal.resizeKernel(p, 0, 3, 2, 2) == null)
+    assert(Multimodal.resizeKernel(p, 4, -1, 2, 2) == null)
+  }
+
+  test("resize parses real headers; WAV and junk degrade to null raster") {
+    import spark.implicits._
+    val body = (0 until 64).map(_.toByte).toArray
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, MediaHeaders.encodePng(5, 4, body), "image/png", 0, 0),
+      Multimodal.MediaRecord(2L, MediaHeaders.encodeWav(8000, 1, body), "audio/wav", 0, 0),
+      Multimodal.MediaRecord(3L, "not media at all".getBytes, "text/plain", 0, 0))
+    val out = Multimodal.resize(recs.toDS(), 3, 2).collect().sortBy(_.media_id)
+    assert(out(0).format === "png" && out(0).src_width === 5 &&
+      out(0).src_height === 4 && out(0).raster.length === 6)
+    // the png row's picks match the kernel applied to the WHOLE payload
+    assert(out(0).raster.toSeq ===
+      Multimodal.resizeKernel(recs.head.payload, 5, 4, 3, 2).toSeq)
+    assert(out(1).format === "unknown" && out(1).raster == null)
+    assert(out(2).format === "unknown" && out(2).raster == null)
+  }
+
+  test("resizeRaw keeps declared dims and degrades per-row") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.RawRaster(1L, "abcdefghijkl".getBytes, 4, 3),
+      Multimodal.RawRaster(2L, "xyz".getBytes, 0, 3), // degenerate w
+      Multimodal.RawRaster(3L, Array.emptyByteArray, 4, 3)) // empty payload
+    val out = Multimodal.resizeRaw(rows.toDS(), 2, 2).collect().sortBy(_.media_id)
+    assert(out(0).raster.toSeq === "aceg".getBytes.toSeq)
+    assert(out(1).src_width === 0 && out(1).raster == null)
+    assert(out(2).raster == null)
+    assert(out.forall(_.format == "raster"))
+  }
 }
