@@ -134,6 +134,11 @@ object Multimodal {
     */
   def resizeKernel(payload: Array[Byte], w: Int, h: Int,
       outW: Int, outH: Int): Array[Byte] = {
+    // caller error, not data degradation: outW * outH must not wrap Int
+    // (65536 x 65536 wraps to 0 and the first write would AIOOBE the
+    // task instead of failing loud here)
+    require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue - 8,
+      s"output dims $outW x $outH overflow an array size")
     if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return null
     val out = new Array[Byte](outW * outH)
     var y = 0
@@ -157,7 +162,8 @@ object Multimodal {
     * format "unknown".
     */
   def resize(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
-    require(outW > 0 && outH > 0, s"output dims must be positive: $outW x $outH")
+    require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue - 8,
+      s"output dims must be positive and fit an array: $outW x $outH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -180,7 +186,8 @@ object Multimodal {
     * their declared dims and get a null raster.
     */
   def resizeRaw(media: Dataset[RawRaster], outW: Int, outH: Int): Dataset[ResizedMedia] = {
-    require(outW > 0 && outH > 0, s"output dims must be positive: $outW x $outH")
+    require(outW > 0 && outH > 0 && outW.toLong * outH <= Int.MaxValue - 8,
+      s"output dims must be positive and fit an array: $outW x $outH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

@@ -125,7 +125,7 @@ object TextStats {
   def repetitionStats(text: Column): Column =
     repStatsUdf(coalesce(text, lit("")))
 
-  /** Vocabulary-richness columns over a SORTED token-code array: type
+  /** Vocabulary-richness report over a SORTED token-code array: type
     * count, hapax count (codes occurring exactly once in the doc) and
     * the derived type-token / hapax ratios — the vocabulary-diversity
     * screen complementary to [[repetitionStats]] (which rides a UDF for
@@ -137,10 +137,28 @@ object TextStats {
     * indices are clamped with greatest/least so ANSI mode can never see
     * an out-of-range index: at a clamped position the other disjunct is
     * already true, so the self-comparison is unreachable in the result.
+    *
+    * Shape: THREE staged projections, not one expression bundle. The
+    * sorted array must be bound as an attribute BEFORE the hapax lambda
+    * references it — lambda-bearing trees are excluded from
+    * subexpression elimination (the langId "~41 evaluations per row"
+    * trap documented above), so an inlined `srt` would re-tokenize and
+    * re-sort the document once per element_at PER SCAN POSITION:
+    * O(n² log n) per doc. Likewise the counts are bound before the
+    * ratio stage so the hapax scan runs once, not three times.
+    *
+    * Takes and returns a frame (id columns pass through; `textCol` is
+    * consumed): per-doc output (ids…, n_tokens, n_types, n_hapax, ttr,
+    * hapax_ratio).
     */
-  def vocabRichness(text: Column): Seq[Column] = {
-    val srt = array_sort(coalesce(tokenCodesOf(text),
-      array().cast("array<long>")))
+  def vocabRichness(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    val keep = df.columns.filterNot(_ == textCol)
+    val srtBound = df.select(keep.map(bt) :+
+      array_sort(coalesce(tokenCodesOf(bt(textCol)),
+        array().cast("array<long>"))).as("__srt"): _*)
+    val srt = col("__srt")
     val n = size(srt).cast("long")
     val hapax = when(n === 0L, lit(0)).otherwise(
       size(filter(sequence(lit(1L), n), i =>
@@ -148,15 +166,18 @@ object TextStats {
           element_at(srt, greatest(i - 1L, lit(1L)).cast("int"))) &&
           (i === n || element_at(srt, i.cast("int")) =!=
             element_at(srt, least(i + 1L, n).cast("int"))))))
-    val nTypes = size(array_distinct(srt)).cast("long")
-    Seq(
-      n.as("n_tokens"),
-      nTypes.as("n_types"),
-      hapax.cast("long").as("n_hapax"),
-      when(n > 0L, rnd(nTypes.cast("double") / n.cast("double"), 4))
-        .as("ttr"),
-      when(n > 0L, rnd(hapax.cast("double") / n.cast("double"), 4))
-        .as("hapax_ratio"))
+    val counted = srtBound.select(keep.map(bt) :+
+      n.as("n_tokens") :+
+      size(array_distinct(srt)).cast("long").as("n_types") :+
+      hapax.cast("long").as("n_hapax"): _*)
+    counted.select(keep.map(bt) :+ col("n_tokens") :+ col("n_types") :+
+      col("n_hapax") :+
+      when(col("n_tokens") > 0L,
+        rnd(col("n_types").cast("double") / col("n_tokens").cast("double"), 4))
+        .as("ttr") :+
+      when(col("n_tokens") > 0L,
+        rnd(col("n_hapax").cast("double") / col("n_tokens").cast("double"), 4))
+        .as("hapax_ratio"): _*)
   }
 
   /** Quality heuristics bundle; every double rounded for oracle parity. */

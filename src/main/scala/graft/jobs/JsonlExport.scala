@@ -48,19 +48,21 @@ object JsonlExport {
   def export(df: DataFrame, idCol: String, outDir: String, nShards: Int,
       compression: Option[String] = None): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // the two internal columns would silently CLOBBER same-named input
-    // columns (withColumn replaces, and the serialized struct would then
+    // the internal column would silently CLOBBER a same-named input
+    // column (withColumn replaces, and the serialized struct would then
     // carry the internal value instead of the user's data) — fail loud
-    val clash = df.columns.toSet.intersect(Set("shard", "__ord"))
-    require(clash.isEmpty,
-      s"input columns ${clash.mkString(", ")} collide with JsonlExport's " +
-        "internal shard/__ord columns; rename them before exporting")
-    val cols = df.columns.map(col)
+    require(!df.columns.contains("shard"),
+      "input column 'shard' collides with JsonlExport's internal shard " +
+        "column; rename it before exporting")
+    // backtick-quote every user column: bare col(name) parses dots as
+    // nested-field paths, so a literal "user.name" column would fail to
+    // resolve in a generic exporter
+    def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    val cols = df.columns.map(bt)
     val lines = df
-      .withColumn("shard", shardOf(col(idCol), nShards))
-      .withColumn("__ord", col(idCol))
+      .withColumn("shard", shardOf(bt(idCol), nShards))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("__ord"))
+      .sortWithinPartitions(col("shard"), bt(idCol))
       .select(col("shard"), to_json(struct(cols: _*)).as("value"))
     val w = lines.write.mode("overwrite").partitionBy("shard")
     compression.fold(w)(c => w.option("compression", c)).text(outDir)

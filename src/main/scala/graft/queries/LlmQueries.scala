@@ -781,8 +781,8 @@ object LlmQueries {
     // no shuffle (see TextStats.vocabRichness).
     "q103_vocab_richness" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(
-        Seq($"doc_id") ++ TextStats.vocabRichness($"text"): _*)
+      TextStats.vocabRichness(
+        Tables.documents(s, d).select($"doc_id", $"text"), "text")
     }),
 
     // Multimodal resize over the raw-raster seam: each doc's text bytes
@@ -1451,9 +1451,14 @@ object LlmQueries {
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id ASC LIMIT 20"""
     },
+    // null-safe toks (coalesce text like the Spark side's coalesce over
+    // tokenCodesOf) — without it a NULL-text row yields NULL n_tokens
+    // here vs 0 in Spark (the q87 symmetric-coalesce precedent)
     "q103_vocab_richness" ->
       s"""WITH c AS (SELECT doc_id, list_sort(codes) AS srt
-            FROM (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents)),
+            FROM (SELECT doc_id, ${codesExpr(
+              "list_filter(string_split(coalesce(text, ''), ' '), t -> t != '')")} AS codes
+            FROM documents)),
           s AS (SELECT doc_id, srt,
               CAST(len(srt) AS BIGINT) AS n_tokens,
               CAST(len(list_distinct(srt)) AS BIGINT) AS n_types

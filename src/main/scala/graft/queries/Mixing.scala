@@ -242,9 +242,11 @@ object Mixing {
     // 16-group aggregate.
     "q93_shard_balance" -> ((s, d) => {
       import s.implicits._
+      // shard hash SHARED BY REFERENCE with jobs.JsonlExport.shardOf —
+      // this balance check is the export writer's pre-write prediction,
+      // which only holds if one definition feeds both
       Tables.documents(s, d)
-        .select(pmod(pmod($"doc_id" * 2654435761L + 17L,
-            lit(1000000007L)), lit(16L)).as("shard"),
+        .select(graft.jobs.JsonlExport.shardOf($"doc_id", 16).as("shard"),
           coalesce(size(TextStats.tokens($"text")), lit(0))
             .cast("long").as("n_tok"))
         .groupBy($"shard")
@@ -364,7 +366,8 @@ object Mixing {
           FROM r WHERE rank <= 25""",
     "q93_shard_balance" ->
       s"""WITH t AS (SELECT
-            ((doc_id * 2654435761 + 17) % 1000000007) % 16 AS shard,
+            ((doc_id * ${graft.jobs.JsonlExport.Mult} + ${graft.jobs.JsonlExport.Salt})
+              % ${graft.jobs.JsonlExport.Mod}) % 16 AS shard,
             coalesce(len($toksExpr), 0) AS n_tok FROM documents)
           SELECT shard, count(*) AS n_docs,
             CAST(sum(n_tok) AS BIGINT) AS n_tokens

@@ -642,8 +642,8 @@ class CorpusOpsSpec extends AnyFunSuite {
       val nt = rnd.nextInt(31)
       (i, Seq.fill(nt)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
-    val got = docs.toDF("doc_id", "text").select(
-      Seq(col("doc_id")) ++ graft.ext.TextStats.vocabRichness($"text"): _*)
+    val got = graft.ext.TextStats
+      .vocabRichness(docs.toDF("doc_id", "text"), "text")
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
       .collect().sortBy(_._1).toList
     val expect = docs.map { case (id, text) =>
@@ -668,8 +668,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, "  padded   spaces  "), // multi-space tokenisation
       (6L, "solo")                // single token: type=hapax=1, ratios 1.0
     ).toDF("doc_id", "text")
-    val got = docs.select(
-      Seq($"doc_id") ++ graft.ext.TextStats.vocabRichness($"text"): _*)
+    val got = graft.ext.TextStats.vocabRichness(docs, "text")
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
       .collect().sortBy(_._1).toList
     def ref(id: Long, text: String) = {

@@ -235,6 +235,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeKernel(Array.emptyByteArray, 4, 3, 2, 2) == null)
     assert(Multimodal.resizeKernel(p, 0, 3, 2, 2) == null)
     assert(Multimodal.resizeKernel(p, 4, -1, 2, 2) == null)
+    // caller-error OUTPUT dims fail loud: 65536 x 65536 wraps Int to 0
+    // and would AIOOBE mid-task without the guard
+    intercept[IllegalArgumentException](
+      Multimodal.resizeKernel(p, 4, 3, 65536, 65536))
+    intercept[IllegalArgumentException](
+      Multimodal.resizeKernel(p, 4, 3, 2, 0))
   }
 
   test("resize parses real headers; WAV and junk degrade to null raster") {
