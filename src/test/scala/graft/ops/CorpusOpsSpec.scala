@@ -658,6 +658,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("vocabRichness stays linear on a 50k-token document") {
+    import spark.implicits._
+    // regression guard for the inlined-lambda form: with the sorted
+    // array re-evaluated per scan position this doc costs ~50k * 50k
+    // token-hash operations and the test effectively hangs; the staged
+    // projection finishes instantly. Counts checked vs the reference.
+    val rnd = new scala.util.Random(5)
+    val toks = Seq.fill(50000)(s"w${rnd.nextInt(1000)}")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val Array(row) = graft.ext.TextStats.vocabRichness(df, "text")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].collect()
+    val cnt = toks.groupBy(identity).view.mapValues(_.size)
+    assert(row._2 === 50000L)
+    assert(row._3 === cnt.size.toLong)
+    assert(row._4 === cnt.count(_._2 == 1).toLong)
+  }
+
   test("TextStats.vocabRichness equals a word-count reference on edge docs") {
     import spark.implicits._
     val docs = Seq(
