@@ -276,11 +276,14 @@ class PlanSpec extends AnyFunSuite {
     // q91/q92/q95 are the original double-scan fixes (round 6) — held
     // here so the cache that collapses their two consumers to one scan
     // can't silently drop out
+    // q102 holds its cached-base contract (stats + tf both ride one
+    // corpus read); q103/q104 are single-scan narrow maps by design
     for (q <- Seq("q22_bigram_jaccard", "q33_simhash64_pairs",
         "q65_dedup_components",
         "q80_dedup_keep_longest", "q81_bloom_decontaminate",
         "q91_shingle_novelty", "q92_token_kl_drift",
-        "q95_length_quantiles")) {
+        "q95_length_quantiles",
+        "q102_bm25", "q103_vocab_richness", "q104_resize")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = documentScans(physical(df))
       assert(n <= 1, s"$q scans documents $n times:\n" +
