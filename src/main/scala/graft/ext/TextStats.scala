@@ -138,20 +138,49 @@ object TextStats {
     * an out-of-range index: at a clamped position the other disjunct is
     * already true, so the self-comparison is unreachable in the result.
     *
-    * Shape: THREE staged projections, not one expression bundle. The
-    * sorted array must be bound as an attribute BEFORE the hapax lambda
-    * references it — lambda-bearing trees are excluded from
-    * subexpression elimination (the langId "~41 evaluations per row"
-    * trap documented above), so an inlined `srt` would re-tokenize and
-    * re-sort the document once per element_at PER SCAN POSITION:
-    * O(n² log n) per doc. Likewise the counts are bound before the
-    * ratio stage so the hapax scan runs once, not three times.
+    * Shape: the three counts come from the native codegen'd
+    * `vocab_stats` expression (one JVM pass: tokenize + hash + sort +
+    * run-scan, graft.ext.VecMath.vocabStats), bound as an attribute in
+    * a first projection so the ratio stage references computed longs.
+    * The declarative staged-HOF formulation survives as
+    * [[vocabRichnessHof]] for the bit-parity spec — and as the
+    * documentation of the trap it avoids: the sorted array must be
+    * bound BEFORE the hapax lambda references it, because
+    * lambda-bearing trees are excluded from subexpression elimination
+    * (the langId "~41 evaluations per row" trap documented above), so
+    * an inlined sort would re-tokenize and re-sort the document once
+    * per element_at PER SCAN POSITION — O(n² log n) per doc.
     *
     * Takes and returns a frame (id columns pass through; `textCol` is
     * consumed): per-doc output (ids…, n_tokens, n_types, n_hapax, ttr,
     * hapax_ratio).
     */
   def vocabRichness(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    val keep = df.columns.filterNot(_ == textCol)
+    val counted = df.select(keep.map(bt) :+
+      org.apache.spark.sql.graft.GraftColumns
+        .vocabStats(coalesce(bt(textCol), lit(""))).as("__vs"): _*)
+      .select(keep.map(bt) :+
+        col("__vs.n_tokens").as("n_tokens") :+
+        col("__vs.n_types").as("n_types") :+
+        col("__vs.n_hapax").as("n_hapax"): _*)
+    counted.select(keep.map(bt) :+ col("n_tokens") :+ col("n_types") :+
+      col("n_hapax") :+
+      when(col("n_tokens") > 0L,
+        rnd(col("n_types").cast("double") / col("n_tokens").cast("double"), 4))
+        .as("ttr") :+
+      when(col("n_tokens") > 0L,
+        rnd(col("n_hapax").cast("double") / col("n_tokens").cast("double"), 4))
+        .as("hapax_ratio"): _*)
+  }
+
+  /** Declarative staged-HOF reference for [[vocabRichness]]'s counts
+    * (array_sort + clamped-index run-boundary filter) — kept for the
+    * bit-parity spec, the tokenCodesHof discipline.
+    */
+  def vocabRichnessHof(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     def bt(c: String) = col("`" + c.replace("`", "``") + "`")
     val keep = df.columns.filterNot(_ == textCol)
@@ -166,18 +195,10 @@ object TextStats {
           element_at(srt, greatest(i - 1L, lit(1L)).cast("int"))) &&
           (i === n || element_at(srt, i.cast("int")) =!=
             element_at(srt, least(i + 1L, n).cast("int"))))))
-    val counted = srtBound.select(keep.map(bt) :+
+    srtBound.select(keep.map(bt) :+
       n.as("n_tokens") :+
       size(array_distinct(srt)).cast("long").as("n_types") :+
       hapax.cast("long").as("n_hapax"): _*)
-    counted.select(keep.map(bt) :+ col("n_tokens") :+ col("n_types") :+
-      col("n_hapax") :+
-      when(col("n_tokens") > 0L,
-        rnd(col("n_types").cast("double") / col("n_tokens").cast("double"), 4))
-        .as("ttr") :+
-      when(col("n_tokens") > 0L,
-        rnd(col("n_hapax").cast("double") / col("n_tokens").cast("double"), 4))
-        .as("hapax_ratio"): _*)
   }
 
   /** Quality heuristics bundle; every double rounded for oracle parity. */

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Single-pass JVM kernels for embedding math, called from generated code
@@ -167,6 +168,55 @@ object VecMath {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Vocabulary statistics in one JVM pass: tokenize+hash (identical
+    * codes to [[tokenCodes]]), sort, count runs — (n_tokens, n_types,
+    * n_hapax) as a struct row. Replaces the staged HOF form in
+    * TextStats.vocabRichness' hot path: array_sort + array_distinct +
+    * a per-position filter lambda are each CodegenFallback and
+    * materialize intermediate arrays; here one sort of a primitive
+    * long[] and one run-scan produce all three counts inside
+    * whole-stage codegen. Token-equality semantics are code-equality,
+    * exactly like every fingerprint/dedup operator in this engine.
+    */
+  def vocabStats(text: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val s = text.toString
+    var arr = new Array[Long](16)
+    var n = 0
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (inTok) {
+          if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+          arr(n) = h; n += 1; h = 0L; inTok = false
+        }
+      } else {
+        h = (h * 31 + c) % P
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n + 1)
+      arr(n) = h; n += 1
+    }
+    java.util.Arrays.sort(arr, 0, n)
+    var types = 0L
+    var hapax = 0L
+    var j = 0
+    while (j < n) {
+      var k = j + 1
+      while (k < n && arr(k) == arr(j)) k += 1
+      types += 1
+      if (k - j == 1) hapax += 1
+      j = k
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, types, hapax))
   }
 
   /** ±1 RP-LSH plane weights, cached per (nPlanes, dim): sign of a Knuth

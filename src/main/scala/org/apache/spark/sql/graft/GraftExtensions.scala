@@ -159,6 +159,9 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (es: Seq[Expression]) => NfcNormalize(es(0))),
+    (FunctionIdentifier("vocab_stats"),
+      new ExpressionInfo(classOf[VocabStats].getName, "vocab_stats"),
+      (es: Seq[Expression]) => VocabStats(es(0))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (es: Seq[Expression]) => SimHash16(es(0))),

@@ -115,6 +115,34 @@ case class TokenCodes(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document vocabulary statistics as ONE codegen'd pass:
+  * struct(n_tokens, n_types, n_hapax) from tokenize + hash + sort +
+  * run-scan (graft.ext.VecMath.vocabStats — identical token codes to
+  * TokenCodes). The declarative form needs array_sort + array_distinct
+  * + a per-position filter lambda, all CodegenFallback with
+  * intermediate array materializations; this stays inside whole-stage
+  * codegen with a primitive long[] sort.
+  */
+case class VocabStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_types", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_hapax", LongType, nullable = false)))
+  override def prettyName: String = "vocab_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.vocabStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.vocabStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode NFC canonicalization as a codegen'd unary expression — the
   * canonicalize-before-hashing step of a text pipeline (see
   * graft.ext.VecMath.nfcNormalize for why dedup needs it). Stays inside
@@ -302,6 +330,9 @@ object GraftColumns {
 
   def nfcNormalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
+  def vocabStats(text: Column): Column =
+    ExpressionUtils.column(VocabStats(ExpressionUtils.expression(text)))
 
   def simhash16(codes: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(codes)))

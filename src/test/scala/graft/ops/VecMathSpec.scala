@@ -121,6 +121,33 @@ class VecMathSpec extends AnyFunSuite {
     }
   }
 
+  test("native vocab_stats == staged-HOF counts on random and edge docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val docs = (Seq("", " ", "solo", "x x x x", "  padded  doc  ") ++
+      (0 until 80).map(_ =>
+        Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val native = graft.ext.TextStats.vocabRichness(df, "text")
+      .select("doc_id", "n_tokens", "n_types", "n_hapax")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val hof = graft.ext.TextStats.vocabRichnessHof(df, "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(native === hof)
+  }
+
+  test("vocab_stats is registered as a SQL function") {
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+    import spark.implicits._
+    Seq((1L, "a b a")).toDF("id", "t").createOrReplaceTempView("vs_t")
+    val r = spark.sql(
+      "SELECT vocab_stats(t).n_tokens AS n, vocab_stats(t).n_hapax AS h FROM vs_t")
+      .as[(Long, Long)].head()
+    assert(r === ((3L, 1L)))
+  }
+
   test("cosine of a vector with itself is 1.0 within 1 ulp") {
     import spark.implicits._
     val df = vecs(3L, 10, 33).toDF("a").select(col("a").cast("array<float>").as("a"))
