@@ -158,14 +158,19 @@ object TextStats {
   def vocabRichness(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    // the internal binding would be ambiguous against a same-named
+    // pass-through column — fail loud (the JsonlExport guard shape)
+    require(!df.columns.contains("__vs"),
+      "input column '__vs' collides with vocabRichness' internal " +
+        "binding; rename it first")
     val keep = df.columns.filterNot(_ == textCol)
     val counted = df.select(keep.map(bt) :+
       org.apache.spark.sql.graft.GraftColumns
         .vocabStats(coalesce(bt(textCol), lit(""))).as("__vs"): _*)
       .select(keep.map(bt) :+
-        col("__vs.n_tokens").as("n_tokens") :+
-        col("__vs.n_types").as("n_types") :+
-        col("__vs.n_hapax").as("n_hapax"): _*)
+        col("__vs").getField("n_tokens").as("n_tokens") :+
+        col("__vs").getField("n_types").as("n_types") :+
+        col("__vs").getField("n_hapax").as("n_hapax"): _*)
     counted.select(keep.map(bt) :+ col("n_tokens") :+ col("n_types") :+
       col("n_hapax") :+
       when(col("n_tokens") > 0L,
@@ -183,6 +188,9 @@ object TextStats {
   def vocabRichnessHof(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    require(!df.columns.contains("__srt"),
+      "input column '__srt' collides with vocabRichnessHof's internal " +
+        "binding; rename it first")
     val keep = df.columns.filterNot(_ == textCol)
     val srtBound = df.select(keep.map(bt) :+
       array_sort(coalesce(tokenCodesOf(bt(textCol)),

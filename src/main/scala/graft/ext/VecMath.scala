@@ -121,23 +121,40 @@ object VecMath {
     * is what the frozen oracles cover.
     */
   def tokenCodes(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val s = text.toString
-    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    val (arr, n) = hashTokens(text.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr, n))
+  }
+
+  /** The ONE tokenize+hash loop (codes array + count) — tokenCodes and
+    * vocabStats both consume it, so the tokenizer cannot diverge
+    * between the fingerprint/dedup family and the vocab counts (the
+    * same shared-by-reference discipline as the q93/export shard hash).
+    */
+  private def hashTokens(s: String): (Array[Long], Int) = {
+    var arr = new Array[Long](16)
+    var n = 0
     var h = 0L
     var inTok = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == ' ') {
-        if (inTok) { out += h; h = 0L; inTok = false }
+        if (inTok) {
+          if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+          arr(n) = h; n += 1; h = 0L; inTok = false
+        }
       } else {
         h = (h * 31 + c) % P
         inTok = true
       }
       i += 1
     }
-    if (inTok) out += h
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    if (inTok) {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n + 1)
+      arr(n) = h; n += 1
+    }
+    (arr, n)
   }
 
   /** Rolling word n-gram codes, position-preserving: out(i) =
@@ -181,29 +198,7 @@ object VecMath {
     * exactly like every fingerprint/dedup operator in this engine.
     */
   def vocabStats(text: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
-    val s = text.toString
-    var arr = new Array[Long](16)
-    var n = 0
-    var h = 0L
-    var inTok = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == ' ') {
-        if (inTok) {
-          if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
-          arr(n) = h; n += 1; h = 0L; inTok = false
-        }
-      } else {
-        h = (h * 31 + c) % P
-        inTok = true
-      }
-      i += 1
-    }
-    if (inTok) {
-      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n + 1)
-      arr(n) = h; n += 1
-    }
+    val (arr, n) = hashTokens(text.toString)
     java.util.Arrays.sort(arr, 0, n)
     var types = 0L
     var hapax = 0L

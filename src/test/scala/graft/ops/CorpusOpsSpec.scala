@@ -662,8 +662,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     import spark.implicits._
     // regression guard for the inlined-lambda form: with the sorted
     // array re-evaluated per scan position this doc costs ~50k * 50k
-    // token-hash operations and the test effectively hangs; the staged
-    // projection finishes instantly. Counts checked vs the reference.
+    // token-hash operations and the test effectively hangs. The live
+    // path is the native vocab_stats kernel (one pass + long[] sort);
+    // the staged-HOF form survives only as the vocabRichnessHof parity
+    // reference. Counts checked vs a plain word-count reference.
     val rnd = new scala.util.Random(5)
     val toks = Seq.fill(50000)(s"w${rnd.nextInt(1000)}")
     val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
