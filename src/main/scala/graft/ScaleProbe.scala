@@ -27,6 +27,25 @@ object ScaleProbe {
   private val DefaultQueries = Seq("q21_minhash_pairs", "q22_bigram_jaccard",
     "q33_simhash64_pairs", "q65_dedup_components")
 
+  /** Every temp dir the probe creates (scaled corpora + export output)
+    * is registered here and removed at the end of main — repeated probe
+    * runs previously accumulated full corpus copies under /tmp.
+    */
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(c => deleteRecursively(c.getAbsolutePath))
+    f.delete()
+  }
+
   /** Probe-only variants beyond SparkEntry: `q65_tier2_forced` runs the
     * q65 pair set through connectedComponents with `driverEdgeLimit = 0`,
     * forcing the distributed min-label tier on a graph that would
@@ -40,7 +59,7 @@ object ScaleProbe {
     // counted rows double as the exported-line self-check. The timing
     // covers serialize + shuffle + sort + write + re-read.
     "export_jsonl" -> ((s: SparkSession, d: String) => {
-      val out = java.nio.file.Files.createTempDirectory("export_probe").toString
+      val out = tempDir("export_probe")
       graft.jobs.JsonlExport.export(Tables.documents(s, d), "doc_id",
         out, nShards = 16)
       s.read.text(s"$out/shard=*/")
@@ -106,7 +125,7 @@ object ScaleProbe {
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
 
     val results = for (k <- mults) yield {
-      val dir = Files.createTempDirectory(s"scale_${k}x").toString
+      val dir = tempDir(s"scale_${k}x")
       scaled(spark, sfDir, k).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
       if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers")))
@@ -131,5 +150,6 @@ object ScaleProbe {
       println(f"${"  rows"}%-22s" + line.map(r => f"${r._4}%10d").mkString)
     }
     spark.stop()
+    tempDirs.foreach(deleteRecursively)
   }
 }

@@ -46,8 +46,12 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // coalesce BEFORE tokenizing (the q87/q103 symmetric discipline):
+    // legacy size(null) is -1, so a NULL-text row would otherwise count
+    // dl = -1 into sum_dl/avgdl while the oracle's NULL dl drops out of
+    // its sum — the oracle mirrors with coalesce(text, '')
     val base = Dedup.cached(docs
-      .select($"doc_id", TextStats.tokens($"text").as("toks"))
+      .select($"doc_id", TextStats.tokens(coalesce($"text", lit(""))).as("toks"))
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         filter($"toks", t => t.isInCollection(terms)).as("qtoks")))
     val stats = base.agg(count(lit(1)).as("n"), sum($"dl").as("sum_dl"))

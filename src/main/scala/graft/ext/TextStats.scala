@@ -159,10 +159,16 @@ object TextStats {
       textCol: String): org.apache.spark.sql.DataFrame = {
     def bt(c: String) = col("`" + c.replace("`", "``") + "`")
     // the internal binding would be ambiguous against a same-named
-    // pass-through column — fail loud (the JsonlExport guard shape)
-    require(!df.columns.contains("__vs"),
-      "input column '__vs' collides with vocabRichness' internal " +
-        "binding; rename it first")
+    // pass-through column — fail loud (the JsonlExport guard shape);
+    // a pass-through column named like one of the five OUTPUTS would
+    // duplicate that name and surface as an ambiguous-reference
+    // AnalysisException in the ratio stage instead — same guard
+    val reserved = Seq("__vs", "n_tokens", "n_types", "n_hapax",
+      "ttr", "hapax_ratio")
+    val clash = df.columns.filterNot(_ == textCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input column(s) ${clash.mkString(", ")} collide with " +
+        "vocabRichness' internal binding / output names; rename them first")
     val keep = df.columns.filterNot(_ == textCol)
     val counted = df.select(keep.map(bt) :+
       org.apache.spark.sql.graft.GraftColumns
@@ -188,9 +194,11 @@ object TextStats {
   def vocabRichnessHof(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     def bt(c: String) = col("`" + c.replace("`", "``") + "`")
-    require(!df.columns.contains("__srt"),
-      "input column '__srt' collides with vocabRichnessHof's internal " +
-        "binding; rename it first")
+    val reservedHof = Seq("__srt", "n_tokens", "n_types", "n_hapax")
+    val clash = df.columns.filterNot(_ == textCol).filter(reservedHof.contains)
+    require(clash.isEmpty,
+      s"input column(s) ${clash.mkString(", ")} collide with " +
+        "vocabRichnessHof's internal binding / output names; rename them first")
     val keep = df.columns.filterNot(_ == textCol)
     val srtBound = df.select(keep.map(bt) :+
       array_sort(coalesce(tokenCodesOf(bt(textCol)),

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * deterministic enough that re-running the export reproduces the same
   * bytes, and (c) never funnel data through the driver.
   *
-  * Shard assignment is the SAME injective multiplicative hash as
-  * q93_shard_balance (`(id * 2654435761 + 17) % 1000000007 % nShards`),
-  * so q93 over the corpus IS the pre-write balance check for this
-  * writer — run the count-sized aggregate first, then materialize.
+  * Shard assignment is the SAME multiplicative hash as
+  * q93_shard_balance (`((id % 1000000007) * 2654435761 + 17) %
+  * 1000000007 % nShards` — injective below the modulus, overflow-safe
+  * for every Long id; see [[shardOf]]), so q93 over the corpus IS the
+  * pre-write balance check for this writer — run the count-sized
+  * aggregate first, then materialize.
   *
   * Reproducibility: rows are hash-repartitioned ON the shard id (each
   * shard's rows land wholly in one task) and sorted by (shard, id)
@@ -36,9 +38,19 @@ object JsonlExport {
   val Salt = 17L
   val Mod = 1000000007L
 
-  /** q93's shard hash, shared verbatim. */
+  /** q93's shard hash, shared verbatim. The id is reduced mod `Mod`
+    * BEFORE the multiply: mathematically identical to `id * Mult % Mod`
+    * (modular arithmetic) for every id, but the raw form overflows a
+    * Long once id ≥ 2^63 / 2654435761 ≈ 3.47e9 — Spark would silently
+    * wrap while an int64 SQL oracle errors, breaking both the q93
+    * parity claim and the balance guarantee exactly at the corpus sizes
+    * this writer exists for. Reduced first, the product is bounded by
+    * (Mod-1) * Mult ≈ 2.66e18 < 2^63. Injectivity holds for
+    * id ∈ [0, Mod); above that ids collide mod Mod by construction —
+    * fine for balance, so only in-file ORDER still needs unique ids.
+    */
   def shardOf(id: Column, nShards: Int): Column =
-    pmod(pmod(id * Mult + Salt, lit(Mod)), lit(nShards))
+    pmod(pmod(pmod(id, lit(Mod)) * Mult + Salt, lit(Mod)), lit(nShards))
 
   /** Write `df` as `outDir/shard=K/part-*.txt` JSONL, one line per row,
     * one file per shard, deterministic bytes. `idCol` must be a unique

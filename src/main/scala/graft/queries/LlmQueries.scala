@@ -1428,7 +1428,9 @@ object LlmQueries {
       val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
       val idfR = Num.rSql(
         "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+            list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
+            FROM documents),
           b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
               list_filter(toks, t -> list_contains($termsList, t)) AS qtoks
             FROM t),

@@ -366,7 +366,8 @@ object Mixing {
           FROM r WHERE rank <= 25""",
     "q93_shard_balance" ->
       s"""WITH t AS (SELECT
-            ((doc_id * ${graft.jobs.JsonlExport.Mult} + ${graft.jobs.JsonlExport.Salt})
+            (((doc_id % ${graft.jobs.JsonlExport.Mod}) * ${graft.jobs.JsonlExport.Mult}
+              + ${graft.jobs.JsonlExport.Salt})
               % ${graft.jobs.JsonlExport.Mod}) % 16 AS shard,
             coalesce(len($toksExpr), 0) AS n_tok FROM documents)
           SELECT shard, count(*) AS n_docs,

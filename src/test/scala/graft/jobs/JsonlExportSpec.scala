@@ -98,6 +98,22 @@ class JsonlExportSpec extends AnyFunSuite {
     b1.keySet.foreach(k => assert(b1(k) === b2(k), s"bytes differ in $k"))
   }
 
+  test("shardOf matches exact BigInt arithmetic beyond the Long-overflow id range") {
+    import spark.implicits._
+    // ids above 2^63 / 2654435761 ≈ 3.47e9 overflowed the raw (id * Mult)
+    // form; the reduced form must equal the exact modular value everywhere
+    val ids = Seq(0L, 1L, 200L, 3469387L, 3468206259L, 3468206260L,
+      1234567890123L, Long.MaxValue - 1, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select($"id", JsonlExport.shardOf($"id", 16).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      val exact = (((BigInt(id) * JsonlExport.Mult + JsonlExport.Salt)
+        mod BigInt(JsonlExport.Mod)) mod BigInt(16)).toLong
+      assert(got(id) === exact, s"id=$id")
+    }
+  }
+
   test("a pre-existing 'shard' column fails loud instead of being clobbered") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jsonl").toString

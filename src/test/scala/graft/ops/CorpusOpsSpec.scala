@@ -588,6 +588,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.map(_._3).distinct.length === 1)
   }
 
+  test("bm25TopK treats NULL text as empty (dl = 0, counted in avgdl)") {
+    import spark.implicits._
+    // legacy size(null) = -1 would have fed dl = -1 into sum_dl; the
+    // coalesce makes a NULL-text corpus identical to an empty-text one
+    val withNull = Seq((1L, "needle in a stack"), (2L, null), (3L, "needle"))
+      .toDF("doc_id", "text")
+    val withEmpty = Seq((1L, "needle in a stack"), (2L, ""), (3L, "needle"))
+      .toDF("doc_id", "text")
+    val a = graft.ext.Retrieval.bm25TopK(withNull, Seq("needle"), 10)
+      .as[(Long, Long, Double)].collect().toList
+    Dedup.clearSignatureCaches()
+    val b = graft.ext.Retrieval.bm25TopK(withEmpty, Seq("needle"), 10)
+      .as[(Long, Long, Double)].collect().toList
+    Dedup.clearSignatureCaches()
+    assert(a === b)
+    assert(a.map(_._1).toSet === Set(1L, 3L))
+  }
+
   test("bm25TopK equals the plain-Scala reference on randomized corpora") {
     import spark.implicits._
     // seeded-random corpora over a 10-token vocabulary, query = 3 of the
@@ -656,6 +674,35 @@ class CorpusOpsSpec extends AnyFunSuite {
         Some(r4(ty.toDouble / nt)), Some(r4(hp.toDouble / nt)))
     }.toList
     assert(got === expect)
+  }
+
+  test("vocabRichness rejects pass-through columns that collide with its outputs") {
+    import spark.implicits._
+    // a pass-through column named like an output would duplicate the
+    // name and surface as an ambiguous-reference AnalysisException in
+    // the ratio stage; the guard must fail loud up front instead
+    for (bad <- Seq("n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio", "__vs")) {
+      val df = Seq((1L, 7L, "a b c")).toDF("doc_id", bad, "text")
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.TextStats.vocabRichness(df, "text")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    for (bad <- Seq("n_tokens", "n_types", "n_hapax", "__srt")) {
+      val df = Seq((1L, 7L, "a b c")).toDF("doc_id", bad, "text")
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.TextStats.vocabRichnessHof(df, "text")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    // a TEXT column named like an output is consumed, not passed through
+    // — it must keep working (this is the q103 shape if the text column
+    // were ever renamed)
+    val ok = graft.ext.TextStats.vocabRichness(
+      Seq((1L, "a b a")).toDF("doc_id", "ttr"), "ttr")
+    assert(ok.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio"))
+    assert(ok.count() === 1L)
   }
 
   test("vocabRichness stays linear on a 50k-token document") {
