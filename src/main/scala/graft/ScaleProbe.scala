@@ -64,6 +64,21 @@ object ScaleProbe {
         out, nShards = 16)
       s.read.text(s"$out/shard=*/")
     }),
+    // Batch BM25 with queries drawn FROM the (scaled) corpus: the q102
+    // probe's fixed terms provably never match replica-namespaced
+    // tokens, so it only ever exercised the corpus-side term — here
+    // each replica contributes 4 queries built from its own first
+    // tokens, so the match table is non-empty at every multiplier and
+    // the match-side cost (tf shuffle, query fan-out, per-query top-k)
+    // finally scales with the corpus.
+    "q105_bm25_batch" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % lit(1000000L) < 4)
+        .select(col("doc_id").as("query_id"),
+          slice(graft.ext.TextStats.tokens(coalesce(col("text"), lit(""))),
+            1, 3).as("terms"))
+      graft.ext.Retrieval.bm25BatchTopK(docs, queries, 10)
+    }),
     "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)

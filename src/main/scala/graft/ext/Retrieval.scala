@@ -75,4 +75,66 @@ object Retrieval {
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(k)
   }
+
+  /** Batch retrieval: BM25 top-k docs for EVERY query in a query table
+    * `(query_id: long, terms: array<string>)`, in one corpus pass — the
+    * production retrieval shape (RAG batch scoring), the lexical twin of
+    * [[Similarity.batchTopK]]. A query is a SET of terms: repeated terms
+    * in one query score once. Output: (query_id, rank, doc_id, score),
+    * ties broken by doc_id; a query whose terms match nothing emits no
+    * rows.
+    *
+    * Scale shape — where it deliberately differs from the single-query
+    * [[bm25TopK]]: with a fixed `Seq` of 2–3 terms, filtering the token
+    * ARRAY before the explode is the cheap move; with an arbitrary query
+    * table the term dictionary is a DataFrame, so the corpus side
+    * explodes tokens and probes a BROADCAST hash join against the
+    * distinct term set — O(1) per token instead of O(|terms|), all
+    * inside one codegen stage (explode + broadcast-hash-join fuse), and
+    * only MATCHED occurrences reach the first shuffle. Downstream the
+    * shuffles stay small: per-(doc, term) tf/s4 is computed ONCE however
+    * many queries share the term, the query fan-out is a broadcast join
+    * carrying O(matches x queries-per-term) rows, and the per-query
+    * top-k is the mergeable bounded aggregation ([[TopKByScore]]) so the
+    * final shuffle carries Q x k tuples per partition, never N x Q.
+    *
+    * Scoring arithmetic is bitwise-identical to [[bm25TopK]] (idf
+    * rounded early at the distinct df values; integer-scaled per-term
+    * partials summed exactly; shared literals).
+    */
+  def bm25BatchTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = Dedup.cached(docs
+      .select($"doc_id", TextStats.tokens(coalesce($"text", lit(""))).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks"))
+    val stats = base.agg(count(lit(1)).as("n"), sum($"dl").as("sum_dl"))
+    val qterms = queries
+      .select($"query_id", explode($"terms").as("term")).distinct()
+    val termSet = qterms.select($"term").distinct()
+    val tf = Dedup.cached(base
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val topk = udaf(new graft.ext.TopKByScore(k))
+    tf.join(broadcast(df), Seq("term")).join(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n".cast("double"))
+      .withColumn("idf_r", rnd(log(
+        ($"n".cast("double") - $"df".cast("double") + 0.5) /
+          ($"df".cast("double") + 0.5) + 1.0), 4))
+      .withColumn("tfs", $"tf".cast("double") * lit(K1Plus1) /
+        ($"tf".cast("double") +
+          lit(K1) * (lit(1.0 - B) + lit(B) * $"dl".cast("double") / $"avgdl")))
+      .select($"term", $"doc_id",
+        floor($"idf_r" * $"tfs" * 10000 + 0.5).cast("long").as("s4"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(rnd(sum($"s4").cast("double") / 10000.0, 4).as("score"))
+      .groupBy($"query_id")
+      .agg(topk($"score", $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("rank0", "r")))
+      .select($"query_id", ($"rank0" + 1).cast("long").as("rank"),
+        $"r._2".as("doc_id"), $"r._1".as("score"))
+  }
 }

@@ -803,10 +803,29 @@ object LlmQueries {
         .select($"media_id", $"src_width", $"src_height",
           $"raster".cast("string").as("resized"))
     }),
+    // Batch-query BM25: top-10 docs for EVERY query in a 5-query table
+    // (the production RAG-batch shape; see Retrieval.bm25BatchTopK for
+    // the explode + broadcast-term-join + mergeable-top-k plan). The
+    // fixture covers a high-df pair, a 3-term mix, a rare+common mix
+    // (dup has df 25 vs ~390 for the rest), a no-match query (emits
+    // nothing), and a repeated term (a query is a SET — scores once).
+    "q105_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Retrieval.bm25BatchTopK(Tables.documents(s, d),
+        Bm25BatchQueries.toDF("query_id", "terms"), 10)
+    }),
   )
 
   /** q102's fixed query terms — shared verbatim with the oracle SQL. */
   private[queries] val Bm25Terms = Seq("spark", "table", "hash")
+
+  /** q105's query table — shared verbatim with the oracle SQL's VALUES. */
+  private[queries] val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("spark", "table")),
+    (1L, Seq("hash", "join", "data")),
+    (2L, Seq("dup", "window")),
+    (3L, Seq("zzz_absent", "qqq_absent")),
+    (4L, Seq("spark", "spark", "scan")))
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -1452,6 +1471,44 @@ object LlmQueries {
             ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
+    "q105_bm25_batch" -> {
+      val valuesSql = Bm25BatchQueries.map { case (id, ts) =>
+        s"($id, ${ts.map(t => s"'$t'").mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      val idfR = Num.rSql(
+        "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms
+            FROM (VALUES $valuesSql) AS v(query_id, terms)),
+          qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+          tset AS (SELECT DISTINCT term FROM qt),
+          t AS (SELECT doc_id,
+            list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
+            FROM documents),
+          b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+          st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
+          tfg AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b) e
+            JOIN tset USING (term)
+            GROUP BY doc_id, dl, term),
+          dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
+          sc AS (SELECT doc_id, term,
+              CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
+            FROM (SELECT tfg.doc_id, tfg.term,
+                $idfR AS idf_r,
+                CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
+              FROM tfg JOIN dft USING (term)
+              CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+                FROM st) s)),
+          ps AS (SELECT query_id, doc_id,
+              ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
+            FROM sc JOIN qt USING (term) GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+            FROM ps)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+          FROM rk WHERE rank <= 10"""
     },
     // null-safe toks (coalesce text like the Spark side's coalesce over
     // tokenCodesOf) — without it a NULL-text row yields NULL n_tokens

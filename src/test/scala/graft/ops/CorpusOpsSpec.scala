@@ -606,6 +606,93 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("bm25BatchTopK: per-query results equal single-query runs; set semantics; no-match queries vanish") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector.tabulate(8)(i => s"v$i")
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (0L, Seq("v1", "v3")),
+      (1L, Seq("absent_term")),
+      (2L, Seq("v1", "v1", "v3")), // repeated term — must equal query 0
+      (3L, Seq("v5"))
+    ).toDF("query_id", "terms")
+    val got = graft.ext.Retrieval.bm25BatchTopK(docs, queries, 7)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    Dedup.clearSignatureCaches()
+    def single(terms: Seq[String]): List[(Long, Double)] = {
+      val r = graft.ext.Retrieval.bm25TopK(docs, terms, 7)
+        .as[(Long, Long, Double)].collect().toList.map(x => (x._1, x._3))
+      Dedup.clearSignatureCaches()
+      r
+    }
+    val q0 = single(Seq("v1", "v3"))
+    val q3 = single(Seq("v5"))
+    def ranked(xs: List[(Long, Double)], qid: Long) =
+      xs.zipWithIndex.map { case ((id, sc), i) => (qid, (i + 1).toLong, id, sc) }
+    assert(got(0L) === ranked(q0, 0L))
+    assert(!got.contains(1L), "no-match query must emit no rows")
+    assert(got(2L) === ranked(q0, 2L), "repeated terms must score once (set semantics)")
+    assert(got(3L) === ranked(q3, 3L))
+  }
+
+  test("bm25BatchTopK equals the plain-Scala reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val vocab = Vector.tabulate(10)(i => s"t$i")
+    val queries = Seq(
+      (10L, Seq("t1", "t3", "t7")),
+      (11L, Seq("t0")),
+      (12L, Seq("t2", "t9")))
+    def ref(docs: Seq[(Long, String)], terms: Seq[String],
+        k: Int): List[(Long, Double)] = {
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val toks = docs.map { case (id, t) =>
+        (id, t.split(" ").filter(_.nonEmpty).toSeq)
+      }
+      val n = docs.size.toLong
+      val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n.toDouble
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.filter(terms.contains).groupBy(identity).toSeq.map {
+          case (term, occ) => (id, ts.size.toLong, term, occ.size.toLong)
+        }
+      }
+      val df = tf.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      def idfR(d: Long) =
+        r4(math.log((n.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5) + 1.0))
+      val s4 = tf.map { case (id, dl, term, c) =>
+        val tfs = c.toDouble * 2.2 /
+          (c.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+        (id, math.floor(idfR(df(term)) * tfs * 10000 + 0.5).toLong)
+      }
+      s4.groupBy(_._1).toList.map { case (id, xs) =>
+        (id, r4(xs.map(_._2).sum.toDouble / 10000.0))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(k)
+    }
+    for (round <- 1 to 3) {
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // per-query df caveat: the reference computes df over the query's
+      // OWN terms only, which matches the batch engine because df is
+      // per-term regardless of which query asked
+      val got = graft.ext.Retrieval
+        .bm25BatchTopK(docs.toDF("doc_id", "text"),
+          queries.toDF("query_id", "terms"), 12)
+        .as[(Long, Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toList).toMap
+      Dedup.clearSignatureCaches()
+      queries.foreach { case (qid, terms) =>
+        assert(got.getOrElse(qid, Nil) === ref(docs, terms.distinct, 12),
+          s"round $round query $qid")
+      }
+    }
+  }
+
   test("bm25TopK equals the plain-Scala reference on randomized corpora") {
     import spark.implicits._
     // seeded-random corpora over a 10-token vocabulary, query = 3 of the
