@@ -311,28 +311,61 @@ object Graph {
     * before execution is the problem (measured: cadence 5 on a 41-node
     * chain wedged plan canonicalization for minutes; cadence 1 runs the
     * whole fixpoint in seconds). Min-label only doubles per round, which
-    * is why IT can afford cadence 10.
+    * is why IT can afford cadence 10. The checkpoint is LAZY and the
+    * round's fingerprint aggregate materializes it, so each round is
+    * one job, not a checkpoint job plus an aggregate job.
+    *
+    * `finishEdgeLimit`: star contraction shrinks the edge multiset
+    * monotonically, so every run ENDS driver-sized — and the last
+    * rounds of a ~1 s-per-round distributed loop on a few hundred
+    * surviving edges are pure scheduling overhead. Once the current
+    * fingerprint (which carries the exact count for free) shows the
+    * multiset fits, the loop runs ONE distributed large-star pass and
+    * collects ITS output — |large-star(e)| ≤ |e|, so the collect is
+    * bounded by the same limit — then finishes with union-find on the
+    * driver. Soundness: each star operation preserves the connected
+    * components of the edge multiset (Kiveris et al. §3), components
+    * of any intermediate multiset are the original components
+    * restricted to its nodes, and no node with a real edge leaves the
+    * multiset before fixpoint — so union-find over any intermediate
+    * multiset IS the star fixpoint's answer. The distributed
+    * contraction is therefore always exercised (the endgame itself is
+    * a cluster-side large-star round, just materialized by the collect
+    * instead of a checkpoint + fingerprint + collect job chain); 0
+    * disables the tier entirely (pure star, the property-test pin).
+    * This is the endgame hybridization a 100 TB run wants: O(log n)
+    * distributed rounds while big, one bounded collect when the
+    * contraction has done its job.
     */
   def connectedComponentsStar(spark: SparkSession, edges: DataFrame,
-      maxIters: Int = 30, checkpointEvery: Int = 1): DataFrame = {
+      maxIters: Int = 30, checkpointEvery: Int = 1,
+      finishEdgeLimit: Long = 100000L): DataFrame = {
     import spark.implicits._
-    def largeStar(e: DataFrame): DataFrame = {
+    // `dedup = false` skips the post-re-pointing distinct: the output
+    // still has ≤ |e| rows (each undirected edge contributes exactly one
+    // dst > src row into the join), so a consumer that tolerates
+    // duplicate edges — the endgame union-find — saves a whole shuffle
+    // of the multiset. The loop path keeps the distinct: it is what
+    // shrinks the multiset round over round.
+    def largeStar(e: DataFrame, dedup: Boolean = true): DataFrame = {
       val und = e.select(col("src"), col("dst"))
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = und.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
-      und.filter(col("dst") > col("src"))
+      val repointed = und.filter(col("dst") > col("src"))
         .join(m, "src")
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
+      if (dedup) repointed.distinct() else repointed
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(
-          greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+    // small-star FUSED to large-star's output contract: every large-star
+    // edge is already directed larger→smaller (the emitted (v, m) has
+    // v > u ≥ m) and already distinct, so the generic small-star's input
+    // re-normalization (greatest/least + distinct) is an identity on
+    // this composition — skipping it saves one shuffle per round with a
+    // bit-identical result frame.
+    def smallStarOnDirected(dir: DataFrame): DataFrame = {
       val m = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val viaNeighbors = dir.join(m, "src")
         .filter(col("dst") =!= col("m"))
@@ -351,11 +384,22 @@ object Graph {
     // between timings like the signature tables.
     val eAll = graft.ext.Dedup.cached(edges.select(col("src"), col("dst")))
     // contract: every node APPEARING in an edge gets a component row —
-    // including self-loop-only nodes, which the contraction below would
-    // otherwise drop (a self-loop carries no connectivity)
-    val allNodes = eAll.select(col("src").as("node"))
-      .union(eAll.select(col("dst").as("node"))).distinct()
-    var e = eAll.filter(col("src") =!= col("dst")).distinct().cache()
+    // including self-loop-only nodes, which the contraction below drops
+    // (a self-loop carries no connectivity). No node with a REAL edge
+    // ever leaves the multiset before fixpoint (the component min stays
+    // a join/groupBy key and every non-min node survives as either a
+    // re-pointed source or a star leaf), so the only roster the output
+    // needs beyond the fixpoint edges is the self-loop endpoints — a
+    // pushed-down filter over the cached input, NOT the full-roster
+    // union+distinct over 2|E| rows the earlier formulation paid.
+    val selfLoopers = eAll.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+    // round 1 normalizes the raw input itself: large-star tolerates
+    // duplicate edges, both orientations, and self-loops (dups collapse
+    // in its distinct; self-loops die in the dst > src filter) — the
+    // dedicated filter+distinct+cache pass the loop used to pay before
+    // round 1 was a whole extra shuffle of the pair table.
+    var e = eAll
     // change detector: (row count, order-independent hash sum) — src+dst
     // sums can collide across distinct edge sets under re-pointing
     def fingerprint(d: DataFrame): (Long, Long) = {
@@ -367,23 +411,61 @@ object Graph {
     var iter = 0
     var done = fp._1 == 0
     var lastCheckpoint: DataFrame = e
+    // eAll belongs to the query-scoped registry — never retire it here
+    def release(d: DataFrame): Unit =
+      if (d ne eAll) d.unpersist(blocking = false)
     while (iter < maxIters && !done) {
-      val next0 = smallStar(largeStar(e))
+      // endgame tier (see Scaladoc): the multiset is driver-sized, so
+      // run one distributed large-star pass, collect its (bounded)
+      // output, and finish with union-find — two stage waves instead
+      // of a full round + checkpoint + fingerprint + collect chain
+      if (finishEdgeLimit > 0 && fp._1 <= finishEdgeLimit) {
+        val es = largeStar(e, dedup = false).as[(Long, Long)].collect()
+        release(e)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+        val mapped = nodes.map(n => (n, find(n))).toDF("node", "component")
+        // mapped is driver-local and ≤ 2*finishEdgeLimit nodes by
+        // construction — broadcast the anti-join probe side
+        val singletons = selfLoopers
+          .join(broadcast(mapped), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component"))
+        return mapped.union(singletons)
+      }
+      val next0 = smallStarOnDirected(largeStar(e))
       val prev = e
-      e =
-        if ((iter + 1) % checkpointEvery == 0) {
-          val cp = next0.localCheckpoint(true)
-          if (prev ne lastCheckpoint) prev.unpersist(blocking = false)
-          lastCheckpoint.unpersist(blocking = false)
-          lastCheckpoint = cp
-          cp
-        } else next0.cache()
+      // LAZY checkpoint/cache: the fingerprint aggregate below is the
+      // first action and materializes it — one job per round. Retiring
+      // prev must wait until AFTER that job (the lazy checkpoint still
+      // reads prev's blocks while materializing).
+      val isCp = (iter + 1) % checkpointEvery == 0
+      e = if (isCp) next0.localCheckpoint(false) else next0.cache()
       val nfp = fingerprint(e)
-      if (nfp == fp) done = true
+      if (isCp) {
+        if (prev ne lastCheckpoint) release(prev)
+        release(lastCheckpoint)
+        lastCheckpoint = e
+      }
+      // an empty multiset is trivially the fixpoint (self-loop-only
+      // inputs contract to nothing in one round — don't run two more
+      // rounds on empty frames just to see the fingerprint stabilize)
+      if (nfp == fp || nfp._1 == 0) done = true
       else fp = nfp
       // release prev on every path incl. the convergence round (same
       // leak shape as the min-label loop)
-      if ((prev ne lastCheckpoint) && (prev ne e)) prev.unpersist(blocking = false)
+      if ((prev ne lastCheckpoint) && (prev ne e)) release(prev)
       iter += 1
     }
     if (!done) throw new IllegalStateException(
@@ -397,7 +479,7 @@ object Graph {
     val centers = e.select(col("dst")).distinct()
       .select(col("dst").as("node"), col("dst").as("component"))
     val mapped = stars.union(centers).distinct()
-    val singletons = allNodes.join(mapped, Seq("node"), "left_anti")
+    val singletons = selfLoopers.join(mapped, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     mapped.union(singletons)
   }

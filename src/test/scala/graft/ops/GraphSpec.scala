@@ -144,13 +144,30 @@ class GraphSpec extends AnyFunSuite {
     val edges = (chain ++ clique ++ random).toDF("src", "dst")
     val expectedCC = Graph.connectedComponents(spark, edges)
       .as[(Long, Long)].collect().toMap // tier-0 union-find reference
-    val star = Graph.connectedComponentsStar(spark, edges, checkpointEvery = 2)
+    // pure star (endgame tier disabled) AND the default (on this
+    // driver-sized graph the endgame runs one distributed large-star
+    // pass and finishes with union-find) must both equal union-find —
+    // the endgame tier is an optimization, not a semantic knob
+    val starPure = Graph.connectedComponentsStar(spark, edges,
+        checkpointEvery = 2, finishEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
-    assert(star === expectedCC)
+    assert(starPure === expectedCC)
+    val starDefault = Graph.connectedComponentsStar(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(starDefault === expectedCC)
+    // mid-contraction handoff: a smaller finishEdgeLimit makes full
+    // distributed rounds run BEFORE the multiset fits, so union-find
+    // composes with a partially-contracted multiset — must still match
+    val starMid = Graph.connectedComponentsStar(spark, edges,
+        finishEdgeLimit = 60L)
+      .as[(Long, Long)].collect().toMap
+    assert(starMid === expectedCC)
     // the 41-node chain must converge in O(log n) rounds, far under the
-    // ~40 min-label would need: maxIters = 12 must suffice
+    // ~40 min-label would need: maxIters = 12 must suffice (pure star —
+    // the endgame tier would otherwise absorb the tail rounds)
     val chainOnly = chain.toDF("src", "dst")
-    val starChain = Graph.connectedComponentsStar(spark, chainOnly, maxIters = 12)
+    val starChain = Graph.connectedComponentsStar(spark, chainOnly,
+        maxIters = 12, finishEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(starChain === (0L to 40L).map(n => n -> 0L).toMap)
   }
