@@ -124,7 +124,16 @@ object RecallProbe {
         val (trained, tTrain) = time { Similarity.kmeansCentroids(emb, 16, 5) }
         println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","variant":"kmeans_train",""" +
           f""""iters":5,"sec":$tTrain%.2f}""")
-        Seq("first16" -> firstN, "trained" -> trained)
+        // sampled training (10% deterministic hash-sample per Lloyd
+        // iteration): the 100 TB recipe SCALE.md prescribes — this row
+        // is what makes "sampling works" a measured claim, not a note
+        val (sampled, tSampled) = time {
+          Similarity.kmeansCentroids(emb, 16, 5, samplePermille = 100)
+        }
+        println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","variant":"kmeans_train_s10pct",""" +
+          f""""iters":5,"sec":$tSampled%.2f}""")
+        Seq("first16" -> firstN, "trained" -> trained,
+          "trained_s10pct" -> sampled)
       } else Seq("first16" -> firstN)
 
     // query vectors once (driver-side; nQ x dim floats)

@@ -148,10 +148,28 @@ object Similarity {
     * probed through them — bit-reproducible across runs AND replayable
     * by an external engine (the q101 oracle). Default -1 keeps raw
     * means for callers that only need good (not reproducible) geometry.
+    *
+    * `samplePermille < 1000` trains each Lloyd iteration on a
+    * DETERMINISTIC hash-sample of the corpus (vec_id-keyed
+    * multiplicative hash — a pure function of the id, so the sample is
+    * identical across partitionings, cluster sizes and re-runs; the
+    * overflow-safe reduced form of the repo's sampling hash). This is
+    * the 100 TB practice SCALE.md's sizing rule prescribes: coarse
+    * centroids need cluster GEOMETRY, not every point — train on
+    * 1–10%, assign on 100%. Init centroids (first k by vec_id) still
+    * come from the full corpus, and the caller's assignment pass is
+    * always full-corpus; only the per-iteration mean shrinks.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
-                      roundTo: Int = -1): Seq[(Long, Seq[Float])] = {
+                      roundTo: Int = -1,
+                      samplePermille: Int = 1000): Seq[(Long, Seq[Float])] = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      s"samplePermille must be in (0, 1000], got $samplePermille")
     val mean = if (roundTo >= 0) rnd(avg(col("v")), roundTo) else avg(col("v"))
+    val train = if (samplePermille == 1000) embeddings
+      else embeddings.filter(
+        pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L + 13L,
+          lit(1000000007L)) % 1000L < samplePermille)
     var cents = embeddings
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
@@ -159,7 +177,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      val updated = embeddings
+      val updated = train
         .withColumn("cell", nearestCentroid(cents, col("embedding")))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))

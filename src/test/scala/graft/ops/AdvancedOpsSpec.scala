@@ -464,6 +464,44 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(train(3) === train(7))
   }
 
+  test("sampled k-means training is deterministic across partitionings and recovers clusters") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // the sample is a pure hash of vec_id, so the TRAINING SET — not
+    // just the means — is identical from any layout; with roundTo the
+    // whole sampled training run must be bit-reproducible
+    val rnd = new scala.util.Random(41)
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f))
+    val pts = (0 until 900).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + rnd.nextFloat() * 0.1f).toSeq, (i % 3).toLong)
+    }
+    def df(parts: Int) = pts.toDF("vec_id", "embedding", "truth")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"truth")
+      .repartition(parts)
+    def train(parts: Int, permille: Int) =
+      Similarity.kmeansCentroids(df(parts), k = 3, iters = 3, roundTo = 4,
+        samplePermille = permille)
+    // determinism: same centroids from any partitioning at 10% sampling
+    assert(train(3, 100) === train(11, 100))
+    // quality: 10%-sampled training still separates the clusters the
+    // same way full training does (assignment equality on all 900)
+    val full = df(5)
+    val assignedSampled = full.withColumn("cell",
+      Similarity.nearestCentroid(train(5, 100), $"embedding"))
+      .select($"truth", $"cell").as[(Long, Long)].collect()
+    val byTruth = assignedSampled.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).toSet }
+    assert(byTruth.values.forall(_.size == 1), s"clusters split: $byTruth")
+    assert(byTruth.values.flatten.toSet.size === 3, "clusters merged")
+    // the sample really is a subset: permille=1000 equals the unsampled path
+    assert(train(4, 1000) ===
+      Similarity.kmeansCentroids(df(4), k = 3, iters = 3, roundTo = 4))
+  }
+
   test("ivfTopK with injected trained centroids: full recall at nprobe=1 on clustered data") {
     import spark.implicits._
     import graft.ext.Similarity
