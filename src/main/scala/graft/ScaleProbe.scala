@@ -92,7 +92,7 @@ object ScaleProbe {
     })
   )
 
-  private def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  private[graft] def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = lit(1000000L) // id stride safely above any sf0.1 doc_id
     (0 until k).map { rep =>

@@ -22,7 +22,16 @@ import graft.streaming.{FanoutHub, FanoutSink, StreamOps}
   * adversarial case for state-store commit latency).
   *
   * Usage: runMain graft.StreamBench [nLive] [nStateful]
+  *    or: runMain graft.StreamBench --steady [rowsPerSec] [seconds]
   * Prints one JSON line per variant.
+  *
+  * `--steady` is the LATENCY mode the burst runs cannot measure: a
+  * feeder thread emits rows at a fixed input rate into a
+  * ProcessingTime-triggered query, and the probe reports per-batch
+  * processing-time percentiles (p50/p95/max of `triggerExecution`)
+  * over the steady window on both state-store providers — the number
+  * a 100 TB ingest SLA is written against, where burst rows/s only
+  * bounds throughput.
   */
 object StreamBench {
 
@@ -30,8 +39,7 @@ object StreamBench {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   def main(args: Array[String]): Unit = {
-    val nLive = args.headOption.map(_.toInt).getOrElse(200000)
-    val nState = args.lift(1).map(_.toInt).getOrElse(500000)
+    val steady = args.headOption.contains("--steady")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,9 +50,91 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
 
-    for (provider <- Seq(None, Some(RocksDb))) liveWire(spark, nLive, provider)
-    for (provider <- Seq(None, Some(RocksDb))) statefulFamily(spark, nState, provider)
+    if (steady) {
+      val rate = args.lift(1).map(_.toInt).getOrElse(20000)
+      val secs = args.lift(2).map(_.toInt).getOrElse(20)
+      for (provider <- Seq(None, Some(RocksDb)))
+        steadyState(spark, rate, secs, provider)
+    } else {
+      val nLive = args.headOption.map(_.toInt).getOrElse(200000)
+      val nState = args.lift(1).map(_.toInt).getOrElse(500000)
+      for (provider <- Seq(None, Some(RocksDb))) liveWire(spark, nLive, provider)
+      for (provider <- Seq(None, Some(RocksDb))) statefulFamily(spark, nState, provider)
+    }
     spark.stop()
+  }
+
+  /** Fixed-rate steady-state latency: drive the two highest-state ops
+    * (windowed counts, watermark dedup) at `ratePerSec` for `seconds`
+    * under a 250 ms ProcessingTime trigger and report per-batch
+    * `triggerExecution` percentiles. The feeder paces against the wall
+    * clock (adds the rows the elapsed time owes, every ~100 ms), so a
+    * slow batch shows up as LARGER following batches — backpressure
+    * made visible — rather than a silently stretched test.
+    */
+  private def steadyState(spark: SparkSession, ratePerSec: Int, seconds: Int,
+                          provider: Option[String]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provName = setProvider(spark, provider)
+    val base = 1673222400000L
+
+    def run(op: String,
+            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"sb_steady_${op}_$provName").toString
+      val outCount = new AtomicLong
+      val q = build(mem.toDS().toDF("ts", "key")).writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[_], _: Long) => outCount.addAndGet(b.count()); () }
+        .start()
+      @volatile var stop = false
+      val feeder = new Thread(() => {
+        var emitted = 0L
+        val t0 = System.nanoTime()
+        while (!stop) {
+          val owed = ((System.nanoTime() - t0) / 1e9 * ratePerSec).toLong
+          if (owed > emitted) {
+            val rows = (emitted until owed).map { j =>
+              (new java.sql.Timestamp(base + j * 20), j % 10000)
+            }
+            mem.addData(rows)
+            emitted = owed
+          }
+          Thread.sleep(100)
+        }
+      }, s"steady-feeder-$op")
+      feeder.setDaemon(true)
+      try {
+        feeder.start()
+        Thread.sleep(seconds * 1000L)
+        stop = true
+        feeder.join()
+        q.processAllAvailable()
+        val durs = q.recentProgress
+          .filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong)
+          .sorted
+        require(durs.nonEmpty, s"no non-empty batches in $op steady run")
+        def pct(p: Double): Long = durs(math.round(p * (durs.length - 1)).toInt)
+        println(s"""{"probe":"stream_latency","op":"$op","provider":"$provName",""" +
+          s""""rate_rows_per_sec":$ratePerSec,"seconds":$seconds,""" +
+          s""""batches":${durs.length},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
+          s""""max_ms":${durs.last},"out_rows":${outCount.get()},""" +
+          s""""provider_engaged":${providerEngaged(provider, ckpt)}}""")
+      } finally {
+        stop = true
+        q.stop()
+      }
+    }
+
+    run("windowed_counts_steady",
+      df => StreamOps.windowedCounts(df, "ts", "key", "1 minute", "30 seconds"))
+    run("dedup_within_watermark_steady",
+      df => StreamOps.dedupWithinWatermark(df, "ts", Seq("key"), "30 seconds"))
   }
 
   /** Apply (or clear) the state-store provider conf; returns the label. */

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Round counters for the last completed fixpoint run on this driver —
+    * DIAGNOSTIC ONLY (GraphScaleProbe reads them to report measured
+    * round counts next to wall time). Written once at the end of each
+    * run; racy under concurrent queries, so never used for control flow.
+    */
+  @volatile private[graft] var lastStarRounds: Int = -1
+  @volatile private[graft] var lastLabelRounds: Int = -1
+
   /** All nodes reachable from `start` over directed `edges(src, dst)`,
     * including the start node. `maxIters` bounds runaway cycles
     * (diameter guard, not a semantic knob — the loop exits at fixpoint).
@@ -248,6 +256,7 @@ object Graph {
       iter += 1
     }
     und.unpersist(blocking = false)
+    lastLabelRounds = iter
     // Unlike reachable — where hitting maxIters merely under-approximates
     // a closure — unconverged labels here LOOK valid but are wrong for
     // every component whose diameter exceeds the iteration budget. Never
@@ -420,6 +429,7 @@ object Graph {
       // output, and finish with union-find — two stage waves instead
       // of a full round + checkpoint + fingerprint + collect chain
       if (finishEdgeLimit > 0 && fp._1 <= finishEdgeLimit) {
+        lastStarRounds = iter
         val es = largeStar(e, dedup = false).as[(Long, Long)].collect()
         release(e)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -468,6 +478,7 @@ object Graph {
       if ((prev ne lastCheckpoint) && (prev ne e)) release(prev)
       iter += 1
     }
+    lastStarRounds = iter
     if (!done) throw new IllegalStateException(
       s"connectedComponentsStar did not converge in $maxIters rounds — " +
         "the bound is O(log n); raise maxIters only for astronomically " +

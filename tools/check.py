@@ -37,8 +37,13 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # Spark-written tables (e.g. BuildScaled's scaled corpus) are
+        # DIRECTORIES of part files; driver testdata is single files
+        path = f"{sf}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     npass = nfail = 0
     for name, sql in sorted(oracle.items()):
