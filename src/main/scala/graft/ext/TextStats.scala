@@ -8,12 +8,11 @@ import graft.queries.Num.{r => rnd}
 /** Text-analysis operators for a training-data pipeline (north-star ops):
   * token counting, quality scoring, language ID, and document
   * fingerprinting — formulas built from codegen'd array functions and
-  * native kernels (the one exception: repetitionStats rides a ScalaUDF,
-  * the honest trade for mode-of-a-list, which in column algebra is a
-  * quadratic CodegenFallback chain), with arithmetic chosen to be
-  * expressible identically in DuckDB SQL for the oracle (integer
-  * polynomial hashes mod a 31-bit prime; explicit cast-to-double
-  * divisions; fixed rounding).
+  * native kernels (zero Scala UDFs on the surface since the
+  * `repetition_stats` kernel retired the last one), with arithmetic
+  * chosen to be expressible identically in DuckDB SQL for the oracle
+  * (integer polynomial hashes mod a 31-bit prime; explicit
+  * cast-to-double divisions; fixed rounding).
   *
   * Scale: all per-row narrow transforms — no shuffle, no explode; a 100 TB
   * corpus maps straight through whole-stage codegen.
@@ -92,13 +91,10 @@ object TextStats {
   val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is",
     "for", "on", "with")
 
-  /** Repetition statistics per document (Gopher-style quality filter
-    * ingredients): token count, distinct-token count, the frequency of
-    * the most common token and of the most common word-bigram. One
-    * tight JVM pass per row — mode-of-a-list in column algebra is a
-    * quadratic CodegenFallback HOF chain (count each distinct against
-    * the whole list), the measured ~100x trap the other kernels avoid.
-    * Returns (n_tokens, n_distinct, top_tok_freq, top_bigram_freq).
+  /** Plain-Scala reference for [[repetitionStats]]'s counts — retired
+    * from the hot path (the native `repetition_stats` kernel replaced
+    * the ScalaUDF) but kept, with the UDF wrapper below, as the
+    * bit-parity pin the other kernels all have (VecMathSpec).
     */
   private def repStatsScala(text: String): (Long, Long, Long, Long) = {
     val toks = text.split(" ").filter(_.nonEmpty)
@@ -121,15 +117,32 @@ object TextStats {
   private val repStatsUdf =
     org.apache.spark.sql.functions.udf((text: String) => repStatsScala(text))
 
-  /** (n_tokens, n_distinct, top_tok_freq, top_bigram_freq) struct. */
-  def repetitionStats(text: Column): Column =
+  /** UDF form of the repetition stats (struct fields `_1.._4`) — the
+    * parity reference only; never in a hot path.
+    */
+  def repetitionStatsUdf(text: Column): Column =
     repStatsUdf(coalesce(text, lit("")))
+
+  /** Repetition statistics per document (Gopher-style quality filter
+    * ingredients): struct(n_tokens, n_distinct, top_tok_freq,
+    * top_bigram_freq) — token count, EXACT distinct-token count (by
+    * string, not hash: the repetition screen must not conflate words a
+    * hash collides), and the modal token/word-bigram frequencies. One
+    * native codegen'd JVM pass per row (graft.ext.VecMath.repStats —
+    * the last ScalaUDF on the surface, retired): mode-of-a-list in
+    * column algebra is a quadratic CodegenFallback HOF chain (count
+    * each distinct against the whole list), the measured ~100x trap
+    * the other kernels avoid.
+    */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftColumns
+      .repetitionStats(coalesce(text, lit("")))
 
   /** Vocabulary-richness report over a SORTED token-code array: type
     * count, hapax count (codes occurring exactly once in the doc) and
     * the derived type-token / hapax ratios — the vocabulary-diversity
-    * screen complementary to [[repetitionStats]] (which rides a UDF for
-    * mode-of-a-list; these stay pure column algebra). Run-boundary scan:
+    * screen complementary to [[repetitionStats]] (mode-of-a-list in its
+    * own native kernel; these stay pure column algebra). Run-boundary scan:
     * position i of the sorted array is a hapax iff it differs from both
     * neighbours. Entirely narrow — the sort happens INSIDE the row, so a
     * 100 TB corpus maps straight through with no explode and no shuffle

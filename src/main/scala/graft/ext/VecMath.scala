@@ -214,6 +214,47 @@ object VecMath {
       Array[Any](n.toLong, types, hapax))
   }
 
+  /** Repetition statistics in one JVM pass: token count, EXACT distinct
+    * token count, the frequency of the most common token and of the most
+    * common word-bigram — mode-of-a-list, which in column algebra is a
+    * quadratic CodegenFallback HOF chain and previously rode the last
+    * ScalaUDF on the surface. Counts are by exact token STRING (not the
+    * polynomial code): the repetition screen must never conflate two
+    * words a hash collides, so this kernel shares the tokenizer
+    * semantics (split on ' ', empties dropped) but NOT the hashing of
+    * [[hashTokens]]. Bit-equal to the retired UDF's Scala reference —
+    * TextStats.repetitionStatsUdf stays as the parity pin.
+    */
+  def repStats(text: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val s = text.toString
+    val cnt = new java.util.HashMap[String, Int]()
+    val big = new java.util.HashMap[String, Int]()
+    var n = 0L
+    var maxTok = 0
+    var maxBig = 0
+    var prev: String = null
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        val tok = s.substring(start, i)
+        n += 1
+        val c = cnt.merge(tok, 1, Integer.sum)
+        if (c > maxTok) maxTok = c
+        if (prev != null) {
+          val b = big.merge(prev + " " + tok, 1, Integer.sum)
+          if (b > maxBig) maxBig = b
+        }
+        prev = tok
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, cnt.size.toLong, maxTok.toLong, maxBig.toLong))
+  }
+
   /** ±1 RP-LSH plane weights, cached per (nPlanes, dim): sign of a Knuth
     * multiplicative hash of (plane, dim). MUST stay identical to
     * Similarity.rpPlanes, which injects the same constants verbatim into

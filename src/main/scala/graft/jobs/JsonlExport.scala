@@ -52,6 +52,40 @@ object JsonlExport {
   def shardOf(id: Column, nShards: Int): Column =
     pmod(pmod(pmod(id, lit(Mod)) * Mult + Salt, lit(Mod)), lit(nShards))
 
+  /** Size-targeted export: derive `nShards` from the measured corpus
+    * bytes — SCALE.md's sizing rule `nShards = ceil(B / targetFileBytes)`
+    * as an executed entry point instead of a caller-side estimate.
+    *
+    * The measurement is one count-sized aggregate over the EXACT bytes
+    * the writer will emit (`octet_length(to_json(line)) + 1` per row,
+    * the +1 is the newline), i.e. the q93 pre-write pass extended from
+    * row balance to byte volume; with the hash spreading rows uniformly,
+    * per-file bytes land on ~targetFileBytes. Costs one extra serialize
+    * pass over the corpus — at 100 TB you would feed the same formula
+    * from table statistics or a hash-sample instead; the formula, not
+    * the measurement pass, is the contract. For gzip shards the target
+    * governs UNCOMPRESSED bytes (compression ratio is content-dependent
+    * and not the writer's business). Returns the chosen `nShards`.
+    */
+  def exportSized(df: DataFrame, idCol: String, outDir: String,
+      targetFileBytes: Long, compression: Option[String] = None): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    def bt(c: String) = col("`" + c.replace("`", "``") + "`")
+    val cols = df.columns.map(bt)
+    val totalBytes = df
+      .select((octet_length(to_json(struct(cols: _*))) + lit(1)).cast("long").as("b"))
+      .agg(sum(col("b"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val nShards = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    require(nShards <= Int.MaxValue, s"nShards $nShards overflows Int")
+    export(df, idCol, outDir, nShards.toInt, compression)
+    nShards.toInt
+  }
+
   /** Write `df` as `outDir/shard=K/part-*.txt` JSONL, one line per row,
     * one file per shard, deterministic bytes. `idCol` must be a unique
     * non-negative long (drives both shard assignment and in-file

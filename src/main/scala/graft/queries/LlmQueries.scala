@@ -333,8 +333,10 @@ object LlmQueries {
       import s.implicits._
       val st = Tables.documents(s, d)
         .select($"doc_id", TextStats.repetitionStats($"text").as("r"))
-        .select($"doc_id", $"r._1".as("n_tokens"), $"r._2".as("n_distinct"),
-          $"r._3".as("top_tok_freq"), $"r._4".as("top_bigram_freq"))
+        .select($"doc_id", $"r.n_tokens".as("n_tokens"),
+          $"r.n_distinct".as("n_distinct"),
+          $"r.top_tok_freq".as("top_tok_freq"),
+          $"r.top_bigram_freq".as("top_bigram_freq"))
       val topTokRatio = rnd($"top_tok_freq".cast("double") /
         nullif($"n_tokens", lit(0L)).cast("double"), 4)
       val distinctRatio = rnd($"n_distinct".cast("double") /
@@ -532,7 +534,8 @@ object LlmQueries {
       // genuinely needs a different grouping
       val base = docs
         .select($"text", TextStats.repetitionStats($"text").as("r"))
-        .select($"text", $"r._1".as("nt"), $"r._2".as("nd"), $"r._3".as("tf"))
+        .select($"text", $"r.n_tokens".as("nt"), $"r.n_distinct".as("nd"),
+          $"r.top_tok_freq".as("tf"))
         .agg(
           count(lit(1)).as("n_docs"),
           countDistinct($"text").as("n_distinct_texts"),

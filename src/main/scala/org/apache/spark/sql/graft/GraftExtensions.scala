@@ -162,6 +162,9 @@ object GraftExtensions {
     (FunctionIdentifier("vocab_stats"),
       new ExpressionInfo(classOf[VocabStats].getName, "vocab_stats"),
       (es: Seq[Expression]) => VocabStats(es(0))),
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (es: Seq[Expression]) => RepetitionStats(es(0))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (es: Seq[Expression]) => SimHash16(es(0))),

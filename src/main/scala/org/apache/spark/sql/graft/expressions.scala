@@ -143,6 +143,36 @@ case class VocabStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document repetition statistics as ONE codegen'd pass:
+  * struct(n_tokens, n_distinct, top_tok_freq, top_bigram_freq) —
+  * mode-of-a-list over exact token strings and word bigrams
+  * (graft.ext.VecMath.repStats). Declaratively this is a quadratic
+  * CodegenFallback chain (count each distinct against the whole list);
+  * as a ScalaUDF it paid the generic converter round-trip and was the
+  * last UDF on the surface — the UDF survives in TextStats as the
+  * bit-parity reference.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_tok_freq", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_bigram_freq", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.repStats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.ext.VecMath.repStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode NFC canonicalization as a codegen'd unary expression — the
   * canonicalize-before-hashing step of a text pipeline (see
   * graft.ext.VecMath.nfcNormalize for why dedup needs it). Stays inside
@@ -333,6 +363,9 @@ object GraftColumns {
 
   def vocabStats(text: Column): Column =
     ExpressionUtils.column(VocabStats(ExpressionUtils.expression(text)))
+
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
   def simhash16(codes: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(codes)))

@@ -98,6 +98,52 @@ class JsonlExportSpec extends AnyFunSuite {
     b1.keySet.foreach(k => assert(b1(k) === b2(k), s"bytes differ in $k"))
   }
 
+  test("exportSized: shard count tracks corpus bytes, per-file bytes in the target band") {
+    import spark.implicits._
+    def corpus(nDocs: Int) = (0L until nDocs.toLong).map { i =>
+      (i, s"document body number $i with a stable amount of words", "en")
+    }.toDF("doc_id", "text", "lang")
+    def lineBytes(df: org.apache.spark.sql.DataFrame): Long = df
+      .select((octet_length(to_json(struct($"doc_id", $"text", $"lang"))) + lit(1))
+        .cast("long").as("b")).agg(sum($"b")).as[Long].head()
+    val target = 4096L
+    for (nDocs <- Seq(50, 200, 800)) {
+      val df = corpus(nDocs)
+      val dir = Files.createTempDirectory("jsonl_sized").toString
+      val nShards = JsonlExport.exportSized(df, "doc_id", dir, target)
+      val total = lineBytes(df)
+      // the sizing rule, exactly
+      assert(nShards === math.max(1L, (total + target - 1) / target),
+        s"nDocs=$nDocs")
+      // per-file bytes inside the band: uniform rows + uniform hash ->
+      // every file within 2x of target and the mean within ±40%
+      val sizes = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(_.listFiles().filter(_.getName.startsWith("part-")).head.length())
+      assert(sizes.length === nShards)
+      assert(sizes.sum === total, "files hold exactly the measured bytes")
+      if (nShards > 1) {
+        // ceil rounding bounds the mean: total/ceil(total/target) is
+        // always in (target/2, target]
+        val mean = sizes.sum.toDouble / sizes.length
+        assert(mean > target / 2.0 && mean <= target,
+          s"mean $mean vs target $target (nDocs=$nDocs)")
+        assert(sizes.max <= 2 * target, s"hot shard: ${sizes.max} (nDocs=$nDocs)")
+      }
+    }
+    // shard count tracks corpus growth through the formula (a pure
+    // ratio check would be ceil-rounding-dominated at small counts)
+    val bytesSmall = lineBytes(corpus(50))
+    val bytesBig = lineBytes(corpus(800))
+    val small = JsonlExport.exportSized(corpus(50), "doc_id",
+      Files.createTempDirectory("jsonl_sized").toString, target)
+    val big = JsonlExport.exportSized(corpus(800), "doc_id",
+      Files.createTempDirectory("jsonl_sized").toString, target)
+    assert(small === ((bytesSmall + target - 1) / target).toInt)
+    assert(big === ((bytesBig + target - 1) / target).toInt)
+    assert(big > small)
+  }
+
   test("shardOf matches exact BigInt arithmetic beyond the Long-overflow id range") {
     import spark.implicits._
     // ids above 2^63 / 2654435761 ≈ 3.47e9 overflowed the raw (id * Mult)

@@ -203,7 +203,8 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (4L, "")               // empty: all zero
     ).toDF("doc_id", "text")
     val got = df.select($"doc_id", graft.ext.TextStats.repetitionStats($"text").as("r"))
-      .select($"doc_id", $"r._1", $"r._2", $"r._3", $"r._4")
+      .select($"doc_id", $"r.n_tokens", $"r.n_distinct", $"r.top_tok_freq",
+        $"r.top_bigram_freq")
       .as[(Long, Long, Long, Long, Long)].collect()
       .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
     assert(got(1L) === ((4L, 2L, 3L, 2L)))

@@ -138,6 +138,33 @@ class VecMathSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("native repetition_stats == the retired UDF on random and hostile docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "a b") // "a b" never a token
+    val docs = (Seq("", " ", "solo", "x x x x", "  padded  doc  ",
+      "a b a b a", "same same same") ++
+      (0 until 100).map(_ =>
+        Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(6))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val native = df.select($"doc_id",
+      graft.ext.TextStats.repetitionStats($"text").as("r"))
+      .select($"doc_id", $"r.n_tokens", $"r.n_distinct", $"r.top_tok_freq",
+        $"r.top_bigram_freq")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val udf = df.select($"doc_id",
+      graft.ext.TextStats.repetitionStatsUdf($"text").as("r"))
+      .select($"doc_id", $"r._1", $"r._2", $"r._3", $"r._4")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(native === udf)
+    // NULL text rides the coalesce: zero row, not a null struct
+    val nullRow = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(graft.ext.TextStats.repetitionStats($"text").as("r"))
+      .select($"r.n_tokens", $"r.n_distinct").as[(Long, Long)].head()
+    assert(nullRow === ((0L, 0L)))
+  }
+
   test("vocab_stats is registered as a SQL function") {
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
     import spark.implicits._
