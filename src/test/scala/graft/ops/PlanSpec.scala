@@ -283,13 +283,26 @@ class PlanSpec extends AnyFunSuite {
         "q80_dedup_keep_longest", "q81_bloom_decontaminate",
         "q91_shingle_novelty", "q92_token_kl_drift",
         "q95_length_quantiles",
-        "q102_bm25", "q103_vocab_richness", "q104_resize")) {
+        "q102_bm25", "q103_vocab_richness", "q104_resize",
+        "q105_bm25_batch")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = documentScans(physical(df))
       assert(n <= 1, s"$q scans documents $n times:\n" +
         physical(df).toString.take(1200))
       graft.ext.Dedup.clearSignatureCaches()
     }
+  }
+
+  test("q105 batch BM25: every small side broadcasts, none shuffles the corpus") {
+    // the batch-retrieval contract: term set, df, corpus stats, and the
+    // query fan-out are all broadcast joins — a SortMergeJoin anywhere
+    // means a query-table change started shuffling corpus-sized rows
+    val df = graft.SparkEntry.queries("q105_bm25_batch")(spark, sf)
+    df.count() // let AQE finalize join strategies
+    val p = physical(df).toString
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    graft.ext.Dedup.clearSignatureCaches()
   }
 
   test("AQE splits a skewed join partition at runtime") {
