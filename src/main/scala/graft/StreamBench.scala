@@ -77,6 +77,11 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val provName = setProvider(spark, provider)
+    // recentProgress retains only numRecentProgressUpdates entries
+    // (default 100) — a longer steady window would silently compute
+    // percentiles over the TAIL only; size the buffer to the run
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (seconds * 4 + 100).toString)
     val base = 1673222400000L
 
     def run(op: String,

@@ -80,9 +80,11 @@ object Retrieval {
     * `(query_id: long, terms: array<string>)`, in one corpus pass — the
     * production retrieval shape (RAG batch scoring), the lexical twin of
     * [[Similarity.batchTopK]]. A query is a SET of terms: repeated terms
-    * in one query score once. Output: (query_id, rank, doc_id, score),
-    * ties broken by doc_id; a query whose terms match nothing emits no
-    * rows.
+    * in one query score once, and multiple rows sharing a query_id merge
+    * into one query over the union of their terms (the distinct on the
+    * exploded (query_id, term) pairs). Output: (query_id, rank, doc_id,
+    * score), ties broken by doc_id; a query whose terms match nothing
+    * emits no rows; NULL terms never match (SQL join semantics).
     *
     * Scale shape — where it deliberately differs from the single-query
     * [[bm25TopK]]: with a fixed `Seq` of 2–3 terms, filtering the token

@@ -39,6 +39,9 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  // k = 0 would make reduce() call .last on an empty buffer the moment
+  // its size-reached branch is taken — fail at construction instead
+  require(k > 0, s"TopKByScore needs k > 0, got $k")
   private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     override def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(b._1, a._1) // score desc, NaN first
