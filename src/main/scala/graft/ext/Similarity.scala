@@ -240,6 +240,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF retrieval: top-k by cosine for EVERY query with
+    * vec_id < queryMaxId through the coarse-quantized index — the
+    * production shape that completes the batch matrix (exact
+    * [[batchTopK]], RP-LSH [[rpTopK]], lexical BM25, and now IVF).
+    * Unlike [[ivfTopK]] nothing about the queries touches the driver:
+    * per-query probe cells are a PURE MAP over the query rows (the
+    * nprobe best centroids by the same rounded-cosine + centroid-id
+    * total order the assignment uses, computed as a sorted
+    * 16-element struct array — integer-scaled keys, so no float
+    * negation ambiguity), the query×probe pairs broadcast, and the
+    * per-query top-k is the mergeable bounded aggregation. A corpus
+    * vector lives in exactly one cell and probe cells are distinct,
+    * so each candidate joins at most once per query. At 100 TB the
+    * corpus is bucketed by `cell` and the broadcast probe join prunes
+    * to nprobe/nCentroids of it per query — same layout story as the
+    * single-query path, but amortized over the whole query batch in
+    * one pass.
+    */
+  def ivfBatchTopK(embeddings: DataFrame, queryMaxId: Long, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val centRows = centroids.map(_.sortBy(_._1).toArray).getOrElse {
+      embeddings
+        .filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+    }
+    val assigned = embeddings.withColumn("cell",
+      nearestCentroid(centRows.toIndexedSeq, col("embedding")))
+    // probe keys: -floor(rnd(cos,6)*1e6 + 0.5) as LONG — the +0.5
+    // recovers the exact scaled integer after rnd's inexact division,
+    // and an integer key sidesteps the -0.0 / 0.0 ordering mismatch a
+    // negated double would risk across engines
+    val cands = centRows.map { case (id, cv) =>
+      struct(
+        (-floor(rnd(cosine(col("qvec"), typedLit(cv)), 6) * 1000000 + 0.5))
+          .cast("long").as("nc"),
+        lit(id).as("id"))
+    }
+    val q = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("probes",
+        slice(sort_array(array(cands.toIndexedSeq: _*)), 1, nprobe))
+      .select(col("query_id"), col("qvec"),
+        explode(col("probes")).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.id").as("cell"))
+    val topk = udaf(new TopKByScore(k))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        rnd(cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("query_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("r._2").as("vec_id"), col("r._1").as("cos"))
+  }
+
   /** Deterministic ±1 random hyperplanes for RP-LSH: sign of a Knuth
     * multiplicative hash of (plane, dim). Unlike the raw sign-bucket
     * quantizer (which reads only the first 8 dimensions), every plane

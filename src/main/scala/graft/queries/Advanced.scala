@@ -142,6 +142,19 @@ object Advanced {
         nprobe = 2, centroids = Some(trained))
     }),
 
+    // BATCH IVF through the SAME trained index as q101: five queries,
+    // per-query probe selection as a pure map (no driver round-trip per
+    // query, unlike ivfTopK's probeCells), candidates broadcast-joined
+    // on the probed cells, per-query top-k mergeable. The oracle
+    // replays the Lloyd unroll verbatim from q101 and ranks per query
+    // with a window — see Similarity.ivfBatchTopK.
+    "q106_ivf_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+      Similarity.ivfBatchTopK(emb, queryMaxId = 5L, k = 10, nCentroids = 16,
+        nprobe = 2, centroids = Some(trained))
+    }),
+
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
@@ -665,6 +678,49 @@ object Advanced {
           FROM as1 JOIN probes ON as1.cell = probes.cent_id, q
           WHERE vec_id != 0
           ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // q101's Lloyd unroll verbatim, then BATCH probes/rank: per-query
+    // nprobe best centroids via a window over (query x cent1), the
+    // probed-cell join, and row_number per query — mirroring
+    // ivfBatchTopK's rounded-cosine + id total order at both stages.
+    "q106_ivf_batch" ->
+      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents0 c),
+          as0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE rn = 1),
+          upd AS (SELECT cell, i,
+              CAST(floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS FLOAT) AS m
+            FROM as0, (SELECT unnest(generate_series(1, 64)) AS i) g
+            GROUP BY cell, i),
+          cent1 AS (SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
+            FROM cents0 c0 LEFT JOIN
+              (SELECT cell, list(m ORDER BY i) AS cvec FROM upd GROUP BY cell) u
+              ON u.cell = c0.cent_id),
+          a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent1 c),
+          as1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 5),
+          pr AS (SELECT q.query_id, c.cent_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY ${cosSql("c.cvec", "q.qvec")} DESC, c.cent_id ASC) AS rn
+            FROM cent1 c CROSS JOIN q),
+          probes AS (SELECT query_id, cent_id FROM pr WHERE rn <= 2),
+          cand AS (SELECT q.query_id, s.vec_id,
+              ${cosSql("s.embedding", "q.qvec")} AS cos
+            FROM as1 s
+            JOIN probes p ON s.cell = p.cent_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE s.vec_id != q.query_id),
+          rk AS (SELECT query_id, vec_id, cos, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM cand)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+          FROM rk WHERE rank <= 10""",
     "q34_session_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          s0 AS (SELECT user_id, event_id, ts,

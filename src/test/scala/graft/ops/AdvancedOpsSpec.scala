@@ -503,6 +503,27 @@ class AdvancedOpsSpec extends AnyFunSuite {
       Similarity.kmeansCentroids(df(4), k = 3, iters = 3, roundTo = 4))
   }
 
+  test("ivfBatchTopK equals per-query ivfTopK (untrained and trained centroids)") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (cents <- Seq(None,
+        Some(Similarity.kmeansCentroids(emb, 16, 1, roundTo = 4)))) {
+      val batch = Similarity.ivfBatchTopK(emb, queryMaxId = 5L, k = 10,
+        nCentroids = 16, nprobe = 2, centroids = cents)
+        .as[(Long, Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toList).toMap
+      for (qid <- 0L until 5L) {
+        val single = Similarity.ivfTopK(emb, qid, 10, nCentroids = 16,
+          nprobe = 2, centroids = cents)
+          .select($"vec_id", $"cos").as[(Long, Double)].collect().toList
+        assert(batch.getOrElse(qid, Nil) === single,
+          s"query $qid trained=${cents.isDefined}")
+      }
+    }
+  }
+
   test("ivfTopK with injected trained centroids: full recall at nprobe=1 on clustered data") {
     import spark.implicits._
     import graft.ext.Similarity
