@@ -143,7 +143,8 @@ object ScaleProbe {
       val dir = tempDir(s"scale_${k}x")
       scaled(spark, sfDir, k).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers")))
+      if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers",
+          "q106_ivf_batch")))
         scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
       val rows = for (q <- Queries) yield {
