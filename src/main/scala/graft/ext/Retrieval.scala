@@ -139,4 +139,39 @@ object Retrieval {
       .select($"query_id", ($"rank0" + 1).cast("long").as("rank"),
         $"r._2".as("doc_id"), $"r._1".as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.'s RRF) over any number of
+    * per-query rankings — the standard hybrid-retrieval combiner
+    * (lexical + vector + priors): each system contributes
+    * 1/(c + rank) per (query, doc), summed across systems, re-ranked.
+    * Inputs share the shape every retriever here emits:
+    * (query_id, rank, doc_id, …extras ignored). Output:
+    * (query_id, rank, doc_id, rrf_s8) with `rrf_s8` the
+    * 1e8-scaled EXACT integer sum — `floor(1e8 / (c + rank))` is
+    * bit-identical across engines for any rank (the true quotient sits
+    * ≥ 1/b below the next integer while the correctly-rounded double
+    * quotient errs by ≪ that), so the fused ordering never straddles a
+    * ULP. Ties by doc_id.
+    *
+    * Scale shape: each input ranking is already top-k-bounded (Q×k
+    * rows), so the union, the (query, doc) sum, and the per-query
+    * bounded top-k all operate on Q×k×systems tuples — nothing here
+    * touches a corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val s = rankings.head.sparkSession
+    import s.implicits._
+    val contribs = rankings.map(_.select($"query_id", $"doc_id",
+      floor(lit(100000000.0) / (lit(c.toDouble) + $"rank".cast("double")))
+        .cast("long").as("s8")))
+    val topk = udaf(new TopKByScore(k))
+    contribs.reduce(_ unionByName _)
+      .groupBy($"query_id", $"doc_id").agg(sum($"s8").as("rrf_s8"))
+      .groupBy($"query_id")
+      .agg(topk($"rrf_s8".cast("double"), $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("rank0", "r")))
+      .select($"query_id", ($"rank0" + 1).cast("long").as("rank"),
+        $"r._2".as("doc_id"), $"r._1".cast("long").as("rrf_s8"))
+  }
 }

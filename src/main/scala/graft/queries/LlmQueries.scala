@@ -817,6 +817,31 @@ object LlmQueries {
       graft.ext.Retrieval.bm25BatchTopK(Tables.documents(s, d),
         Bm25BatchQueries.toDF("query_id", "terms"), 10)
     }),
+
+    // Hybrid retrieval: RRF-fuse the q105 lexical rankings with a
+    // per-query document-length prior (the popularity/recency-prior
+    // shape of production hybrid search; attached via a constant-key
+    // broadcast join, not a cross join). Integer-scaled 1/(c+rank)
+    // contributions keep the fusion bit-exact across engines. The
+    // no-match query (id 3) surfaces pure-prior results — the fallback
+    // behavior hybrid fusion exists for.
+    "q107_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val queries = Bm25BatchQueries.toDF("query_id", "terms")
+      val lexical = graft.ext.Retrieval.bm25BatchTopK(docs, queries, 10)
+      val top20 = docs
+        .select($"doc_id", coalesce($"n_chars", lit(0)).cast("long").as("nc"))
+        .orderBy($"nc".desc, $"doc_id".asc).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"nc".desc, $"doc_id".asc)
+      val priorRanked = top20
+        .select($"doc_id", row_number().over(w).cast("long").as("rank"))
+      val prior = queries.select($"query_id", lit(1).as("j"))
+        .join(broadcast(priorRanked.withColumn("j", lit(1))), Seq("j"))
+        .select($"query_id", $"rank", $"doc_id")
+      graft.ext.Retrieval.rrfFuse(Seq(lexical, prior), k = 10)
+    }),
   )
 
   /** q102's fixed query terms — shared verbatim with the oracle SQL. */
@@ -829,6 +854,48 @@ object LlmQueries {
     (2L, Seq("dup", "window")),
     (3L, Seq("zzz_absent", "qqq_absent")),
     (4L, Seq("spark", "spark", "scan")))
+
+  /** The batch-BM25 oracle CTE chain (query VALUES → per-(query, doc)
+    * ranked scores in `rk`) — ONE builder consumed by both the q105
+    * oracle and q107's fusion oracle, so the lexical side of the hybrid
+    * gate can never drift from the BM25 gate.
+    */
+  private lazy val bm25BatchRkCtes: String = {
+    val valuesSql = Bm25BatchQueries.map { case (id, ts) =>
+      s"($id, ${ts.map(t => s"'$t'").mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    val idfR = Num.rSql(
+      "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
+    s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms
+          FROM (VALUES $valuesSql) AS v(query_id, terms)),
+        qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+        tset AS (SELECT DISTINCT term FROM qt),
+        t AS (SELECT doc_id,
+          list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
+          FROM documents),
+        b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+        st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
+        tfg AS (SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b) e
+          JOIN tset USING (term)
+          GROUP BY doc_id, dl, term),
+        dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
+        sc AS (SELECT doc_id, term,
+            CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
+          FROM (SELECT tfg.doc_id, tfg.term,
+              $idfR AS idf_r,
+              CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
+                1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
+            FROM tfg JOIN dft USING (term)
+            CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+              FROM st) s)),
+        ps AS (SELECT query_id, doc_id,
+            ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
+          FROM sc JOIN qt USING (term) GROUP BY query_id, doc_id),
+        rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+          FROM ps)"""
+  }
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -1475,43 +1542,33 @@ object LlmQueries {
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id ASC LIMIT 20"""
     },
-    "q105_bm25_batch" -> {
-      val valuesSql = Bm25BatchQueries.map { case (id, ts) =>
-        s"($id, ${ts.map(t => s"'$t'").mkString("[", ", ", "]")})"
-      }.mkString(", ")
-      val idfR = Num.rSql(
-        "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
-      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms
-            FROM (VALUES $valuesSql) AS v(query_id, terms)),
-          qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
-          tset AS (SELECT DISTINCT term FROM qt),
-          t AS (SELECT doc_id,
-            list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
-            FROM documents),
-          b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-          st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
-          tfg AS (SELECT doc_id, dl, term, count(*) AS tf
-            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b) e
-            JOIN tset USING (term)
-            GROUP BY doc_id, dl, term),
-          dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
-          sc AS (SELECT doc_id, term,
-              CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
-            FROM (SELECT tfg.doc_id, tfg.term,
-                $idfR AS idf_r,
-                CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
-                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
-              FROM tfg JOIN dft USING (term)
-              CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
-                FROM st) s)),
-          ps AS (SELECT query_id, doc_id,
-              ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
-            FROM sc JOIN qt USING (term) GROUP BY query_id, doc_id),
-          rk AS (SELECT query_id, doc_id, score, row_number() OVER (
-              PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
-            FROM ps)
+    "q105_bm25_batch" ->
+      s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-          FROM rk WHERE rank <= 10"""
+          FROM rk WHERE rank <= 10""",
+    // the q105 chain verbatim (shared builder), its top-10 as the
+    // lexical system, a 20-doc length prior attached per query, and
+    // the exact integer-scaled RRF sum — mirroring Retrieval.rrfFuse
+    "q107_hybrid_rrf" -> {
+      def s8(src: String) =
+        s"""SELECT query_id, doc_id,
+            CAST(floor(100000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS s8
+            FROM $src"""
+      s"""$bm25BatchRkCtes,
+          lex AS (SELECT query_id, rank, doc_id FROM rk WHERE rank <= 10),
+          t20 AS (SELECT doc_id, coalesce(n_chars, 0) AS nc FROM documents
+            ORDER BY nc DESC, doc_id ASC LIMIT 20),
+          pri0 AS (SELECT doc_id,
+            row_number() OVER (ORDER BY nc DESC, doc_id ASC) AS rank FROM t20),
+          pri AS (SELECT q.query_id, p.rank, p.doc_id FROM q CROSS JOIN pri0 p),
+          allc AS (${s8("lex")} UNION ALL ${s8("pri")}),
+          fs AS (SELECT query_id, doc_id, CAST(sum(s8) AS BIGINT) AS rrf_s8
+            FROM allc GROUP BY query_id, doc_id),
+          fr AS (SELECT query_id, doc_id, rrf_s8, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_s8 DESC, doc_id ASC) AS rank
+            FROM fs)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_s8
+          FROM fr WHERE rank <= 10"""
     },
     // null-safe toks (coalesce text like the Spark side's coalesce over
     // tokenCodesOf) — without it a NULL-text row yields NULL n_tokens

@@ -693,6 +693,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: exact integer contributions, cross-system sums, single-system fallback") {
+    import spark.implicits._
+    def s8(rank: Long) = math.floor(100000000.0 / (60.0 + rank)).toLong
+    // system A: query 1 ranks docs 10, 11; query 2 ranks doc 20
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    // system B: query 1 ranks docs 11, 10 (reversed); query 3 only here
+    val b = Seq((1L, 1L, 11L), (1L, 2L, 10L), (3L, 1L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = graft.ext.Retrieval.rrfFuse(Seq(a, b), k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    // query 1: both docs sum rank-1 + rank-2 contributions -> TIE on
+    // the exact integer sum, broken by doc_id asc
+    val tie = s8(1) + s8(2)
+    assert(got(1L) === List((1L, 1L, 10L, tie), (1L, 2L, 11L, tie)))
+    // single-system queries fall through with one contribution
+    assert(got(2L) === List((2L, 1L, 20L, s8(1))))
+    assert(got(3L) === List((3L, 1L, 30L, s8(1))))
+  }
+
   test("bm25TopK equals the plain-Scala reference on randomized corpora") {
     import spark.implicits._
     // seeded-random corpora over a 10-token vocabulary, query = 3 of the
