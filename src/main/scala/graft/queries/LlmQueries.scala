@@ -827,7 +827,11 @@ object LlmQueries {
     // behavior hybrid fusion exists for.
     "q107_hybrid_rrf" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      // one cached projection feeds BOTH consumers (the lexical side's
+      // tokenizer and the length prior) — without it the prior's
+      // pruned-but-full top-20 scan is a second corpus read at 100 TB
+      val docs = Dedup.cached(Tables.documents(s, d)
+        .select($"doc_id", $"text", $"n_chars"))
       val queries = Bm25BatchQueries.toDF("query_id", "terms")
       val lexical = graft.ext.Retrieval.bm25BatchTopK(docs, queries, 10)
       val top20 = docs

@@ -284,7 +284,7 @@ class PlanSpec extends AnyFunSuite {
         "q91_shingle_novelty", "q92_token_kl_drift",
         "q95_length_quantiles",
         "q102_bm25", "q103_vocab_richness", "q104_resize",
-        "q105_bm25_batch")) {
+        "q105_bm25_batch", "q107_hybrid_rrf")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = documentScans(physical(df))
       assert(n <= 1, s"$q scans documents $n times:\n" +
