@@ -132,8 +132,15 @@ object RecallProbe {
         }
         println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","variant":"kmeans_train_s10pct",""" +
           f""""iters":5,"sec":$tSampled%.2f}""")
+        // 1% floor: ~n/100 training points across 16 cells — where the
+        // sampling curve is EXPECTED to start costing recall
+        val (sampled1, tSampled1) = time {
+          Similarity.kmeansCentroids(emb, 16, 5, samplePermille = 10)
+        }
+        println(s"""{"probe":"ann_recall","sf_dir":"$sfDir","variant":"kmeans_train_s1pct",""" +
+          f""""iters":5,"sec":$tSampled1%.2f}""")
         Seq("first16" -> firstN, "trained" -> trained,
-          "trained_s10pct" -> sampled)
+          "trained_s10pct" -> sampled, "trained_s1pct" -> sampled1)
       } else Seq("first16" -> firstN)
 
     // query vectors once (driver-side; nQ x dim floats)
