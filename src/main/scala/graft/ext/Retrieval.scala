@@ -158,12 +158,19 @@ object Retrieval {
     * bounded top-k all operate on Q×k×systems tuples — nothing here
     * touches a corpus.
     */
-  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+  /** RRF's standard dampening constant (Cormack et al. use 60) and the
+    * integer scale — shared by reference with the q107 oracle SQL, the
+    * q93/export shard-hash discipline.
+    */
+  val RrfC = 60L
+  val RrfScale = 100000000L
+
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Long = RrfC): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val s = rankings.head.sparkSession
     import s.implicits._
     val contribs = rankings.map(_.select($"query_id", $"doc_id",
-      floor(lit(100000000.0) / (lit(c.toDouble) + $"rank".cast("double")))
+      floor(lit(RrfScale.toDouble) / (lit(c.toDouble) + $"rank".cast("double")))
         .cast("long").as("s8")))
     val topk = udaf(new TopKByScore(k))
     contribs.reduce(_ unionByName _)

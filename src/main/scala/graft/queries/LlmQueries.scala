@@ -1556,7 +1556,8 @@ object LlmQueries {
     "q107_hybrid_rrf" -> {
       def s8(src: String) =
         s"""SELECT query_id, doc_id,
-            CAST(floor(100000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS s8
+            CAST(floor(${graft.ext.Retrieval.RrfScale}.0 /
+              (${graft.ext.Retrieval.RrfC}.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS s8
             FROM $src"""
       s"""$bm25BatchRkCtes,
           lex AS (SELECT query_id, rank, doc_id FROM rk WHERE rank <= 10),
