@@ -25,6 +25,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
+    // a typo'd subset name would otherwise produce an EMPTY oracle json
+    // and check.py would report "0 pass / 0 fail" with exit 0 — a
+    // silently green gate that checked nothing
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in subset: ${unknown.mkString(", ")}")
+    }
     def keep(name: String): Boolean = subset.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
