@@ -79,6 +79,18 @@ object ScaleProbe {
             1, 3).as("terms"))
       graft.ext.Retrieval.bm25BatchTopK(docs, queries, 10)
     }),
+    // Pure distributed star (endgame tier disabled) on the REAL dedup
+    // pair graph: guards the q100 trim against "the driver-finish hid
+    // the star loop's cost" — this is the path a >finishEdgeLimit graph
+    // takes, measured on the near-clique shape at corpus scale.
+    "q100_star_forced" -> ((s: SparkSession, d: String) => {
+      val pairs = graft.ext.Dedup
+        .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      graft.operators.Graph.connectedComponentsStar(s, pairs,
+        finishEdgeLimit = 0L)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+    }),
     "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
