@@ -33,7 +33,9 @@ object Bench {
         // round-5 kernel families: gram kernel, regexp scrub, bloom
         // probe, distributed prefix scan
         "q75_span_dedup", "q77_pii_redact", "q81_bloom_decontaminate",
-        "q87_token_budget_sample").foreach { q =>
+        "q87_token_budget_sample",
+        // round-9 families: BM25 tokenize/idf path, TopKByScore udaf
+        "q102_bm25", "q70_batch_ann").foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
