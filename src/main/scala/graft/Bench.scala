@@ -104,17 +104,51 @@ object Bench {
       once(); (1 to 3).map(_ => once()).min // warm once, min of 3
     }
 
+    // SECOND DRIFT CONTROL (frozen round 10): the 0.4 s control above
+    // carries ±20-35% noise of its own (measured round 9: two runs
+    // minutes apart on an idle host read 0.466 vs 0.569), so a ~2x
+    // cross-round ratio can be mostly control noise. This one is ~10x
+    // longer (~3-4 s: 24M rows through a 1M-group hash-agg shuffle,
+    // re-agg to 1000 groups, sort, COLLECT the 1000 rows — collected,
+    // not counted, same reason as above), so its relative noise is far
+    // smaller and it exercises a second axis (wide hash-agg spill
+    // pressure vs the small control's scheduling+shuffle cost). Emits
+    // min-of-3 AND the spread (max-min)/min so readers can see the
+    // run-to-run noise directly. Do not edit this block either:
+    // changing it invalidates the cross-round series it starts.
+    val (control2Sec, control2Spread) = {
+      import org.apache.spark.sql.functions.sum
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 24000000L, 1L, 32)
+          .selectExpr("id % 1000000 AS k", "id AS v")
+          .groupBy("k").agg(sum("v").as("s"))
+          .selectExpr("k % 1000 AS kk", "s")
+          .groupBy("kk").agg(sum("s").as("ss"))
+          .orderBy("kk").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val xs = (1 to 3).map(_ => once())
+      (xs.min, (xs.max - xs.min) / xs.min)
+    }
+
     def r3(v: Double): String = f"$v%.3f"
 
-    // PAIRED CONTROL RUN (opt-in, SPARK_GRAFT_CONTROL_COMMIT=<sha|auto>):
-    // automates the BASELINE.md drift-adjudication recipe — check the
-    // control commit out into a worktree, bench the 5 slowest HEAD
-    // queries there minutes apart from the identical HEAD timings, and
-    // emit head/control ratio over the common subset. "auto" resolves
-    // the last driver round-snapshot commit. Failures degrade to a
-    // control_error field — the main bench numbers never depend on it.
-    val controlFields: String = sys.env.get("SPARK_GRAFT_CONTROL_COMMIT")
-      .filter(_.nonEmpty).map { spec =>
+    // PAIRED CONTROL RUN (ON BY DEFAULT since round 10; opt out with
+    // SPARK_GRAFT_CONTROL_COMMIT="" / "none" / "off"): automates the
+    // BASELINE.md drift-adjudication recipe — check the control commit
+    // out into a worktree, bench the 5 slowest HEAD queries there
+    // minutes apart from the identical HEAD timings, and emit
+    // head/control ratio over the common subset. "auto" (the default)
+    // resolves the last driver round-snapshot commit. Promoted to
+    // default because round 9 showed the frozen in-band control alone
+    // can misestimate drift by ~2x — the paired same-session ratio is
+    // the authoritative signal when they disagree. Failures degrade to
+    // a control_error field — the main bench numbers never depend on it.
+    val controlSpec = sys.env.getOrElse("SPARK_GRAFT_CONTROL_COMMIT", "auto")
+    val controlFields: String = Some(controlSpec)
+      .filter(s => s.nonEmpty && s != "none" && s != "off").map { spec =>
       try {
         import scala.sys.process._
         val repo = new java.io.File(".").getCanonicalFile
@@ -175,7 +209,7 @@ object Bench {
     // must be short and self-contained (total + 5 slowest + controls).
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"control_sec":${r3(controlSec)}$controlFields,"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"control_sec":${r3(controlSec)},"control2_sec":${r3(control2Sec)},"control2_spread":${r3(control2Spread)}$controlFields,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,33 +151,39 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
 
-    val results = for (k <- mults) yield {
-      val dir = tempDir(s"scale_${k}x")
-      scaled(spark, sfDir, k).write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
-      if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers",
-          "q106_ivf_batch")))
-        scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
-          .parquet(s"$dir/embeddings.parquet")
-      val rows = for (q <- Queries) yield {
-        graft.ext.Dedup.clearSignatureCaches()
-        val fn = ExtraProbes.getOrElse(q, SparkEntry.queries(q))
-        val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(s"""{"query":"$q","mult":$k,"sec":${f"$sec%.3f"},"rows":$n}""")
-        (q, k, sec, n)
+    // probe body in try/finally: a failed query or write must not leave
+    // the scaled corpus copies on /tmp (r9 advice — cleanup previously
+    // ran only on the success path)
+    try {
+      val results = for (k <- mults) yield {
+        val dir = tempDir(s"scale_${k}x")
+        scaled(spark, sfDir, k).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers",
+            "q106_ivf_batch")))
+          scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        val rows = for (q <- Queries) yield {
+          graft.ext.Dedup.clearSignatureCaches()
+          val fn = ExtraProbes.getOrElse(q, SparkEntry.queries(q))
+          val t0 = System.nanoTime()
+          val n = fn(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"query":"$q","mult":$k,"sec":${f"$sec%.3f"},"rows":$n}""")
+          (q, k, sec, n)
+        }
+        rows
       }
-      rows
-    }
 
-    println(f"\n${"query"}%-22s" + mults.map(k => f"${s"${k}x"}%10s").mkString)
-    for (q <- Queries) {
-      val line = results.flatten.filter(_._1 == q)
-      println(f"$q%-22s" + line.map(r => f"${r._3}%9.2fs").mkString)
-      println(f"${"  rows"}%-22s" + line.map(r => f"${r._4}%10d").mkString)
+      println(f"\n${"query"}%-22s" + mults.map(k => f"${s"${k}x"}%10s").mkString)
+      for (q <- Queries) {
+        val line = results.flatten.filter(_._1 == q)
+        println(f"$q%-22s" + line.map(r => f"${r._3}%9.2fs").mkString)
+        println(f"${"  rows"}%-22s" + line.map(r => f"${r._4}%10d").mkString)
+      }
+    } finally {
+      spark.stop()
+      tempDirs.foreach(deleteRecursively)
     }
-    spark.stop()
-    tempDirs.foreach(deleteRecursively)
   }
 }

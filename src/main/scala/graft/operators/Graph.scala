@@ -432,6 +432,11 @@ object Graph {
         lastStarRounds = iter
         val es = largeStar(e, dedup = false).as[(Long, Long)].collect()
         release(e)
+        // when checkpointEvery > 1 the endgame can fire on a
+        // non-checkpoint round where e is a cache() frame layered on an
+        // OLDER localCheckpoint — release that frame too or it stays
+        // pinned for the session (r9 advice)
+        if (lastCheckpoint ne e) release(lastCheckpoint)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

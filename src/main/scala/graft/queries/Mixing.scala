@@ -364,9 +364,16 @@ object Mixing {
               PARTITION BY lang ORDER BY h, doc_id) AS rank FROM t)
           SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
           FROM r WHERE rank <= 25""",
+    // DuckDB's % is sign-following while Spark's pmod is non-negative:
+    // the two agree only for non-negative dividends. doc_id >= 0 by the
+    // corpus contract, and every later dividend is non-negative given a
+    // non-negative inner term, so sign-safe-wrapping the INNER mod makes
+    // the whole chain id-sign-proof (r9 advice).
     "q93_shard_balance" ->
       s"""WITH t AS (SELECT
-            (((doc_id % ${graft.jobs.JsonlExport.Mod}) * ${graft.jobs.JsonlExport.Mult}
+            ((((doc_id % ${graft.jobs.JsonlExport.Mod}
+                + ${graft.jobs.JsonlExport.Mod}) % ${graft.jobs.JsonlExport.Mod})
+              * ${graft.jobs.JsonlExport.Mult}
               + ${graft.jobs.JsonlExport.Salt})
               % ${graft.jobs.JsonlExport.Mod}) % 16 AS shard,
             coalesce(len($toksExpr), 0) AS n_tok FROM documents)
