@@ -91,6 +91,28 @@ object ScaleProbe {
         finishEdgeLimit = 0L)
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
     }),
+    // Semantic dedup under the PRODUCTION k rule: k = corpus/targetCell
+    // (cells stay ~125 vectors however big the corpus gets — SemDeDup's
+    // own practice), seeds hash-spread across the WHOLE corpus (the
+    // gated q108's first-16-ids seeding would only ever pick replica-0
+    // vectors here). The curve this exists to draw: scored pair count
+    // tracks intra-cell density (≈ n × cellSize / 2, LINEAR in corpus),
+    // never corpus² — k growing with n is what makes SemDeDup viable at
+    // 100 TB, and this probe is that rule as executed code.
+    "q108_semdedup_scaled" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val targetCell = 125L
+      val k = math.max(16L, emb.count() / targetCell).toInt
+      val seeds = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("h",
+          pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L + 13L,
+            lit(1000000007L)))
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .collect().map(r => r.getSeq[Float](1))
+      val cents = seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      graft.ext.Dedup.semanticDropList(emb, Tables.documents(s, d), cents,
+        minCos = 0.35)
+    }),
     "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
@@ -136,6 +158,33 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
   }
 
+  /** K× embeddings for the SEMANTIC-dedup probe (q108): replica `rep`
+    * gets its dimensions cyclically rotated by `rep` positions — a
+    * coordinate permutation is orthogonal, so every INTRA-replica cosine
+    * (and hence each replica's near-dup pair structure) is preserved
+    * exactly, while INTER-replica cosines scramble to ~0. This is the
+    * embedding analog of [[scaled]]'s `r<k>_` token namespacing: K× data
+    * is K independent copies of the same semantic-dedup problem, so true
+    * drop counts scale exactly K. Verbatim replication would instead
+    * make every replica a cos=1.0 dup of its original and grow the TRUE
+    * pair count quadratically in K — measuring output explosion, not
+    * engine scaling.
+    */
+  private def scaledEmbeddingsShifted(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val n = lit(1000000L)
+    val dim = 64
+    (0 until k).map { rep =>
+      val rot = if (rep % dim == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), rep % dim + 1, dim - rep % dim),
+          slice(col("embedding"), 1, rep % dim))
+      vecs.select((col("vec_id") + n * rep).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
@@ -159,8 +208,15 @@ object ScaleProbe {
         val dir = tempDir(s"scale_${k}x")
         scaled(spark, sfDir, k).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-        if (Queries.exists(Set("q84_cluster_profile", "q98_embedding_outliers",
-            "q106_ivf_batch")))
+        if (Queries.contains("q108_semdedup_scaled")) {
+          require(!Queries.exists(Set("q84_cluster_profile",
+            "q98_embedding_outliers", "q106_ivf_batch")),
+            "q108_semdedup_scaled needs the SHIFTED embeddings replication;" +
+              " probe it in a separate run from the verbatim-replica queries")
+          scaledEmbeddingsShifted(spark, sfDir, k).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        } else if (Queries.exists(Set("q84_cluster_profile",
+            "q98_embedding_outliers", "q106_ivf_batch")))
           scaledEmbeddings(spark, sfDir, k).write.mode("overwrite")
             .parquet(s"$dir/embeddings.parquet")
         val rows = for (q <- Queries) yield {

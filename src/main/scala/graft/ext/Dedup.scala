@@ -668,4 +668,60 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("hamming"))
       .distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings, generate cosine near-dup pairs ONLY inside a
+    * cluster cell, and emit the drop list — every document that has a
+    * strictly-smaller-id semantic duplicate in its cell, with the keeper
+    * it duplicates (`dup_of` = the smallest such id, the greedy
+    * first-seen-wins representative). Joined back to `documents`
+    * (vec_id = doc_id) so the output is directly actionable as an
+    * anti-join key set with the metadata a curation report needs.
+    *
+    * Composition of gated pieces: cell assignment is q84/q101's pure-map
+    * argmax-cosine over broadcast-sized centroid constants (no shuffle of
+    * the corpus), pair generation is q25's bucket-join discipline with
+    * the k-means cell as the bucket, the keeper policy is q73/q80's
+    * drop-list shape.
+    *
+    * Scale: the whole point of clustering first is that pair generation
+    * is Θ(Σ|cell|²), never corpus² — PROVIDED k grows with the corpus so
+    * cells stay bounded (SemDeDup's practice; the paper runs k=11k for
+    * 1.3e8 embeddings ≈ 12k/cell). The gated query uses the q101 trained
+    * k=16 index so the oracle can replay training; ScaleProbe's
+    * q108_semdedup_scaled runs the production rule (k = n/targetCell,
+    * hash-spread seeds) and measures pairs growing ~linearly with the
+    * corpus. At 100 TB: persist `cell` as the partition key (the IVF
+    * store layout PlanSpec pins) and the self-join reads co-located
+    * partitions; the centroid set stays broadcast-sized (k×dim floats).
+    *
+    * The `assigned` frame is cached ([[cached]], released by
+    * [[clearSignatureCaches]]): it feeds both sides of the pair join, and
+    * uncached the assignment kernel plus the embeddings scan would run
+    * once per side.
+    */
+  def semanticDropList(embeddings: DataFrame, documents: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], minCos: Double): DataFrame = {
+    val assigned = cached(embeddings
+      .select(col("vec_id"), col("embedding"),
+        Similarity.nearestCentroid(centroids, col("embedding")).as("cell")))
+    val l = assigned.select(col("cell"), col("vec_id").as("vec1"),
+      col("embedding").as("e1"))
+    val r = assigned.select(col("cell"), col("vec_id").as("vec2"),
+      col("embedding").as("e2"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("vec1") < col("vec2"))
+      .select(col("cell"), col("vec1"), col("vec2"),
+        rnd(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+    // cell is constant per vec2 (a vector lives in exactly one cell);
+    // min() just picks that constant deterministically
+    val drops = pairs.groupBy(col("vec2").as("doc_id"))
+      .agg(min(col("cell")).as("cell"), min(col("vec1")).as("dup_of"),
+        max(col("cos")).as("max_cos"), count(lit(1)).as("n_dups"))
+    drops.join(documents.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cell"), col("dup_of"), col("max_cos"),
+        col("n_dups"), col("lang"), col("n_chars"))
+  }
 }

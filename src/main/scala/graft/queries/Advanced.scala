@@ -155,6 +155,18 @@ object Advanced {
         nprobe = 2, centroids = Some(trained))
     }),
 
+    // SemDeDup-style semantic dedup through the SAME trained index as
+    // q101/q106: cluster-scoped cosine near-dup pairs (never cross-cell,
+    // so pair generation is Θ(Σ|cell|²) instead of corpus²) → greedy
+    // keep-smallest-id drop list → join back to documents. The oracle
+    // replays the shared Lloyd unroll and the per-cell pair set.
+    "q108_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+      Dedup.semanticDropList(emb, Tables.documents(s, d), trained,
+        minCos = 0.35)
+    }),
+
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
@@ -576,6 +588,38 @@ object Advanced {
   private def cosSql(a: String, b: String) =
     Num.rSql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
 
+  /** The trained-IVF Lloyd unroll, shared VERBATIM by the q101, q106 and
+    * q108 oracles so the trained index can never drift between the
+    * single-query, batch-retrieval and semantic-dedup replays (the q107/
+    * q105 shared-CTE discipline): one iteration from the first-16 seed,
+    * assignment by rounded-cosine + centroid-id total order, per-(cell,
+    * dim) mean rounded 1e-4 then cast float32 (q40's quantization —
+    * bit-equal to Spark's rnd(avg)+toFloat), cells that lose every
+    * member keep their seed centroid. Leaves `cent1` (trained centroids)
+    * and `as1` (trained assignment: vec_id, embedding, cell) in scope.
+    */
+  private def lloydCte: String =
+    s"""cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents0 c),
+          as0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE rn = 1),
+          upd AS (SELECT cell, i,
+              CAST(floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS FLOAT) AS m
+            FROM as0, (SELECT unnest(generate_series(1, 64)) AS i) g
+            GROUP BY cell, i),
+          cent1 AS (SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
+            FROM cents0 c0 LEFT JOIN
+              (SELECT cell, list(m ORDER BY i) AS cvec FROM upd GROUP BY cell) u
+              ON u.cell = c0.cent_id),
+          a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent1 c),
+          as1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1)"""
+
   private val toksExpr = "list_filter(string_split(text, ' '), t -> t != '')"
   private def codesExpr(toks: String) =
     s"""list_transform($toks, t -> list_reduce(
@@ -649,28 +693,10 @@ object Advanced {
     // seed, per-(cell, dim) mean rounded 1e-4 then cast float32 (q40's
     // quantization — bit-equal to Spark's rnd(avg)+toFloat), cells that
     // lose every member keep their seed centroid, then the q32
-    // probe/topk against the trained set.
+    // probe/topk against the trained set. The unroll itself is
+    // [[lloydCte]], shared verbatim with q106/q108.
     "q101_ivf_trained" ->
-      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
-            FROM embeddings WHERE vec_id < 16),
-          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cents0 c),
-          as0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE rn = 1),
-          upd AS (SELECT cell, i,
-              CAST(floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS FLOAT) AS m
-            FROM as0, (SELECT unnest(generate_series(1, 64)) AS i) g
-            GROUP BY cell, i),
-          cent1 AS (SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
-            FROM cents0 c0 LEFT JOIN
-              (SELECT cell, list(m ORDER BY i) AS cvec FROM upd GROUP BY cell) u
-              ON u.cell = c0.cent_id),
-          a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cent1 c),
-          as1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1),
+      s"""WITH $lloydCte,
           q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
           probes AS (SELECT cent_id FROM cent1, q
             ORDER BY ${cosSql("cvec", "qvec")} DESC, cent_id ASC LIMIT 2)
@@ -683,26 +709,7 @@ object Advanced {
     // probed-cell join, and row_number per query — mirroring
     // ivfBatchTopK's rounded-cosine + id total order at both stages.
     "q106_ivf_batch" ->
-      s"""WITH cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
-            FROM embeddings WHERE vec_id < 16),
-          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cents0 c),
-          as0 AS (SELECT vec_id, embedding, cent_id AS cell FROM a0 WHERE rn = 1),
-          upd AS (SELECT cell, i,
-              CAST(floor(avg(embedding[i]) * 10000 + 0.5) / 10000 AS FLOAT) AS m
-            FROM as0, (SELECT unnest(generate_series(1, 64)) AS i) g
-            GROUP BY cell, i),
-          cent1 AS (SELECT c0.cent_id, COALESCE(u.cvec, c0.cvec) AS cvec
-            FROM cents0 c0 LEFT JOIN
-              (SELECT cell, list(m ORDER BY i) AS cvec FROM upd GROUP BY cell) u
-              ON u.cell = c0.cent_id),
-          a1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-            FROM embeddings e CROSS JOIN cent1 c),
-          as1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1),
+      s"""WITH $lloydCte,
           q AS (SELECT vec_id AS query_id, embedding AS qvec
             FROM embeddings WHERE vec_id < 5),
           pr AS (SELECT q.query_id, c.cent_id,
@@ -721,6 +728,24 @@ object Advanced {
             FROM cand)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
           FROM rk WHERE rank <= 10""",
+    // the shared Lloyd unroll, then the semantic-dedup replay: pairs
+    // strictly inside a trained cell (the JOIN key IS the cell — no
+    // cross-cell candidate can exist), the greedy keep-smallest-id drop
+    // list, and the documents join. min(cell) is the constant cell of
+    // vec2; count CAST to BIGINT for Spark's long count parity.
+    "q108_semantic_dedup" ->
+      s"""WITH $lloydCte,
+          pairs AS (SELECT l.cell, l.vec_id AS vec1, r.vec_id AS vec2,
+              ${cosSql("l.embedding", "r.embedding")} AS cos
+            FROM as1 l JOIN as1 r ON l.cell = r.cell
+            WHERE l.vec_id < r.vec_id),
+          drops AS (SELECT vec2 AS doc_id, min(cell) AS cell,
+              min(vec1) AS dup_of, max(cos) AS max_cos,
+              CAST(count(*) AS BIGINT) AS n_dups
+            FROM pairs WHERE cos >= 0.35 GROUP BY vec2)
+          SELECT dr.doc_id, dr.cell, dr.dup_of, dr.max_cos, dr.n_dups,
+            d.lang, d.n_chars
+          FROM drops dr JOIN documents d ON dr.doc_id = d.doc_id""",
     "q34_session_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          s0 AS (SELECT user_id, event_id, ts,

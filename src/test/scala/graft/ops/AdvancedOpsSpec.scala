@@ -447,6 +447,42 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(assigned.toSeq === assigned2.toSeq)
   }
 
+  test("semanticDropList: greedy keep-smallest per cell; never pairs across cells") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // two centroid directions u, v with cos(u, v) = 0.95 — ABOVE the
+    // 0.9 dedup threshold, so a cross-cell (u-point, v-point) pair
+    // WOULD be a near-dup if the operator ever paired across cells;
+    // the contract is that it must not
+    val u = Seq(1f, 0f, 0f, 0f)
+    val v = Seq(0.95f, math.sqrt(1 - 0.95 * 0.95).toFloat, 0f, 0f)
+    def scaled(w: Seq[Float], a: Float) = w.map(_ * a)
+    // u-cell members: 0, 2, 4 (scalar multiples — cosine 1.0 pairwise);
+    // v-cell members: 1, 3
+    val emb = Seq(
+      (0L, u), (1L, v), (2L, scaled(u, 2f)), (3L, scaled(v, 2f)),
+      (4L, scaled(u, 3f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val docs = Seq(
+      (0L, "en", 10L), (1L, "en", 20L), (2L, "de", 30L), (3L, "en", 40L),
+      (4L, "de", 50L)).toDF("doc_id", "lang", "n_chars")
+    val out = Dedup.semanticDropList(emb, docs,
+        centroids = Seq((0L, u), (1L, v)), minCos = 0.9)
+      .select($"doc_id", $"cell", $"dup_of", $"max_cos", $"n_dups",
+        $"lang", $"n_chars")
+      .as[(Long, Long, Long, Double, Long, String, Long)]
+      .collect().sortBy(_._1)
+    // cell 0 keeps 0, drops 2 (1 dup: 0) and 4 (2 dups: 0, 2);
+    // cell 1 keeps 1, drops 3; ids 0 and 1 never appear even though
+    // cos(0, 1) = 0.95 >= 0.9 — different cells
+    assert(out.toSeq === Seq(
+      (2L, 0L, 0L, 1.0, 1L, "de", 30L),
+      (3L, 1L, 1L, 1.0, 1L, "en", 40L),
+      (4L, 0L, 0L, 1.0, 2L, "de", 50L)))
+    Dedup.clearSignatureCaches()
+  }
+
   test("quantized k-means training is partition-order invariant") {
     import spark.implicits._
     import graft.ext.Similarity

@@ -149,7 +149,8 @@ class PlanSpec extends AnyFunSuite {
         "q75_span_dedup", "q78_snapshot_diff", "q80_dedup_keep_longest",
         "q81_bloom_decontaminate", "q82_vocab_coverage",
         "q83_bigram_lm_score", "q90_cluster_size_histogram",
-        "q91_shingle_novelty", "q94_containment_dedup")) {
+        "q91_shingle_novelty", "q94_containment_dedup",
+        "q108_semantic_dedup")) {
       val p = plan(graft.SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
@@ -302,6 +303,29 @@ class PlanSpec extends AnyFunSuite {
     val p = physical(df).toString
     assert(!p.contains("SortMergeJoin"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
+  test("q108 semantic dedup: one embeddings scan; pair join keyed on the cell") {
+    // the SemDeDup contract: the assigned frame is cached so both sides
+    // of the pair self-join ride ONE embeddings read (at 100 TB a second
+    // scan is a second corpus read), and the pair join is an EQUI-join
+    // on the cluster cell — losing that key would silently regenerate
+    // corpus-quadratic candidates via a nested-loop plan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = graft.SparkEntry.queries("q108_semantic_dedup")(spark, sf)
+    val p = physical(df)
+    assert(graft.PlanShape.count(p).tableScans("embeddings") <= 1,
+      p.toString.take(1200))
+    // every join in the plan is an equi-join (hash or sort-merge); the
+    // pair join carries `cell` in its keys
+    val joinKeys = p.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: SortMergeJoinExec => j.leftKeys
+    }
+    assert(joinKeys.exists(_.exists(_.toString.contains("cell"))),
+      p.toString.take(1200))
     graft.ext.Dedup.clearSignatureCaches()
   }
 
