@@ -30,6 +30,16 @@ object GeoQueries {
       (lit(0.8) + (($"event_id" * 17 + $"user_id" * 3) % 280).cast("double") / lit(100.0)).as("lat"))
   }
 
+  /** Synthetic zones 3 and 4 for the N×M matrix (q109): a rectangular
+    * anchorage box and a triangular approach area inside the synthetic
+    * point bbox. Closed rings; literals shared verbatim with the oracle
+    * (never derived arithmetically on one side — the parity rule).
+    */
+  private[queries] val Anchorage: Array[Double] = Array(
+    101.0, 1.8, 102.0, 1.8, 102.0, 2.6, 101.0, 2.6, 101.0, 1.8)
+  private[queries] val Approach: Array[Double] = Array(
+    103.0, 1.0, 104.0, 1.0, 103.5, 2.0, 103.0, 1.0)
+
   val queries: Map[String, Q] = Map(
     // R4 membership detail: every point, both zones.
     "q14_point_in_polygon" -> ((s, d) => {
@@ -48,6 +58,21 @@ object GeoQueries {
         .filter(Geo.inTssNorthbound($"lon", $"lat"))
         .agg(count(lit(1)).as("n_points"),
              countDistinct($"user_id").as("n_users"))
+    }),
+
+    // R4's general N×M form: a zones DIMENSION table (both TSS lanes +
+    // two synthetic areas) broadcast-nested-loop joined onto the points
+    // with per-zone bbox short-circuit and a plan-time union-bbox
+    // pushdown — see Geo.zoneMatrix. The oracle replays the ray cast
+    // per zone and unions the per-zone memberships.
+    "q109_zone_matrix" -> ((s, d) => {
+      import s.implicits._
+      val zones = Seq(
+        (1L, TssZones.Northbound.toSeq), (2L, TssZones.Southbound.toSeq),
+        (3L, Anchorage.toSeq), (4L, Approach.toSeq))
+        .toDF("zone_id", "poly")
+      Geo.zoneMatrix(points(s, d), zones)
+        .select($"event_id", $"user_id", $"zone_id")
     }),
 
     // R8 (batch replica): per-vessel zone entry/exit counters over
@@ -104,6 +129,23 @@ object GeoQueries {
           SELECT count(*) AS n_points, count(DISTINCT p.user_id) AS n_users
           FROM pts p JOIN nc ON p.event_id = nc.event_id
           WHERE nc.c % 2 = 1""",
+    "q109_zone_matrix" ->
+      s"""WITH $ptsCte,
+          ${crossCte("z1", edgeValues(TssZones.Northbound))},
+          ${crossCte("z2", edgeValues(TssZones.Southbound))},
+          ${crossCte("z3", edgeValues(Anchorage))},
+          ${crossCte("z4", edgeValues(Approach))}
+          SELECT p.event_id, p.user_id, CAST(1 AS BIGINT) AS zone_id
+            FROM pts p JOIN z1 ON p.event_id = z1.event_id WHERE z1.c % 2 = 1
+          UNION ALL
+          SELECT p.event_id, p.user_id, CAST(2 AS BIGINT) AS zone_id
+            FROM pts p JOIN z2 ON p.event_id = z2.event_id WHERE z2.c % 2 = 1
+          UNION ALL
+          SELECT p.event_id, p.user_id, CAST(3 AS BIGINT) AS zone_id
+            FROM pts p JOIN z3 ON p.event_id = z3.event_id WHERE z3.c % 2 = 1
+          UNION ALL
+          SELECT p.event_id, p.user_id, CAST(4 AS BIGINT) AS zone_id
+            FROM pts p JOIN z4 ON p.event_id = z4.event_id WHERE z4.c % 2 = 1""",
     "q16_zone_transitions" ->
       s"""WITH $ptsCte,
           ${crossCte("nc", edgeValues(TssZones.Northbound))},

@@ -115,6 +115,22 @@ object PipBoundingBox extends Rule[LogicalPlan] {
     case p @ PointInPolygon(lon, lat, poly, false)
         if lon.deterministic && lat.deterministic && poly.length >= 6 =>
       expand(p)
+    // dynamic-polygon form with a FOLDABLE ring (an array literal — e.g.
+    // a zone polygon inlined from a collected dimension row, or the SQL
+    // point_in_polygon function called with a constant): evaluate the
+    // ring at optimization time and fall through to the static expansion
+    // — the dim-sourced polygon gets the identical pushable bbox
+    // conjuncts as the hand-written constant. A null element can't
+    // occur (containsNull = false input type); a null/short ring is
+    // left as-is for runtime null semantics.
+    case d @ PointInPolygonDyn(lon, lat, polyExpr)
+        if lon.deterministic && lat.deterministic && polyExpr.foldable =>
+      polyExpr.eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData
+            if a.numElements() >= 6 =>
+          expand(PointInPolygon(lon, lat, a.toDoubleArray()))
+        case _ => d
+      }
     case other => other
   }
 
@@ -180,6 +196,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[GramCodes].getName, "gram_codes"),
       (es: Seq[Expression]) => GramCodes(es(0),
         if (es.size > 1) intArg(es(1)) else 5)),
+    // SQL surface for the R4 spatial predicate: with a constant ring the
+    // PipBoundingBox rule folds it to the static form + pushable bbox;
+    // with a column ring it is the per-row zone-join predicate
+    (FunctionIdentifier("point_in_polygon"),
+      new ExpressionInfo(classOf[PointInPolygonDyn].getName, "point_in_polygon"),
+      (es: Seq[Expression]) => PointInPolygonDyn(es(0), es(1), es(2))),
     // PII scrub as a SQL function: the same ordered email -> IPv4 ->
     // phone masking graft.ext.Pii.redact builds with Column functions,
     // composed here from the built-in (codegen'd) RegExpReplace so SQL

@@ -47,6 +47,49 @@ case class PointInPolygon(left: Expression, right: Expression, poly: Array[Doubl
     copy(left = newLeft, right = newRight)
 }
 
+/** Point-in-polygon with the polygon as a third EXPRESSION child — the
+  * N×M zone-join form, where the flat (x0,y0,x1,y1,…) ring arrives as
+  * DATA from a zones dimension row (array<double> column after a
+  * broadcast join) instead of as a plan constant.
+  *
+  * Two regimes:
+  *  - polygon FOLDABLE (a literal inlined from a collected dim row, or
+  *    the SQL function called with an array literal): the
+  *    [[PipBoundingBox]] rule evaluates it at optimization time and
+  *    rewrites to the static [[PointInPolygon]] + pushable bbox
+  *    conjuncts — identical plan to the hand-written constant form.
+  *  - polygon non-foldable (a real join-side attribute): evaluated
+  *    per row via the zero-copy ArrayData ray cast; the caller is
+  *    expected to provide bbox COLUMNS for the short-circuit (see
+  *    graft.ops.Geo.zoneMatrix), since no per-row bbox can be pushed
+  *    to a scan.
+  * Both paths execute the operand-for-operand identical float
+  * expression (GeoMath.rayCast / rayCastData), so membership can never
+  * differ between the constant and dynamic forms.
+  */
+case class PointInPolygonDyn(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_polygon"
+
+  override def nullSafeEval(lon: Any, lat: Any, poly: Any): Any =
+    graft.ops.GeoMath.rayCastData(lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double], poly.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, poly) =>
+      s"${ev.value} = graft.ops.GeoMath.rayCastData($lon, $lat, $poly);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Cosine similarity over two float-embedding arrays as a native expression.
   *
   * Replaces the `aggregate(zip_with(...))` form: those higher-order
@@ -340,6 +383,11 @@ object GraftColumns {
   def pointInPolygon(lon: Column, lat: Column, poly: Array[Double]): Column =
     ExpressionUtils.column(PointInPolygon(
       ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), poly))
+
+  def pointInPolygonDyn(lon: Column, lat: Column, poly: Column): Column =
+    ExpressionUtils.column(PointInPolygonDyn(
+      ExpressionUtils.expression(lon), ExpressionUtils.expression(lat),
+      ExpressionUtils.expression(poly)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(

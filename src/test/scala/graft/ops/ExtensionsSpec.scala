@@ -115,6 +115,82 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orCase.select($"id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("dim-row polygon (foldable) folds to static pip; bbox reaches PushedFilters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pip_dim").toString
+    (0 until 2000).map { i =>
+      (i.toLong, (i % 50).toDouble / 5.0, (i / 50).toDouble / 5.0)
+    }.toDF("id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    // the polygon arrives as DATA: a zones DIMENSION row collected and
+    // inlined as a foldable literal — not a hand-written Scala constant
+    val zoneDim = Seq((7L, Seq(2.0, 2.0, 5.0, 2.5, 4.5, 6.0, 2.2, 5.5)))
+      .toDF("zone_id", "poly")
+    val polyFromDim = zoneDim.select($"poly").collect().head.getSeq[Double](0)
+    val filtered = pts.filter(
+      Geo.point_in_polygon($"lon", $"lat", typedLit(polyFromDim)))
+    // the rule folds the dynamic form back to the static expression and
+    // the bbox conjuncts reach the reader exactly as in the constant case
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("point_in_polygon"), opt)
+    assert(opt.contains(">= 2.0") && opt.contains("<= 5.0"), opt)
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      phys.contains("GreaterThanOrEqual(lon,2.0)"), phys.take(2000))
+    // membership identical to the static form
+    val static = pts.filter(org.apache.spark.sql.graft.GraftColumns
+      .pointInPolygon($"lon", $"lat", polyFromDim.toArray))
+      .select($"id").as[Long].collect().toSet
+    assert(filtered.select($"id").as[Long].collect().toSet === static)
+    assert(static.nonEmpty)
+    // same story through the SQL surface with an array literal
+    pts.createOrReplaceTempView("pts_dim")
+    val sqlDf = spark.sql(
+      """SELECT id FROM pts_dim
+         WHERE point_in_polygon(lon, lat,
+           array(2.0D, 2.0D, 5.0D, 2.5D, 4.5D, 6.0D, 2.2D, 5.5D))""")
+    assert(sqlDf.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(lon,2.0)"))
+    assert(sqlDf.as[Long].collect().toSet === static)
+  }
+
+  test("zoneMatrix: BNLJ on the broadcast dim; union bbox pushed to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zone_mx").toString
+    (0 until 2000).map { i =>
+      (i.toLong, (i % 50).toDouble / 5.0, (i / 50).toDouble / 5.0)
+    }.toDF("id", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val quad = Array(2.0, 2.0, 5.0, 2.5, 4.5, 6.0, 2.2, 5.5)
+    val tri = Array(6.0, 0.5, 8.0, 0.5, 7.0, 3.0, 6.0, 0.5)
+    val box = Array(1.0, 7.0, 3.0, 7.0, 3.0, 9.0, 1.0, 9.0, 1.0, 7.0)
+    val zones = Seq((1L, quad.toSeq), (2L, tri.toSeq), (3L, box.toSeq))
+      .toDF("zone_id", "poly")
+    val mx = Geo.zoneMatrix(pts, zones)
+    val phys = mx.queryExecution.executedPlan.toString
+    // spatial join = broadcast nested loop (non-equi), never a shuffle
+    // of the fact side or a plain cartesian
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys.take(1500))
+    assert(!phys.contains("CartesianProduct") && !phys.contains("SortMergeJoin"),
+      phys.take(1500))
+    // the union bbox over ALL dim rows (lon >= 1.0, the box's min) is a
+    // plan-time literal and reaches the scan as a pushed filter
+    assert(phys.contains("PushedFilters") &&
+      phys.contains("GreaterThanOrEqual(lon,1.0)"), phys.take(2000))
+    // membership == union of the per-zone static filters
+    val expected = Seq((1L, quad), (2L, tri), (3L, box)).flatMap { case (z, p) =>
+      pts.filter(org.apache.spark.sql.graft.GraftColumns
+        .pointInPolygon($"lon", $"lat", p))
+        .select($"id").as[Long].collect().map(id => (id, z))
+    }.toSet
+    assert(mx.select($"id", $"zone_id").as[(Long, Long)].collect().toSet
+      === expected)
+    assert(expected.nonEmpty)
+    // every zone matched something (the matrix is genuinely N×M)
+    assert(mx.select($"zone_id").distinct().as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("native kernels callable from SQL") {
     vecsDf.createOrReplaceTempView("vecs_ext")
     val r = spark.sql(
