@@ -49,6 +49,87 @@ object RecallProbe {
     rows.toDF("vec_id", "embedding", "label").repartition(8)
   }
 
+  /** Incremental-IVF drift probe (`--drift [nBase] [growth]`): train on
+    * the base fixture, grow the corpus growth:1 with vectors from a
+    * DIFFERENT seeded mixture (16 Gaussian centers the trained index
+    * has never seen), ingest assignment-only ([[Similarity.ivfAssign]]),
+    * and measure what staleness costs: recall at fixed nprobe for
+    * base-distribution vs drifted queries, plus the cell-skew ratio
+    * (max cell share × nCells — 1.0 = perfectly balanced). The same
+    * sweep repeats under RETRAINED centroids (full Lloyd on the grown
+    * corpus) so the gap IS the retrain payoff. SCALE.md's retrain
+    * trigger rule is calibrated from these rows.
+    */
+  private def runDrift(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val nBase = args.lift(1).map(_.toInt).getOrElse(10000)
+    val growth = args.lift(2).map(_.toInt).getOrElse(4)
+    // how many NEW clusters the drifted mass concentrates in: 16 (the
+    // default) models gradual topic drift; small values model a burst
+    // (one new domain flooding in) — the case that skews cells hardest
+    val driftClusters = args.lift(3).map(_.toInt).getOrElse(16)
+    val k = 10
+    val nQ = 16 // per regime (base-drawn + drift-drawn)
+    val base = clusteredFixture(spark, nBase).cache()
+    val drift = clusteredFixture(spark, nBase * growth,
+        nClusters = driftClusters, seed = 20260814L)
+      .select((col("vec_id") + nBase).as("vec_id"), col("embedding"),
+        col("label")).cache()
+    val grown = base.unionAll(drift).cache()
+    val n = grown.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (stale, tStale) = time { Similarity.kmeansCentroids(base, 16, 5) }
+    val (retrained, tRe) = time { Similarity.kmeansCentroids(grown, 16, 5) }
+    println(f"""{"probe":"ivf_drift","n_base":$nBase,"growth":$growth,"drift_clusters":$driftClusters,"train_stale_sec":$tStale%.2f,"retrain_sec":$tRe%.2f}""")
+
+    val queryIds = (0L until nQ.toLong) ++
+      (nBase.toLong until (nBase + nQ).toLong)
+    // exact ground truth per query over the GROWN corpus
+    val truth: Map[Long, Set[Long]] = queryIds.map { q =>
+      q -> Similarity.bruteForceTopK(grown, q, k)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    for ((srcName, cents) <- Seq("stale_base_trained" -> stale,
+        "retrained_full" -> retrained)) {
+      val cellSizes = Similarity.ivfAssign(grown, cents)
+        .groupBy(col("cell")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // skew: max cell share × nCells (1.0 = balanced); stale centroids
+      // let the drifted mass pile into few old cells
+      val skew = cellSizes.map(_._2).max.toDouble * cents.size / n
+      // the CHEAP online trigger: mean best-cosine of each row to its
+      // assigned centroid, split by regime — computed for free during
+      // ingest assignment, and it drops for drifted rows long before
+      // anyone measures recall (no ground truth or retrain needed)
+      import org.apache.spark.sql.functions.{array, array_max, avg, typedLit, when}
+      val bestCos = array_max(array(cents.map(c =>
+        Similarity.cosine(col("embedding"), typedLit(c._2))): _*))
+      val assignCos = grown.select(
+          when(col("vec_id") < nBase, "base").otherwise("drift").as("regime"),
+          bestCos.as("c"))
+        .groupBy(col("regime")).agg(avg(col("c")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (nprobe <- Seq(1, 2, 4)) {
+        val byQ = queryIds.map { q =>
+          q -> Similarity.ivfTopK(grown, q, k, nCentroids = 16,
+              nprobe = nprobe, centroids = Some(cents))
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        }.toMap
+        def recallOver(qs: Seq[Long]): Double =
+          qs.map(q => byQ(q).count(truth(q)).toDouble / truth(q).size)
+            .sum / qs.size
+        val rBase = recallOver(queryIds.filter(_ < nBase))
+        val rDrift = recallOver(queryIds.filter(_ >= nBase))
+        println(f"""{"probe":"ivf_drift","variant":"$srcName%s","nprobe":$nprobe,"recall_base":$rBase%.4f,"recall_drift":$rDrift%.4f,"cell_skew":$skew%.2f,"assign_cos_base":${assignCos("base")}%.4f,"assign_cos_drift":${assignCos("drift")}%.4f}""")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val clustered = args.headOption.contains("--clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -60,6 +141,10 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
+    if (args.headOption.contains("--drift")) {
+      try runDrift(spark, args) finally spark.stop()
+      return
+    }
     import org.apache.spark.sql.functions.col
 
     val (emb, sfDir, k, nQ) =

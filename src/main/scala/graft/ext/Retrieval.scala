@@ -119,7 +119,20 @@ object Retrieval {
       .join(broadcast(termSet), Seq("term"))
       .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val topk = udaf(new graft.ext.TopKByScore(k))
+    fusePerQuery(scoreMatches(tf, df, stats), qterms, k)
+  }
+
+  /** Shared scoring stage: per-(doc, term) integer-scaled BM25 partials
+    * `s4` from a tf table `(doc_id, dl, term, tf)`, a df table
+    * `(term, df)` and a one-row stats frame `(n, sum_dl)`. One
+    * expression tree, used by BOTH the batch path ([[bm25BatchTopK]])
+    * and the serving path ([[bm25TopKIndexed]]) so their scores are
+    * bit-identical by construction, not by parallel maintenance.
+    */
+  private def scoreMatches(tf: DataFrame, df: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
     tf.join(broadcast(df), Seq("term")).join(broadcast(stats))
       .withColumn("avgdl", $"sum_dl".cast("double") / $"n".cast("double"))
       .withColumn("idf_r", rnd(log(
@@ -130,6 +143,19 @@ object Retrieval {
           lit(K1) * (lit(1.0 - B) + lit(B) * $"dl".cast("double") / $"avgdl")))
       .select($"term", $"doc_id",
         floor($"idf_r" * $"tfs" * 10000 + 0.5).cast("long").as("s4"))
+  }
+
+  /** Shared query fan-out + per-query bounded top-k over scored
+    * (term, doc_id, s4) partials; `qterms` is the distinct
+    * (query_id, term) pair table. Output: (query_id, rank, doc_id,
+    * score), ties by doc_id.
+    */
+  private def fusePerQuery(scored: DataFrame, qterms: DataFrame,
+      k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val topk = udaf(new graft.ext.TopKByScore(k))
+    scored
       .join(broadcast(qterms), Seq("term"))
       .groupBy($"query_id", $"doc_id")
       .agg(rnd(sum($"s4").cast("double") / 10000.0, 4).as("score"))
@@ -138,6 +164,74 @@ object Retrieval {
       .select($"query_id", posexplode($"top").as(Seq("rank0", "r")))
       .select($"query_id", ($"rank0" + 1).cast("long").as("rank"),
         $"r._2".as("doc_id"), $"r._1".as("score"))
+  }
+
+  /** Query-independent BM25 serving index: the FULL inverted postings
+    * table `(term, doc_id, dl, tf)`, the full per-term df table, and
+    * the collected corpus stats — everything [[bm25BatchTopK]] derives
+    * per call that does not depend on the queries. Build once (two
+    * corpus passes), persist, then serve arbitrary query batches with
+    * per-batch cost O(postings of the queried terms) instead of
+    * O(corpus tokens) — the shape a streaming retrieval endpoint needs
+    * (see [[graft.streaming.StreamOps.retrievalServeStream]]).
+    *
+    * Restricting the full postings/df tables to a batch's term set
+    * yields exactly the values the batch path computes from a filtered
+    * corpus — tf of a (doc, term) pair and df of a term are independent
+    * of which OTHER terms were kept — so indexed serving is
+    * hash-identical to [[bm25BatchTopK]] per batch (pinned by spec).
+    *
+    * At 100 TB the postings table is a bucketed-by-term table on disk
+    * rather than a cache; `n`/`sum_dl` are exact longs maintained with
+    * the table. Release the caches with [[Dedup.clearSignatureCaches]].
+    */
+  final case class Bm25Index(postings: DataFrame, dfTable: DataFrame,
+      n: Long, sumDl: Long) {
+    /** One-row stats frame with the same column names/types the batch
+      * path aggregates, rebuilt from the collected exact longs.
+      */
+    def stats: DataFrame = {
+      val s = postings.sparkSession
+      s.range(1).select(lit(n).cast("long").as("n"),
+        lit(sumDl).cast("long").as("sum_dl"))
+    }
+  }
+
+  def bm25Index(docs: DataFrame): Bm25Index = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .select($"doc_id", TextStats.tokens(coalesce($"text", lit(""))).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+      .cache()
+    val postings = Dedup.cached(base
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf")))
+    val dfTable = Dedup.cached(
+      postings.groupBy($"term").agg(count(lit(1)).as("df")))
+    val Array(n, sumDl) = base.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    dfTable.count() // materialize postings + df off the still-cached base
+    base.unpersist()
+    Bm25Index(postings, dfTable, n, sumDl)
+  }
+
+  /** Serve one query batch through a prebuilt [[Bm25Index]]: the term
+    * set semi-restricts the postings (broadcast probe, O(1)/posting),
+    * then the shared scoring + fan-out stages run on O(matched
+    * postings) rows. Per-batch hash-identical to [[bm25BatchTopK]] on
+    * the same corpus and queries.
+    */
+  def bm25TopKIndexed(idx: Bm25Index, queries: DataFrame,
+      k: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val qterms = queries
+      .select($"query_id", explode($"terms").as("term")).distinct()
+    val termSet = qterms.select($"term").distinct()
+    val tf = idx.postings.join(broadcast(termSet), Seq("term"))
+    val df = idx.dfTable.join(broadcast(termSet), Seq("term"))
+    fusePerQuery(scoreMatches(tf, df, idx.stats), qterms, k)
   }
 
   /** Reciprocal-rank fusion (Cormack et al.'s RRF) over any number of

@@ -271,6 +271,21 @@ object Similarity {
     }
     val assigned = embeddings.withColumn("cell",
       nearestCentroid(centRows.toIndexedSeq, col("embedding")))
+    val queries = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    ivfBatchTopKQueries(assigned, centRows.toIndexedSeq, queries, k, nprobe)
+  }
+
+  /** The query-side half of [[ivfBatchTopK]], factored so a serving
+    * path can run arbitrary query frames `(query_id, qvec)` against a
+    * PREBUILT assigned store (persisted [[ivfAssign]] output or the
+    * cell-partitioned parquet [[ivfAppendStore]] writes) without
+    * re-deriving the assignment per call. [[ivfBatchTopK]] delegates
+    * here, so batch and serving results are identical by construction.
+    */
+  def ivfBatchTopKQueries(assigned: DataFrame,
+      centRows: Seq[(Long, Seq[Float])], queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     // probe keys: -floor(rnd(cos,6)*1e6 + 0.5) as LONG — the +0.5
     // recovers the exact scaled integer after rnd's inexact division,
     // and an integer key sidesteps the -0.0 / 0.0 ordering mismatch a
@@ -281,15 +296,16 @@ object Similarity {
           .cast("long").as("nc"),
         lit(id).as("id"))
     }
-    val q = embeddings.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val q = queries
       .withColumn("probes",
         slice(sort_array(array(cands.toIndexedSeq: _*)), 1, nprobe))
       .select(col("query_id"), col("qvec"),
         explode(col("probes")).as("p"))
-      .select(col("query_id"), col("qvec"), col("p.id").as("cell"))
+      .select(col("query_id"), col("qvec"),
+        col("p.id").cast("long").as("cell"))
     val topk = udaf(new TopKByScore(k))
-    assigned.join(broadcast(q), Seq("cell"))
+    assigned.withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         rnd(cosine(col("embedding"), col("qvec")), 6).as("cos"))
@@ -299,6 +315,41 @@ object Similarity {
       .select(col("query_id"), (col("rank0") + 1).cast("long").as("rank"),
         col("r._2").as("vec_id"), col("r._1").as("cos"))
   }
+
+  /** Incremental IVF maintenance, ingest half (the ANN twin of q76's
+    * delta-vs-store dedup): assign a NEW vector batch into the EXISTING
+    * trained centroids — a pure map over broadcast-sized centroid
+    * constants, no retrain, no shuffle — producing rows ready for the
+    * cell-partitioned store. Because assignment is a deterministic pure
+    * function of (vector, centroids), ingest distributes over union:
+    * `ivfAssign(a ∪ b) ≡ ivfAssign(a) ∪ ivfAssign(b)` — which is why
+    * append-only ingest equals a full rebuild as long as the centroids
+    * are unchanged (AdvancedOpsSpec pins this on real frames, plus
+    * retrieval equality through a store built either way).
+    *
+    * What it does NOT protect against: distribution drift. New vectors
+    * from clusters the training never saw still land in SOME nearest
+    * old cell — recall at fixed nprobe degrades and cells skew (the
+    * drifted mass piles into few cells). `RecallProbe --drift` measures
+    * both effects; SCALE.md documents the retrain trigger (recall floor
+    * or max-cell-share threshold) calibrated from that probe.
+    */
+  def ivfAssign(batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    batch.withColumn("cell",
+      nearestCentroid(centroids.sortBy(_._1), col("embedding")))
+
+  /** Append-only ingest into an on-disk cell-partitioned IVF store (the
+    * layout whose probe-time partition pruning PlanSpec pins): assign
+    * the batch, append under `cell=<id>/` partitions. Existing store
+    * files are never rewritten — at 100 TB an ingest touches only the
+    * partitions the batch lands in, and compaction is an orthogonal
+    * concern of the table format.
+    */
+  def ivfAppendStore(batch: DataFrame, centroids: Seq[(Long, Seq[Float])],
+      storeDir: String): Unit =
+    ivfAssign(batch, centroids).write.mode("append")
+      .partitionBy("cell").parquet(storeDir)
 
   /** Deterministic ±1 random hyperplanes for RP-LSH: sign of a Knuth
     * multiplicative hash of (plane, dim). Unlike the raw sign-bucket

@@ -281,6 +281,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
   }
 
+  /** Near-real-time retrieval serving — a live stream of QUERIES against
+    * a STATIC indexed corpus (the inverse of the guard ops above, where
+    * the corpus streams and the reference set is static). Each
+    * micro-batch of query rows is answered by `serve` — a pure
+    * batch-DataFrame function, so per-batch results carry the batch
+    * path's exact semantics (the specs pin batch-equality against
+    * [[graft.ext.Retrieval.bm25BatchTopK]] /
+    * [[graft.ext.Similarity.ivfBatchTopK]] via their shared indexed
+    * entry points) — and handed to `emit` with the batch id.
+    *
+    * The stream side first dedups query ids within the watermark
+    * horizon (state-store-backed, so at-least-once upstream delivery
+    * answers each query once per horizon instead of re-serving every
+    * redelivery); the corpus side lives OUTSIDE the stream as a
+    * prebuilt index ([[graft.ext.Retrieval.bm25Index]] postings /
+    * [[graft.ext.Similarity.ivfAppendStore]] cells), so per-batch work
+    * is O(index entries matched by the batch), never a corpus pass.
+    * That split is the 100 TB shape: the index updates by append
+    * (incremental ingest ops), the serving query only ever joins
+    * batch-sized query rows against it.
+    *
+    * Returns the started query. foreachBatch owns the writeStream
+    * builder, so the checkpoint dir is a parameter rather than a
+    * caller-side option.
+    */
+  def retrievalServeStream(queries: DataFrame, tsCol: String,
+      watermarkDelay: String, checkpointDir: String,
+      serve: DataFrame => DataFrame)(
+      emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("query_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(serve(batch.drop(tsCol)), batchId)
+      }
+      .start()
+
   /** Session windows (built-in state merge): a session extends while the
     * next event arrives strictly before last_ts + gap; window end is
     * last_ts + gap. The streaming twin of the batch gaps-and-islands

@@ -486,6 +486,85 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
       assert(snap2.head._2 === 7L)
     } finally q.stop()
   }
+
+  test("BM25 serving stream: per-batch results equal batch retrieval; redelivered query ids served once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(8)(i => s"v$i")
+    val docs = (0L until 70L).map { i =>
+      (i, Seq.fill(rnd.nextInt(22))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    val in = MemoryStream[(Long, Seq[String], Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val ckpt = Files.createTempDirectory("bm25_serve_ckpt").toString
+    val q = StreamOps.retrievalServeStream(
+      in.toDF().toDF("query_id", "terms", "ts"), "ts", "10 minutes", ckpt,
+      b => graft.ext.Retrieval.bm25TopKIndexed(idx, b, 5)) { (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        buf.synchronized { buf ++= rows }
+      }
+    try {
+      in.addData((0L, Seq("v1", "v3"), ts(0)), (1L, Seq("v5"), ts(1)))
+      q.processAllAvailable()
+      // batch 2 redelivers query 0 inside the watermark horizon — the
+      // dedup state must swallow it (at-least-once upstream -> served
+      // exactly once per horizon), while the new query 2 is answered
+      in.addData((2L, Seq("v0", "v2"), ts(2)), (0L, Seq("v1", "v3"), ts(3)))
+      q.processAllAvailable()
+      val expected = graft.ext.Retrieval.bm25BatchTopK(docs, Seq(
+          (0L, Seq("v1", "v3")), (1L, Seq("v5")), (2L, Seq("v0", "v2")))
+          .toDF("query_id", "terms"), 5)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(buf.sorted.toList === expected.sorted.toList)
+      assertProviderEngaged(ckpt)
+    } finally {
+      q.stop()
+      graft.ext.Dedup.clearSignatureCaches()
+    }
+  }
+
+  test("ANN serving stream: query batches through the disk IVF store equal batch IVF retrieval") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ext.Similarity
+    val all = graft.RecallProbe.clusteredFixture(spark, 300).cache()
+    val cents = Similarity.kmeansCentroids(all, k = 16, iters = 3, roundTo = 4)
+    // the serving index is the APPEND-ONLY disk store (two ingests), not
+    // an in-memory frame — the layout incremental maintenance writes
+    val dir = Files.createTempDirectory("ivf_serve_store").toString
+    Similarity.ivfAppendStore(all.filter($"vec_id" < 200), cents, dir)
+    Similarity.ivfAppendStore(all.filter($"vec_id" >= 200), cents, dir)
+    val store = spark.read.parquet(dir)
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val ckpt = Files.createTempDirectory("ivf_serve_ckpt").toString
+    val q = StreamOps.retrievalServeStream(
+      in.toDF().toDF("query_id", "qvec", "ts"), "ts", "10 minutes", ckpt,
+      b => Similarity.ivfBatchTopKQueries(store, cents.sortBy(_._1),
+        b.select($"query_id", $"qvec"), k = 5, nprobe = 2)) { (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        buf.synchronized { buf ++= rows }
+      }
+    try {
+      val qvecs = all.filter($"vec_id" < 4)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().sortBy(_._1)
+      in.addData(qvecs.take(2).map { case (id, v) => (id, v, ts(0)) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(qvecs.drop(2).map { case (id, v) => (id, v, ts(2)) }.toSeq: _*)
+      q.processAllAvailable()
+      val expected = Similarity.ivfBatchTopK(all, queryMaxId = 4, k = 5,
+          nprobe = 2, centroids = Some(cents))
+        .as[(Long, Long, Long, Double)].collect()
+      assert(buf.sorted.toList === expected.sorted.toList)
+      assertProviderEngaged(ckpt)
+    } finally {
+      q.stop()
+      all.unpersist()
+    }
+  }
 }
 
 /** The stateful family on the default HDFS-backed in-memory store. */

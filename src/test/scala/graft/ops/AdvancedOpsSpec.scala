@@ -447,6 +447,48 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(assigned.toSeq === assigned2.toSeq)
   }
 
+  test("incremental IVF ingest (assign + append) == full rebuild, drift-free") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.typedLit
+    import graft.queries.Num.{r => rnd}
+    val all = graft.RecallProbe.clusteredFixture(spark, 800).cache()
+    val base = all.filter($"vec_id" < 560)
+    val delta = all.filter($"vec_id" >= 560)
+    val cents = Similarity.kmeansCentroids(base, k = 16, iters = 3, roundTo = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+
+    // two append-only ingests through the UNCHANGED trained centroids...
+    Similarity.ivfAppendStore(base, cents, dir)
+    Similarity.ivfAppendStore(delta, cents, dir)
+    val store = spark.read.parquet(dir)
+    // ...carry the identical (vec_id, cell) assignment a full rebuild
+    // computes (ivfAssign distributes over union)
+    val rebuilt = Similarity.ivfAssign(all, cents)
+    assert(store.select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toSet ===
+      rebuilt.select($"vec_id", $"cell").as[(Long, Long)].collect().toSet)
+
+    // and RETRIEVAL through the incrementally-built store equals the
+    // in-memory path on the full corpus, query by query
+    for (q <- 0L until 4L) {
+      val qvec = all.filter($"vec_id" === q)
+        .select($"embedding").collect().head.getSeq[Float](0)
+      val probes = Similarity.probeCells(cents, qvec, nprobe = 2)
+      val fromStore = store
+        .filter($"cell".isin(probes: _*) && $"vec_id" =!= q)
+        .select($"vec_id",
+          rnd(Similarity.cosine($"embedding", typedLit(qvec)), 6).as("cos"))
+        .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+        .as[(Long, Double)].collect().toSeq
+      val direct = Similarity.ivfTopK(all, q, k = 10, nCentroids = 16,
+          nprobe = 2, centroids = Some(cents))
+        .select($"vec_id", $"cos").as[(Long, Double)].collect().toSeq
+      assert(fromStore === direct, s"query $q diverged")
+    }
+    all.unpersist()
+  }
+
   test("semanticDropList: greedy keep-smallest per cell; never pairs across cells") {
     import spark.implicits._
     import graft.ext.Similarity

@@ -606,6 +606,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("bm25TopKIndexed through a prebuilt index is hash-identical to bm25BatchTopK, batch by batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector.tabulate(9)(i => s"w$i")
+    val docs = (0L until 90L).map { i =>
+      (i, Seq.fill(rnd.nextInt(24))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // the index is built ONCE; three disjoint "micro-batches" of queries
+    // (incl. a null-text-adjacent no-match and a repeated-term query)
+    // are then served through it and must match the batch path exactly
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    assert(idx.n === 90L)
+    val batches = Seq(
+      Seq((0L, Seq("w1", "w3")), (1L, Seq("nope"))),
+      Seq((2L, Seq("w5", "w5", "w0"))),
+      Seq((3L, Seq("w8")), (4L, Seq("w2", "w7", "w4"))))
+    for ((qs, i) <- batches.zipWithIndex) {
+      val queries = qs.toDF("query_id", "terms")
+      val served = graft.ext.Retrieval.bm25TopKIndexed(idx, queries, 6)
+        .as[(Long, Long, Long, Double)].collect().sorted.toList
+      val batch = graft.ext.Retrieval.bm25BatchTopK(docs, queries, 6)
+        .as[(Long, Long, Long, Double)].collect().sorted.toList
+      assert(served === batch, s"batch $i diverged")
+    }
+    Dedup.clearSignatureCaches()
+  }
+
   test("bm25BatchTopK: per-query results equal single-query runs; set semantics; no-match queries vanish") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
