@@ -55,6 +55,19 @@ object StreamBench {
       val secs = args.lift(2).map(_.toInt).getOrElse(20)
       for (provider <- Seq(None, Some(RocksDb)))
         steadyState(spark, rate, secs, provider)
+    } else if (args.headOption.contains("--sweep")) {
+      // the round-9 knee: windowed counts saturate at ~50k rows/s while
+      // dedup holds; the documented fix is state-store parallelism. This
+      // sweeps shuffle partitions (state partition count is fixed at the
+      // query's FIRST start, which is why each run gets a fresh
+      // checkpoint) at the knee rate and reports where p95 recovers.
+      val rate = args.lift(1).map(_.toInt).getOrElse(50000)
+      val secs = args.lift(2).map(_.toInt).getOrElse(15)
+      for (parts <- Seq(4, 8, 16, 32); provider <- Seq(None, Some(RocksDb))) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        steadyState(spark, rate, secs, provider,
+          opsFilter = Set("windowed_counts_steady"))
+      }
     } else {
       val nLive = args.headOption.map(_.toInt).getOrElse(200000)
       val nState = args.lift(1).map(_.toInt).getOrElse(500000)
@@ -73,7 +86,8 @@ object StreamBench {
     * made visible — rather than a silently stretched test.
     */
   private def steadyState(spark: SparkSession, ratePerSec: Int, seconds: Int,
-                          provider: Option[String]): Unit = {
+                          provider: Option[String],
+                          opsFilter: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val provName = setProvider(spark, provider)
@@ -86,6 +100,7 @@ object StreamBench {
 
     def run(op: String,
             build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+      if (opsFilter.nonEmpty && !opsFilter.contains(op)) return
       val mem = MemoryStream[(java.sql.Timestamp, Long)]
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"sb_steady_${op}_$provName").toString
@@ -125,8 +140,10 @@ object StreamBench {
           .sorted
         require(durs.nonEmpty, s"no non-empty batches in $op steady run")
         def pct(p: Double): Long = durs(math.round(p * (durs.length - 1)).toInt)
+        val parts = spark.sessionState.conf.numShufflePartitions
         println(s"""{"probe":"stream_latency","op":"$op","provider":"$provName",""" +
           s""""rate_rows_per_sec":$ratePerSec,"seconds":$seconds,""" +
+          s""""shuffle_partitions":$parts,""" +
           s""""batches":${durs.length},"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},""" +
           s""""max_ms":${durs.last},"out_rows":${outCount.get()},""" +
           s""""provider_engaged":${providerEngaged(provider, ckpt)}}""")

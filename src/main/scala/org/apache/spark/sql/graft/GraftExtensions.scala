@@ -152,12 +152,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteHofCosine)
     ext.injectOptimizerRule(_ => PipBoundingBox)
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
   }
 }
 
 object GraftExtensions {
   private def intArg(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
+
+  private def strArg(e: Expression, what: String): String = {
+    require(e.foldable, s"asof_join: $what must be a constant string")
+    val v = e.eval(null)
+    require(v != null, s"asof_join: $what must not be null")
+    v.toString
+  }
+
+  private def namesArg(e: Expression, what: String): Seq[String] =
+    strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** SQL table functions (SURVEY §4 optional (b)): `asof_join(left,
+    * right, on, by, right_cols)` — the backward-inclusive as-of join as
+    * a FROM-clause citizen, so SQL users get the exact union-window
+    * rewrite ([[graft.operators.AsofJoin]]) the Scala helper builds,
+    * tie discipline included, instead of hand-writing a correlated
+    * subquery that plans as a range join. `left`/`right` name catalog
+    * tables or temp views; `by`/`right_cols` are comma-separated column
+    * lists. The builder runs at analysis time on the driver: it
+    * resolves both relations through the session catalog, applies the
+    * Scala rewrite, and splices the resulting analyzed plan into the
+    * outer query — one hash shuffle + in-partition sort, same as the
+    * Scala path, because it IS the Scala path.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("asof_join"),
+      new ExpressionInfo(graft.operators.AsofJoin.getClass.getName, "asof_join"),
+      (es: Seq[Expression]) => {
+        require(es.size == 5,
+          "asof_join(left_table, right_table, on_col, by_cols, right_cols)")
+        val spark = SparkSession.active
+        val plan = graft.operators.AsofJoin.asofJoin(
+          spark.table(strArg(es(0), "left_table")),
+          spark.table(strArg(es(1), "right_table")),
+          strArg(es(2), "on_col"),
+          namesArg(es(3), "by_cols"),
+          namesArg(es(4), "right_cols"))
+        plan.queryExecution.analyzed
+      }))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
@@ -227,6 +267,10 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, info, builder) =>
+      treg.registerFunction(id, info, builder)
     }
   }
 }

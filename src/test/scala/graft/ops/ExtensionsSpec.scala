@@ -231,6 +231,45 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("asof_join SQL table function equals the Scala helper, tie case included") {
+    import spark.implicits._
+    // the q7-style fixture with all three edge shapes: no predecessor,
+    // backward-INCLUSIVE tie at on=100, and a per-mmsi miss — plus the
+    // (by, on)-tied right rows whose deterministic resolution is the
+    // helper's documented contract
+    val pos = Seq(
+      (100L, 10L, 1.0), (200L, 10L, 2.0), (50L, 10L, 0.5),
+      (100L, 20L, 9.0), (45L, 30L, 3.0)).toDF("ts", "mmsi", "sog")
+    val stat = Seq(
+      (90L, 10L, "A"), (100L, 10L, "B"), (150L, 10L, "C"),
+      (500L, 20L, "Z"),
+      (40L, 30L, "T1"), (40L, 30L, "T2")) // (by, on) tie -> greatest wins
+      .toDF("ts", "mmsi", "shipName")
+    pos.createOrReplaceTempView("asof_pos")
+    stat.createOrReplaceTempView("asof_stat")
+    val viaSql = spark.sql(
+      """SELECT ts, mmsi, sog, shipName
+         FROM asof_join('asof_pos', 'asof_stat', 'ts', 'mmsi', 'shipName')""")
+      .as[(Long, Long, Double, Option[String])].collect().toSet
+    val viaScala = graft.operators.AsofJoin
+      .asofJoin(pos, stat, on = "ts", by = Seq("mmsi"),
+        rightCols = Seq("shipName"))
+      .select($"ts", $"mmsi", $"sog", $"shipName")
+      .as[(Long, Long, Double, Option[String])].collect().toSet
+    assert(viaSql === viaScala)
+    assert(viaSql === Set(
+      (50L, 10L, 0.5, None), (100L, 10L, 1.0, Some("B")),
+      (200L, 10L, 2.0, Some("C")), (100L, 20L, 9.0, None),
+      (45L, 30L, 3.0, Some("T2"))))
+    // composes like any FROM-clause relation (outer filter + agg on top)
+    val agg = spark.sql(
+      """SELECT shipName, count(*) AS n
+         FROM asof_join('asof_pos', 'asof_stat', 'ts', 'mmsi', 'shipName')
+         WHERE shipName IS NOT NULL GROUP BY shipName""")
+      .as[(String, Long)].collect().toMap
+    assert(agg === Map("B" -> 1L, "C" -> 1L, "T2" -> 1L))
+  }
+
   test("pii_redact SQL function matches the Column-function scrub") {
     import spark.implicits._
     val texts = Seq(
