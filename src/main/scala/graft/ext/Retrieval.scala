@@ -188,12 +188,18 @@ object Retrieval {
   final case class Bm25Index(postings: DataFrame, dfTable: DataFrame,
       n: Long, sumDl: Long) {
     /** One-row stats frame with the same column names/types the batch
-      * path aggregates, rebuilt from the collected exact longs.
+      * path aggregates, rebuilt from the collected exact longs. On an
+      * EMPTY corpus `sum_dl` is NULL — exactly what `sum` over zero
+      * rows aggregates to in the batch path; a literal 0 here would
+      * constant-fold `0.0 / 0.0` at planning time and throw under ANSI
+      * where the batch path's NULL dividend quietly yields NULL (and no
+      * posting row exists to score anyway).
       */
     def stats: DataFrame = {
       val s = postings.sparkSession
-      s.range(1).select(lit(n).cast("long").as("n"),
-        lit(sumDl).cast("long").as("sum_dl"))
+      val sumDlCol =
+        if (n == 0) lit(null).cast("long") else lit(sumDl).cast("long")
+      s.range(1).select(lit(n).cast("long").as("n"), sumDlCol.as("sum_dl"))
     }
   }
 

@@ -846,6 +846,24 @@ object LlmQueries {
         .select($"query_id", $"rank", $"doc_id")
       graft.ext.Retrieval.rrfFuse(Seq(lexical, prior), k = 10)
     }),
+
+    // Serving-path BM25: the q105 query set decomposed the way a live
+    // endpoint runs it — ONE prebuilt index (full inverted postings +
+    // df + exact collected stats, Retrieval.bm25Index), then two
+    // disjoint query batches served through it and unioned. Gates the
+    // postings path against DuckDB end-to-end (not just against
+    // bm25BatchTopK): restricting full postings/df to a batch's term
+    // set yields exactly the filtered-corpus values, and per-batch
+    // scoring shares q105's expression tree by construction.
+    "q110_bm25_serving" -> ((s, d) => {
+      import s.implicits._
+      val idx = graft.ext.Retrieval.bm25Index(Tables.documents(s, d))
+      val (b1, b2) = Bm25BatchQueries.partition(_._1 < 2)
+      graft.ext.Retrieval
+        .bm25TopKIndexed(idx, b1.toDF("query_id", "terms"), 10)
+        .unionByName(graft.ext.Retrieval
+          .bm25TopKIndexed(idx, b2.toDF("query_id", "terms"), 10))
+    }),
   )
 
   /** q102's fixed query terms — shared verbatim with the oracle SQL. */
@@ -1547,6 +1565,13 @@ object LlmQueries {
           ORDER BY score DESC, doc_id ASC LIMIT 20"""
     },
     "q105_bm25_batch" ->
+      s"""$bm25BatchRkCtes
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+          FROM rk WHERE rank <= 10""",
+    // the serving decomposition must land on the batch answer exactly
+    // (union of disjoint per-batch servings == one batch run), so the
+    // oracle IS the q105 chain via the same shared builder
+    "q110_bm25_serving" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
           FROM rk WHERE rank <= 10""",

@@ -168,9 +168,40 @@ object Relational {
         .groupBy($"route")
         .agg(count(lit(1)).as("n"), rnd(sum($"value"), 2).as("sum_value"))
     }),
+
+    // q7 through the SQL table function (GraftExtensions.asof_join):
+    // same inputs registered as temp views, same union-window plan —
+    // the TVF builder delegates to the Scala helper — gated against
+    // the SAME DuckDB ASOF JOIN oracle (shared by reference below), so
+    // the SQL surface can never drift from the Scala one.
+    "q111_asof_sql" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("p_event_id"))
+        .createOrReplaceTempView("q111_purchases")
+      ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"ts".as("v_ts"))
+        .createOrReplaceTempView("q111_views")
+      s.sql(
+        """SELECT user_id, p_event_id, ts AS p_ts, v_ts
+           FROM asof_join('q111_purchases', 'q111_views',
+                          'ts', 'user_id', 'v_ts')""")
+    }),
   )
 
+  /** The as-of oracle (DuckDB ASOF LEFT JOIN) — ONE string consumed by
+    * both the q7 (Scala helper) and q111 (SQL table function) gates.
+    */
+  private val AsofOracle =
+    """SELECT p.user_id, p.event_id AS p_event_id,
+       CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(v.ts AS TIMESTAMP) AS v_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
   val oracleSql: Map[String, String] = Map(
+    "q111_asof_sql" -> AsofOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
@@ -202,12 +233,7 @@ object Relational {
     "q6_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type""",
-    "q7_asof_join" ->
-      """SELECT p.user_id, p.event_id AS p_event_id,
-         CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(v.ts AS TIMESTAMP) AS v_ts
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-         ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q7_asof_join" -> AsofOracle,
     "q8_last_by_key" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
          FROM events

@@ -285,7 +285,11 @@ class PlanSpec extends AnyFunSuite {
         "q91_shingle_novelty", "q92_token_kl_drift",
         "q95_length_quantiles",
         "q102_bm25", "q103_vocab_richness", "q104_resize",
-        "q105_bm25_batch", "q107_hybrid_rrf")) {
+        "q105_bm25_batch", "q107_hybrid_rrf",
+        // q110: BOTH serving batches must ride the one cached postings
+        // build — a second documents scan means the index stopped being
+        // query-independent
+        "q110_bm25_serving")) {
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = documentScans(physical(df))
       assert(n <= 1, s"$q scans documents $n times:\n" +
