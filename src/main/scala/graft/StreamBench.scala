@@ -23,6 +23,8 @@ import graft.streaming.{FanoutHub, FanoutSink, StreamOps}
   *
   * Usage: runMain graft.StreamBench [nLive] [nStateful]
   *    or: runMain graft.StreamBench --steady [rowsPerSec] [seconds]
+  *    or: runMain graft.StreamBench --sweep [rowsPerSec] [seconds]
+  *    or: runMain graft.StreamBench --serve [queriesPerSec] [seconds] [nDocs]
   * Prints one JSON line per variant.
   *
   * `--steady` is the LATENCY mode the burst runs cannot measure: a
@@ -55,6 +57,12 @@ object StreamBench {
       val secs = args.lift(2).map(_.toInt).getOrElse(20)
       for (provider <- Seq(None, Some(RocksDb)))
         steadyState(spark, rate, secs, provider)
+    } else if (args.headOption.contains("--serve")) {
+      val qps = args.lift(1).map(_.toInt).getOrElse(100)
+      val secs = args.lift(2).map(_.toInt).getOrElse(15)
+      val nDocs = args.lift(3).map(_.toInt).getOrElse(5000)
+      for (provider <- Seq(None, Some(RocksDb)))
+        serveLatency(spark, qps, secs, nDocs, provider)
     } else if (args.headOption.contains("--sweep")) {
       // the round-9 knee: windowed counts saturate at ~50k rows/s while
       // dedup holds; the documented fix is state-store parallelism. This
@@ -157,6 +165,84 @@ object StreamBench {
       df => StreamOps.windowedCounts(df, "ts", "key", "1 minute", "30 seconds"))
     run("dedup_within_watermark_steady",
       df => StreamOps.dedupWithinWatermark(df, "ts", Seq("key"), "30 seconds"))
+  }
+
+  /** Serving latency for the streaming-retrieval endpoint
+    * ([[StreamOps.retrievalServeStream]]): ONE prebuilt BM25 index over
+    * a seeded `nDocs`-doc corpus, then a feeder paces `qps` queries/s
+    * (3 random vocab terms each) into the serving stream and the probe
+    * reports per-batch `triggerExecution` percentiles — the end-to-end
+    * number (watermark dedup + postings probe + score + top-k + result
+    * collect) a retrieval SLA is written against. Index build cost is
+    * deliberately OUTSIDE the measured path: that is the serving
+    * split's whole point. No trigger is set, so batches fire as fast as
+    * results drain — batch latency IS the serving latency, and the
+    * query-id dedup state keeps the state-store provider in the path.
+    */
+  private def serveLatency(spark: SparkSession, qps: Int, seconds: Int,
+      nDocs: Int, provider: Option[String]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provName = setProvider(spark, provider)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (seconds * 8 + 100).toString)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val docs = (0L until nDocs.toLong).map { i =>
+      (i, Seq.fill(40 + rnd.nextInt(80))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    val mem = MemoryStream[(Long, Seq[String], java.sql.Timestamp)]
+    val served = new AtomicLong
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"serve_bench_$provName").toString
+    val base = 1673222400000L
+    val q = StreamOps.retrievalServeStream(
+      mem.toDF().toDF("query_id", "terms", "ts"), "ts", "30 seconds", ckpt,
+      b => graft.ext.Retrieval.bm25TopKIndexed(idx, b, 10)) { (res, _) =>
+        served.addAndGet(res.count()); ()
+      }
+    @volatile var stop = false
+    val feeder = new Thread(() => {
+      var emitted = 0L
+      val t0 = System.nanoTime()
+      while (!stop) {
+        val owed = ((System.nanoTime() - t0) / 1e9 * qps).toLong
+        if (owed > emitted) {
+          val rows = (emitted until owed).map { j =>
+            (j, Seq.fill(3)(vocab(rnd.nextInt(vocab.size))),
+              new java.sql.Timestamp(base + j * 10))
+          }
+          mem.addData(rows)
+          emitted = owed
+        }
+        Thread.sleep(50)
+      }
+    }, "serve-feeder")
+    feeder.setDaemon(true)
+    try {
+      feeder.start()
+      Thread.sleep(seconds * 1000L)
+      stop = true
+      feeder.join()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val durs = prog.map(_.durationMs.get("triggerExecution").toLong).sorted
+      require(durs.nonEmpty, "no non-empty batches in serve run")
+      def pct(p: Double): Long = durs(math.round(p * (durs.length - 1)).toInt)
+      val qPerBatch = prog.map(_.numInputRows).sum.toDouble / prog.length
+      println(s"""{"probe":"serve_latency","op":"bm25_serve","provider":"$provName",""" +
+        s""""qps":$qps,"seconds":$seconds,"n_docs":$nDocs,""" +
+        s""""batches":${durs.length},"queries_per_batch":${f"$qPerBatch%.1f"},""" +
+        s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},"max_ms":${durs.last},""" +
+        s""""result_rows":${served.get()},""" +
+        s""""provider_engaged":${providerEngaged(provider, ckpt)}}""")
+    } finally {
+      stop = true
+      q.stop()
+      graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    }
   }
 
   /** Apply (or clear) the state-store provider conf; returns the label. */
