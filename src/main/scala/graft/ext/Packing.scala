@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing plan — the step between a curated corpus
+  * and a token-budgeted training run: lay every document's tokens out
+  * on ONE contiguous global token stream (corpus order = doc_id order,
+  * the deterministic order the JSONL exporter writes), cut the stream
+  * into fixed-length training sequences, and emit, per document, which
+  * sequences its tokens land in. This is GPT-style contiguous packing
+  * (documents straddle sequence boundaries; no padding, no packing
+  * loss) — the alternative first-fit bin packing is a different op with
+  * a sequential greedy core that does not belong on a 100 TB corpus.
+  *
+  * Output per non-empty document: `doc_id, n_tok, start_tok` (global
+  * stream offset), `start_seq` / `end_seq` (first/last sequence index
+  * touched), `start_off` (offset inside the first sequence), `n_seqs`
+  * (= end_seq − start_seq + 1, the straddle count). Zero-token docs
+  * contribute nothing to the stream and emit no row. The inverse
+  * lookup (sequence → contributing docs) is a `sequence(start_seq,
+  * end_seq)` explode away — deliberately not materialized here, since
+  * its row count is corpus tokens / seqLen × straddle factor and most
+  * consumers (shard writers, curriculum samplers) want the per-doc
+  * form.
+  *
+  * Scale shape: the only non-map step is the global running token sum,
+  * computed with the two-phase distributed prefix scan
+  * ([[graft.operators.PrefixSum]], constant key) — NOT an un-partitioned
+  * window, whose single task would serialize the whole corpus through
+  * one executor. Everything after the scan is arithmetic on (start_tok,
+  * n_tok): `DIV`/`pmod` per row, no further shuffle. At 100 TB the scan
+  * is two linear passes over range-balanced partitions, and the result
+  * is exactly reproducible because (doc_id) is a total order.
+  */
+object Packing {
+
+  def packPlan(docs: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = docs.select(lit(0L).as("__k"), col("doc_id"),
+      coalesce(size(TextStats.tokens(col("text"))), lit(0))
+        .cast("long").as("n_tok"))
+    val cum = graft.operators.PrefixSum
+      .cumSumByKey(base, "__k", Seq("doc_id"), "n_tok")
+    cum.filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("start_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $seqLen").as("start_seq"),
+        pmod(col("start_tok"), lit(seqLen)).as("start_off"),
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+  }
+}

@@ -252,6 +252,14 @@ object Mixing {
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
     }),
+
+    // Training-sequence packing plan (GPT-style contiguous token
+    // stream, 2048-token sequences): per document, the global stream
+    // offset and the sequence indices it lands in. The running token
+    // sum is the two-phase distributed prefix scan, never an
+    // un-partitioned window — see graft.ext.Packing.
+    "q112_sequence_pack" -> ((s, d) =>
+      graft.ext.Packing.packPlan(Tables.documents(s, d), seqLen = 2048L)),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -259,6 +267,24 @@ object Mixing {
   import LlmQueries.{toksExpr, codesExpr, shingleCtes, minhashCols, bandKeyCase}
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle may use the naive un-partitioned window the Spark side
+    // deliberately avoids — doc_id is unique, so the default RANGE
+    // frame equals ROWS and the running sum is well-defined; every
+    // dividend is non-negative so // and % agree with DIV and pmod
+    "q112_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, n_tok,
+            CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT)
+              AS start_tok FROM t)
+          SELECT doc_id, n_tok, start_tok,
+            CAST(start_tok // 2048 AS BIGINT) AS start_seq,
+            CAST(start_tok % 2048 AS BIGINT) AS start_off,
+            CAST((start_tok + n_tok - 1) // 2048 AS BIGINT) AS end_seq,
+            CAST((start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1
+              AS BIGINT) AS n_seqs
+          FROM c WHERE n_tok > 0""",
     "q88_temperature_sampling" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
           t AS (SELECT lang, n_docs, (SELECT sum(n_docs) FROM c) AS total FROM c),

@@ -259,4 +259,54 @@ class MixingSpec extends AnyFunSuite {
     val mean = got.map(_._2).sum.toDouble / 16
     assert(got.map(_._2).max < 2 * mean, got.map(_._2).mkString(","))
   }
+
+  test("sequence packing: contiguous stream, exact straddles, plain-Scala parity") {
+    import spark.implicits._
+    // hand fixture exercising each shape: boundary-aligned doc, doc
+    // exactly filling a sequence, multi-sequence straddler, zero-token
+    // doc (drops out without shifting the stream), 1-token doc
+    val L = 8L
+    val docs = Seq(
+      (0L, "a b c d e f g h"),  // 8 toks: fills seq 0 exactly
+      (1L, ""),                 // 0 toks: no row, no shift
+      (2L, "x y z"),            // 3 toks: seq 1, off 0
+      (3L, Seq.fill(14)("t").mkString(" ")), // 14: straddles seqs 1..3
+      (4L, "q")                 // 1 tok: seq 3, off 1
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Packing.packPlan(docs, L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    graft.ext.Dedup.clearSignatureCaches()
+    assert(got === List(
+      (0L, 8L, 0L, 0L, 0L, 0L, 1L),
+      (2L, 3L, 8L, 1L, 0L, 1L, 1L),
+      (3L, 14L, 11L, 1L, 3L, 3L, 3L),
+      (4L, 1L, 25L, 3L, 1L, 3L, 1L)))
+    // randomized corpus vs a plain-Scala fold of the same definition
+    val rnd = new scala.util.Random(11)
+    val rdocs = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))("w").mkString(" "))
+    }
+    val want = {
+      var cum = 0L
+      rdocs.flatMap { case (id, text) =>
+        val n = text.split(" ").count(_.nonEmpty).toLong
+        val start = cum
+        cum += n
+        if (n == 0) None
+        else Some((id, n, start, start / 2048, start % 2048,
+          (start + n - 1) / 2048, (start + n - 1) / 2048 - start / 2048 + 1))
+      }.toList
+    }
+    val got2 = graft.ext.Packing.packPlan(rdocs.toDF("doc_id", "text"), 2048L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    graft.ext.Dedup.clearSignatureCaches()
+    assert(got2 === want)
+    // stream contiguity: every row starts where the previous ended
+    got2.sliding(2).foreach {
+      case List(a, b) => assert(a._3 + a._2 === b._3, s"gap after doc ${a._1}")
+      case _ => ()
+    }
+  }
 }
