@@ -260,6 +260,45 @@ object Mixing {
     // un-partitioned window — see graft.ext.Packing.
     "q112_sequence_pack" -> ((s, d) =>
       graft.ext.Packing.packPlan(Tables.documents(s, d), seqLen = 2048L)),
+
+    // PPS systematic sampling (probability-proportional-to-size): per
+    // language, lay the docs on a token-weighted line in q87's
+    // deterministic hash order and select every doc whose interval
+    // contains a multiple of step = total_tokens DIV 25 — the standard
+    // survey-sampling / corpus-selection move (big docs proportionally
+    // likelier, tiny docs still reachable), here EXACT-INTEGER end to
+    // end: no ln/exp keys, so cross-engine parity needs no rounding
+    // discipline at all. `picks` counts the multiples inside the
+    // interval (a doc larger than step is selected once with
+    // multiplicity, preserving Σpicks = tw DIV step ≈ 25 per lang).
+    // Scale: the weighted line is the same two-phase PrefixSum as
+    // q87/q112; totals are count-sized and broadcast back.
+    "q113_pps_sample" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(
+        $"lang",
+        pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"),
+        $"doc_id",
+        coalesce(size(TextStats.tokens($"text")), lit(0))
+          .cast("long").as("n_tok"))
+      val cum = graft.operators.PrefixSum
+        .cumSumByKey(base, "lang", Seq("h"), "n_tok")
+      val tot = cum.groupBy($"lang").agg(sum($"n_tok").as("tw"))
+        .withColumn("step", greatest(expr("tw DIV 25"), lit(1L)))
+        .select($"lang", $"step")
+      cum.join(broadcast(tot), Seq("lang"))
+        .filter($"n_tok" > 0)
+        .withColumn("start", $"cum" - $"n_tok")
+        // multiples of step in [start, start+n_tok-1]; the start=0 case
+        // guards the negative dividend where Spark DIV truncates toward
+        // zero but SQL // floors — all other operands are non-negative
+        .withColumn("picks",
+          expr("(start + n_tok - 1) DIV step") -
+            when($"start" === 0L, lit(0L))
+              .otherwise(expr("(start - 1) DIV step")))
+        .filter($"picks" > 0)
+        .select($"lang", $"doc_id", $"n_tok", $"picks")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -285,6 +324,27 @@ object Mixing {
             CAST((start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1
               AS BIGINT) AS n_seqs
           FROM c WHERE n_tok > 0""",
+    // exact-integer PPS: q87's hash order + token-weighted line; the
+    // CASE start = 0 mirror matters — (start-1)//step would floor a
+    // negative dividend where Spark DIV truncates
+    "q113_pps_sample" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+            (doc_id * 2654435761 + 17) % 1000000007 AS h,
+            CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT *, CAST(sum(n_tok) OVER (
+              PARTITION BY lang ORDER BY h) AS BIGINT) AS cum FROM t),
+          w AS (SELECT lang, greatest(CAST(sum(n_tok) AS BIGINT) // 25, 1)
+              AS step FROM t GROUP BY lang),
+          j AS (SELECT c.lang, c.doc_id, c.n_tok,
+              c.cum - c.n_tok AS start, w.step
+            FROM c JOIN w USING (lang) WHERE c.n_tok > 0),
+          p AS (SELECT lang, doc_id, n_tok,
+              CAST((start + n_tok - 1) // step -
+                CASE WHEN start = 0 THEN 0 ELSE (start - 1) // step END
+                AS BIGINT) AS picks
+            FROM j)
+          SELECT lang, doc_id, n_tok, picks FROM p WHERE picks > 0""",
     "q88_temperature_sampling" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
           t AS (SELECT lang, n_docs, (SELECT sum(n_docs) FROM c) AS total FROM c),

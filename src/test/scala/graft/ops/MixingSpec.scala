@@ -309,4 +309,42 @@ class MixingSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("q113 PPS sample: pick mass conserved per lang; parity with plain-Scala systematic walk") {
+    import spark.implicits._
+    val got = graft.queries.Mixing.queries("q113_pps_sample")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toList
+    graft.ext.Dedup.clearSignatureCaches()
+    // plain-Scala reference: same hash order, same weighted line, count
+    // multiples of step inside each doc's interval
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id",
+        coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
+          .cast("long").as("n_tok"))
+      .as[(String, Long, Long)].collect()
+    def h(id: Long) = Math.floorMod(id * 2654435761L + 17L, 1000000007L)
+    val want = docs.groupBy(_._1).toList.flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy(r => h(r._2))
+      val tw = ordered.map(_._3).sum
+      val step = math.max(tw / 25, 1L)
+      var cum = 0L
+      ordered.flatMap { case (_, id, n) =>
+        val start = cum
+        cum += n
+        val picks =
+          if (n == 0) 0L
+          else (start + n - 1) / step - (if (start == 0) 0L else (start - 1) / step)
+        if (picks > 0) Some((lang, id, n, picks)) else None
+      }
+    }
+    assert(got.toSet === want.toSet)
+    // mass conservation: Σpicks per lang = tw DIV step (every multiple
+    // of step on the line lands in exactly one doc interval)
+    val gotMass = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    for ((lang, rows) <- docs.groupBy(_._1)) {
+      val tw = rows.map(_._3).sum
+      val step = math.max(tw / 25, 1L)
+      assert(gotMass.getOrElse(lang, 0L) === tw / step, s"lang $lang")
+    }
+  }
 }
