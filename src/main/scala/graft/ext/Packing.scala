@@ -35,6 +35,30 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The inverse view of [[packPlan]]: per training SEQUENCE, how many
+    * documents contribute and how many of its token slots each fills —
+    * the manifest a data-loader shard reads. Each doc row explodes to
+    * its `sequence(start_seq, end_seq)` span (bounded by the straddle
+    * count, so the explode is O(rows + total straddles), never
+    * O(tokens)) and contributes `min(end, (s+1)·L) − max(start, s·L)`
+    * clipped tokens to sequence s. Every sequence sums to exactly
+    * `seqLen` tokens except the last partial one — the invariant the
+    * spec pins and the oracle re-derives.
+    */
+  def sequenceManifest(docs: DataFrame, seqLen: Long): DataFrame = {
+    val plan = packPlan(docs, seqLen)
+    plan
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        (col("start_tok") + col("n_tok")).as("end_tok"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("end_tok"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("start_tok"), col("seq_id") * seqLen))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_seq")).as("n_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   def packPlan(docs: DataFrame, seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val base = docs.select(lit(0L).as("__k"), col("doc_id"),

@@ -261,6 +261,13 @@ object Mixing {
     "q112_sequence_pack" -> ((s, d) =>
       graft.ext.Packing.packPlan(Tables.documents(s, d), seqLen = 2048L)),
 
+    // The packing manifest (q112's inverse): per training sequence, the
+    // contributing docs and clipped token counts — every sequence holds
+    // exactly 2048 tokens except the last (the data-loader contract).
+    "q114_pack_manifest" -> ((s, d) =>
+      graft.ext.Packing.sequenceManifest(Tables.documents(s, d),
+        seqLen = 2048L)),
+
     // PPS systematic sampling (probability-proportional-to-size): per
     // language, lay the docs on a token-weighted line in q87's
     // deterministic hash order and select every doc whose interval
@@ -324,6 +331,28 @@ object Mixing {
             CAST((start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1
               AS BIGINT) AS n_seqs
           FROM c WHERE n_tok > 0""",
+    // the q112 chain + generate_series over each doc's sequence span +
+    // interval clipping with greatest/least — all integer arithmetic
+    "q114_pack_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT doc_id, n_tok,
+            CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT)
+              AS start_tok FROM t),
+          p AS (SELECT doc_id, n_tok, start_tok,
+              start_tok + n_tok AS end_tok,
+              start_tok // 2048 AS start_seq,
+              (start_tok + n_tok - 1) // 2048 AS end_seq
+            FROM c WHERE n_tok > 0),
+          e AS (SELECT doc_id, n_tok, start_tok, end_tok,
+              unnest(generate_series(start_seq, end_seq)) AS seq_id
+            FROM p)
+          SELECT seq_id, count(*) AS n_docs,
+            CAST(sum(least(end_tok, (seq_id + 1) * 2048) -
+              greatest(start_tok, seq_id * 2048)) AS BIGINT) AS n_tok,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM e GROUP BY seq_id""",
     // exact-integer PPS: q87's hash order + token-weighted line; the
     // CASE start = 0 mirror matters — (start-1)//step would floor a
     // negative dividend where Spark DIV truncates

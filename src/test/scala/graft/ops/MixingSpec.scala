@@ -310,6 +310,35 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence manifest: every sequence holds exactly L tokens except the last; doc/token mass conserved") {
+    import spark.implicits._
+    val L = 8L
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(rnd.nextInt(20))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = graft.ext.Packing.sequenceManifest(docs, L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    graft.ext.Dedup.clearSignatureCaches()
+    val totalTok = m.map(_._3).sum
+    // seq ids are a gapless 0..N prefix; every seq full except the last
+    assert(m.map(_._1) === m.indices.map(_.toLong).toList)
+    m.init.foreach { r => assert(r._3 === L, s"seq ${r._1} not full: $r") }
+    assert(m.last._3 === (if (totalTok % L == 0) L else totalTok % L))
+    // doc spans tile: first_doc of seq s+1 == last_doc of s (straddler)
+    // or last_doc + 1 (clean cut)
+    m.sliding(2).foreach {
+      case List(a, b) =>
+        assert(b._4 === a._5 || b._4 === a._5 + 1, s"span break at ${b._1}")
+      case _ => ()
+    }
+    // token mass: manifest total == packPlan total == corpus tokens
+    val plan = graft.ext.Packing.packPlan(docs, L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    graft.ext.Dedup.clearSignatureCaches()
+    assert(totalTok === plan.map(_._2).sum)
+  }
+
   test("q113 PPS sample: pick mass conserved per lang; parity with plain-Scala systematic walk") {
     import spark.implicits._
     val got = graft.queries.Mixing.queries("q113_pps_sample")(spark, sf)
