@@ -63,6 +63,12 @@ object StreamBench {
       val nDocs = args.lift(3).map(_.toInt).getOrElse(5000)
       for (provider <- Seq(None, Some(RocksDb)))
         serveLatency(spark, qps, secs, nDocs, provider)
+    } else if (args.headOption.contains("--serve-ann")) {
+      val qps = args.lift(1).map(_.toInt).getOrElse(100)
+      val secs = args.lift(2).map(_.toInt).getOrElse(15)
+      val nVecs = args.lift(3).map(_.toInt).getOrElse(20000)
+      for (provider <- Seq(None, Some(RocksDb)))
+        serveAnnLatency(spark, qps, secs, nVecs, provider)
     } else if (args.headOption.contains("--sweep")) {
       // the round-9 knee: windowed counts saturate at ~50k rows/s while
       // dedup holds; the documented fix is state-store parallelism. This
@@ -242,6 +248,86 @@ object StreamBench {
       stop = true
       q.stop()
       graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    }
+  }
+
+  /** The ANN half of the serving matrix: trained IVF index over a
+    * clustered fixture, PERSISTED as the cell-partitioned disk store
+    * ([[graft.ext.Similarity.ivfAppendStore]] — the layout incremental
+    * ingest maintains), query vectors paced at `qps` through
+    * [[StreamOps.retrievalServeStream]] →
+    * [[graft.ext.Similarity.ivfBatchTopKQueries]]. Same measurement
+    * discipline as the BM25 probe: index/train cost outside the path,
+    * per-batch `triggerExecution` percentiles, both providers.
+    */
+  private def serveAnnLatency(spark: SparkSession, qps: Int, seconds: Int,
+      nVecs: Int, provider: Option[String]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provName = setProvider(spark, provider)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (seconds * 8 + 100).toString)
+    val all = graft.RecallProbe.clusteredFixture(spark, nVecs).cache()
+    val cents = graft.ext.Similarity
+      .kmeansCentroids(all, k = 16, iters = 3, roundTo = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"serve_ann_store_$provName").toString
+    graft.ext.Similarity.ivfAppendStore(all, cents, dir)
+    val store = spark.read.parquet(dir).cache()
+    store.count() // materialize: store read cost off the serving path
+    val qvecs = all.filter($"vec_id" < 256)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    all.unpersist()
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val served = new AtomicLong
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"serve_ann_ckpt_$provName").toString
+    val base = 1673222400000L
+    val q = StreamOps.retrievalServeStream(
+      mem.toDF().toDF("query_id", "qvec", "ts"), "ts", "30 seconds", ckpt,
+      b => graft.ext.Similarity.ivfBatchTopKQueries(store, cents.sortBy(_._1),
+        b.select(col("query_id"), col("qvec")), k = 10, nprobe = 2)) {
+        (res, _) => served.addAndGet(res.count()); () }
+    @volatile var stop = false
+    val feeder = new Thread(() => {
+      var emitted = 0L
+      val t0 = System.nanoTime()
+      while (!stop) {
+        val owed = ((System.nanoTime() - t0) / 1e9 * qps).toLong
+        if (owed > emitted) {
+          val rows = (emitted until owed).map { j =>
+            val (_, v) = qvecs((j % qvecs.length).toInt)
+            (j, v, new java.sql.Timestamp(base + j * 10))
+          }
+          mem.addData(rows)
+          emitted = owed
+        }
+        Thread.sleep(50)
+      }
+    }, "serve-ann-feeder")
+    feeder.setDaemon(true)
+    try {
+      feeder.start()
+      Thread.sleep(seconds * 1000L)
+      stop = true
+      feeder.join()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val durs = prog.map(_.durationMs.get("triggerExecution").toLong).sorted
+      require(durs.nonEmpty, "no non-empty batches in serve-ann run")
+      def pct(p: Double): Long = durs(math.round(p * (durs.length - 1)).toInt)
+      val qPerBatch = prog.map(_.numInputRows).sum.toDouble / prog.length
+      println(s"""{"probe":"serve_latency","op":"ivf_serve","provider":"$provName",""" +
+        s""""qps":$qps,"seconds":$seconds,"n_vecs":$nVecs,""" +
+        s""""batches":${durs.length},"queries_per_batch":${f"$qPerBatch%.1f"},""" +
+        s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},"max_ms":${durs.last},""" +
+        s""""result_rows":${served.get()},""" +
+        s""""provider_engaged":${providerEngaged(provider, ckpt)}}""")
+    } finally {
+      stop = true
+      q.stop()
+      store.unpersist()
     }
   }
 
