@@ -310,6 +310,19 @@ class PlanSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("q110 serving BM25: the indexed path holds the same broadcast-only contract") {
+    // the serving twin of the q105 pin: term-set restriction of the
+    // postings, the df restriction, the stats attach, and the query
+    // fan-out must all broadcast — a SortMergeJoin means a serving
+    // batch started shuffling the postings table per query batch
+    val df = graft.SparkEntry.queries("q110_bm25_serving")(spark, sf)
+    df.count()
+    val p = physical(df).toString
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("q108 semantic dedup: one embeddings scan; pair join keyed on the cell") {
     // the SemDeDup contract: the assigned frame is cached so both sides
     // of the pair self-join ride ONE embeddings read (at 100 TB a second
