@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory tier of the ANN
+  * story: split each `m·d`-dim embedding into `m` subvectors, quantize
+  * every subvector to its nearest codebook entry (L2), and keep only
+  * the `m` one-byte-ish codes. At 100 TB the float corpus is 256 B/vec;
+  * PQ codes at m=4, ksub=16 are 4 codes/vec — the index that stays
+  * RAM-resident for a first-pass scan while the floats live on disk for
+  * re-ranking (the IVF cell store built by the incremental-ingest ops
+  * is exactly that re-rank tier).
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * query precomputes one m × ksub table of query-subvector-to-centroid
+  * distances, and each document's approximate distance is the sum of m
+  * table lookups by its codes — no float vector is touched.
+  *
+  * Determinism/parity discipline (the q101/q32 family rules):
+  *  - subspace L2² is composed from three dot products
+  *    (`dot(a,a) − 2·dot(a,b) + dot(b,b)`), each the float-multiply /
+  *    double-accumulate sequential dot whose Spark-vs-DuckDB bit parity
+  *    the gated cosine family already establishes;
+  *  - every comparison key and table entry is the EXACT scaled integer
+  *    `floor(l2² · 1e6 + 0.5)` (long), so encode argmins, ADC sums
+  *    (exact long additions) and the final ordering can never straddle
+  *    a ULP across engines; ties break by code id / vec_id.
+  *  - codebooks here are the deterministic seed (subvector slices of
+  *    the first `ksub` vectors — the q32 "untrained centroids"
+  *    precedent, which is what lets the DuckDB oracle replay the whole
+  *    pipeline without a training unroll per subspace). A trained
+  *    variant would need an L2 Lloyd (the cosine trainer
+  *    [[Similarity.kmeansCentroids]] optimizes a different objective);
+  *    at 100 TB you train codebooks on the round-9 1% sample rule
+  *    either way.
+  */
+object Pq {
+
+  /** codebooks(j) = subspace j's entries as (code, subvector), code ∈
+    * [0, ksub), every subvector of equal length d.
+    */
+  type Codebooks = Seq[Seq[(Long, Seq[Float])]]
+
+  /** Deterministic seed codebooks: subspace slices of the first `ksub`
+    * vectors (codes = their vec_ids, 0-based and dense by contract).
+    */
+  def seedCodebooks(embeddings: DataFrame, m: Int, ksub: Int): Codebooks = {
+    val rows = embeddings.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(rows.size == ksub, s"need vec_ids 0..${ksub - 1} as seeds")
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    (0 until m).map(j => rows.map { case (id, v) =>
+      (id, v.slice(j * d, j * d + d))
+    })
+  }
+
+  /** Sequential dot with the exact accumulation order of the native
+    * kernel (float multiply, double accumulate) — used driver-side for
+    * the query's ADC table so its values are bit-identical to what the
+    * engines compute.
+    */
+  private def sdot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+    acc
+  }
+
+  private def l2Long(a: Seq[Float], b: Seq[Float]): Long =
+    math.floor((sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)) * 1e6 + 0.5).toLong
+
+  /** Engine-side scaled-integer L2² key between a subvector column and
+    * a codebook literal — same composition, same scaling as [[l2Long]].
+    */
+  private def l2KeyCol(sub: Column, cv: Seq[Float]): Column = {
+    val b = typedLit(cv)
+    floor((Similarity.dotHof(sub, sub) -
+      lit(2.0) * Similarity.dotHof(sub, b) +
+      Similarity.dotHof(b, b)) * 1000000 + 0.5).cast("long")
+  }
+
+  /** PQ encode: (vec_id, c0..c{m-1}) — each code the argmin-L2 codebook
+    * entry for that subspace (ties by code id). A pure map over
+    * broadcast-sized codebook constants: no shuffle, O(m·ksub·d) work
+    * per row, the same plan shape as IVF cell assignment.
+    */
+  def encode(embeddings: DataFrame, cbs: Codebooks): DataFrame = {
+    val d = cbs.head.head._2.length
+    val codeCols = cbs.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col("embedding"), j * d + 1, d)
+      val cands = cb.map { case (code, cv) =>
+        struct(l2KeyCol(sub, cv).as("k"), lit(code).as("id"))
+      }
+      element_at(sort_array(array(cands: _*)), 1)
+        .getField("id").as(s"c$j")
+    }
+    embeddings.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** ADC top-k for one query: the query's m × ksub distance table is
+    * computed ONCE (driver-side, bit-identical to the engine per
+    * [[sdot]]) and becomes plan literals; each encoded doc pays m array
+    * lookups and an exact long sum. Output (vec_id, pq_dist_s6), rank
+    * by approximate distance asc, ties by vec_id. The floats never
+    * enter the scoring plan — that is PQ's point.
+    */
+  def adcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      cbs: Codebooks): DataFrame = {
+    val d = cbs.head.head._2.length
+    val qvec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val enc = encode(embeddings, cbs)
+    val dist = cbs.zipWithIndex.map { case (cb, j) =>
+      val qsub = qvec.slice(j * d, j * d + d)
+      val tbl = cb.sortBy(_._1).map { case (_, cv) => lit(l2Long(qsub, cv)) }
+      element_at(array(tbl: _*), (col(s"c$j") + 1).cast("int"))
+    }.reduce(_ + _)
+    enc.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), dist.as("pq_dist_s6"))
+      .orderBy(col("pq_dist_s6").asc, col("vec_id").asc)
+      .limit(k)
+  }
+}

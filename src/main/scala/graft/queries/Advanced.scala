@@ -167,6 +167,18 @@ object Advanced {
         minCos = 0.35)
     }),
 
+    // Product quantization + ADC (the ANN memory tier): m=4 subspaces
+    // of 16 dims, 16-entry seed codebooks per subspace (the q32
+    // untrained-centroid precedent, which is what lets the oracle
+    // replay the whole pipeline), every doc reduced to 4 codes, query
+    // scored by 4 exact-integer table lookups — the floats never enter
+    // the scoring plan. See graft.ext.Pq.
+    "q115_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Pq.adcTopK(emb, queryVecId = 0L, k = 10,
+        graft.ext.Pq.seedCodebooks(emb, m = 4, ksub = 16))
+    }),
+
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
@@ -674,6 +686,36 @@ object Advanced {
           SELECT session_seq, count(*) AS n_other_events
           FROM u7 JOIN pts ON pts.tsec BETWEEN u7.s AND u7.e
           GROUP BY session_seq""",
+    // PQ + ADC replay: slice per subspace, argmin-L2 encode (the same
+    // scaled-integer key as the engine — three dots composed then
+    // floor(x*1e6+0.5), so the argmin and the sum can never straddle a
+    // ULP), query table per (j, code), exact BIGINT sum of 4 lookups
+    "q115_pq_adc" -> {
+      def l2k(a: String, b: String) =
+        s"""CAST(floor((${dotSql(a, a)} - 2.0 * ${dotSql(a, b)}
+            + ${dotSql(b, b)}) * 1000000 + 0.5) AS BIGINT)"""
+      s"""WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+          sub AS (SELECT e.vec_id, js.j,
+              list_slice(e.embedding, js.j * 16 + 1, js.j * 16 + 16) AS sv
+            FROM embeddings e, js),
+          cbsub AS (SELECT c.vec_id AS code, js.j,
+              list_slice(c.embedding, js.j * 16 + 1, js.j * 16 + 16) AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 16) c, js),
+          enc AS (SELECT vec_id, j, code FROM (
+              SELECT s.vec_id, s.j, c.code,
+                row_number() OVER (PARTITION BY s.vec_id, s.j
+                  ORDER BY ${l2k("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+              FROM sub s JOIN cbsub c ON s.j = c.j) t WHERE rn = 1),
+          q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+          tbl AS (SELECT c.j, c.code, ${l2k("q.qv", "c.cv")} AS d6
+            FROM cbsub c JOIN q ON q.j = c.j)
+          SELECT e.vec_id, CAST(sum(t.d6) AS BIGINT) AS pq_dist_s6
+          FROM enc e JOIN tbl t ON e.j = t.j AND e.code = t.code
+          WHERE e.vec_id != 0
+          GROUP BY e.vec_id
+          ORDER BY pq_dist_s6 ASC, vec_id ASC LIMIT 10"""
+    },
     "q32_ivf_ann" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
             FROM embeddings WHERE vec_id < 16),

@@ -489,6 +489,60 @@ class AdvancedOpsSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("PQ encode/ADC: plain-Scala replay parity; recall floor on clustered vectors") {
+    import spark.implicits._
+    import graft.ext.Pq
+    val all = graft.RecallProbe.clusteredFixture(spark, 600).cache()
+    val cbs = Pq.seedCodebooks(all, m = 4, ksub = 16)
+    val vecs = all.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def sdot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+      acc
+    }
+    def l2k(a: Seq[Float], b: Seq[Float]): Long =
+      math.floor((sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)) * 1e6 + 0.5).toLong
+    // plain-Scala PQ: encode every vector, ADC-score against query 0
+    val want = {
+      val q = vecs.find(_._1 == 0L).get._2
+      vecs.filter(_._1 != 0L).map { case (id, v) =>
+        val dist = (0 until 4).map { j =>
+          val sub = v.slice(j * 16, j * 16 + 16)
+          val qsub = q.slice(j * 16, j * 16 + 16)
+          val code = cbs(j).minBy { case (c, cv) => (l2k(sub, cv), c) }._1
+          l2k(qsub, cbs(j)(code.toInt)._2)
+        }.sum
+        (id, dist)
+      }.sortBy { case (id, dd) => (dd, id) }.take(10).toList
+    }
+    val got = Pq.adcTopK(all, queryVecId = 0L, k = 10, cbs)
+      .as[(Long, Long)].collect().toList
+    assert(got === want)
+    // recall on CLUSTERED data: PQ with untrained seed codebooks is
+    // LOSSY by design (measured 0.4 at m=4 here) — the informative
+    // property is that finer quantization recovers signal: doubling the
+    // subspaces must not lose recall, and the coarse tier still beats
+    // noise. (The production recovery levers are trained codebooks and
+    // PQ-as-first-pass + float re-rank, per the Pq scaladoc.)
+    val q = vecs.find(_._1 == 0L).get._2
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)
+    val exact = vecs.filter(_._1 != 0L)
+      .sortBy { case (id, v) => (l2(q, v), id) }.take(10).map(_._1).toSet
+    def recallAt(m: Int): Double = {
+      val cb = Pq.seedCodebooks(all, m = m, ksub = 16)
+      val ids = Pq.adcTopK(all, queryVecId = 0L, k = 10, cb)
+        .as[(Long, Long)].collect().map(_._1)
+      ids.count(exact).toDouble / 10
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    assert(r8 >= r4, s"finer quantization lost recall: m=8 $r8 < m=4 $r4")
+    assert(r4 >= 0.3, s"coarse PQ recall $r4 below noise floor")
+    all.unpersist()
+  }
+
   test("semanticDropList: greedy keep-smallest per cell; never pairs across cells") {
     import spark.implicits._
     import graft.ext.Similarity
