@@ -111,10 +111,17 @@ object Pq {
     */
   def adcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       cbs: Codebooks): DataFrame = {
-    val d = cbs.head.head._2.length
     val qvec = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect().head.getSeq[Float](0)
-    val enc = encode(embeddings, cbs)
+    adcScore(encode(embeddings, cbs), qvec, queryVecId, k, cbs)
+  }
+
+  /** The ADC tail shared by [[adcTopK]] and [[ivfAdcTopK]]: per-subspace
+    * query tables as plan literals, per-doc exact long sum, rank.
+    */
+  private def adcScore(enc: DataFrame, qvec: Seq[Float], queryVecId: Long,
+      k: Int, cbs: Codebooks): DataFrame = {
+    val d = cbs.head.head._2.length
     val dist = cbs.zipWithIndex.map { case (cb, j) =>
       val qsub = qvec.slice(j * d, j * d + d)
       val tbl = cb.sortBy(_._1).map { case (_, cv) => lit(l2Long(qsub, cv)) }
@@ -124,5 +131,31 @@ object Pq {
       .select(col("vec_id"), dist.as("pq_dist_s6"))
       .orderBy(col("pq_dist_s6").asc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** IVF-PQ — the composed billion-scale serving architecture (FAISS's
+    * IVF-PQ shape): the coarse IVF index prunes the corpus to `nprobe`
+    * cells (partition pruning on the disk store at scale), then ADC
+    * ranks ONLY the surviving candidates from their codes. Work per
+    * query: nprobe/nCentroids of the corpus × m table lookups — neither
+    * a full scan nor a float read. Both halves are the independently
+    * gated pieces (q32's probe/assignment discipline, q115's
+    * encode/ADC), composed; the float re-rank tier on the top-r results
+    * reads the IVF cell store ([[Similarity.ivfAppendStore]]'s layout).
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      cbs: Codebooks, nCentroids: Int = 16, nprobe: Int = 2,
+      centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val centRows = centroids.map(_.sortBy(_._1)).getOrElse {
+      embeddings.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    }
+    val qvec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val probes = Similarity.probeCells(centRows, qvec, nprobe)
+    val cand = Similarity.ivfAssign(embeddings, centRows)
+      .filter(col("cell").isin(probes: _*))
+    adcScore(encode(cand, cbs), qvec, queryVecId, k, cbs)
   }
 }

@@ -179,6 +179,16 @@ object Advanced {
         graft.ext.Pq.seedCodebooks(emb, m = 4, ksub = 16))
     }),
 
+    // IVF-PQ, the composed billion-scale serving shape: coarse probe
+    // (q32's discipline) prunes to 2 of 16 cells, ADC (q115's
+    // discipline) ranks only the survivors from their codes. Neither a
+    // corpus scan nor a float read in the scoring plan.
+    "q116_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Pq.ivfAdcTopK(emb, queryVecId = 0L, k = 10,
+        graft.ext.Pq.seedCodebooks(emb, m = 4, ksub = 16))
+    }),
+
     // SimHash64 near-dup pairs within hamming 3 (chunked LSH blocking).
     "q33_simhash64_pairs" -> ((s, d) =>
       Dedup.hammingPairs(Tables.documents(s, d), maxDist = 3)),
@@ -710,6 +720,49 @@ object Advanced {
           q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
           tbl AS (SELECT c.j, c.code, ${l2k("q.qv", "c.cv")} AS d6
             FROM cbsub c JOIN q ON q.j = c.j)
+          SELECT e.vec_id, CAST(sum(t.d6) AS BIGINT) AS pq_dist_s6
+          FROM enc e JOIN tbl t ON e.j = t.j AND e.code = t.code
+          WHERE e.vec_id != 0
+          GROUP BY e.vec_id
+          ORDER BY pq_dist_s6 ASC, vec_id ASC LIMIT 10"""
+    },
+    // the q32 probe/assignment chain + the q115 encode/ADC chain,
+    // composed: candidates = probed cells only, codes/tables unchanged
+    "q116_ivf_pq" -> {
+      def l2k(a: String, b: String) =
+        s"""CAST(floor((${dotSql(a, a)} - 2.0 * ${dotSql(a, b)}
+            + ${dotSql(b, b)}) * 1000000 + 0.5) AS BIGINT)"""
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          a AS (SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+          assigned AS (SELECT vec_id, embedding, cent_id AS cell
+            FROM a WHERE rn = 1),
+          q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          probes AS (SELECT cent_id FROM cents, q0
+            ORDER BY ${cosSql("cvec", "qvec")} DESC, cent_id ASC LIMIT 2),
+          cand AS (SELECT vec_id, embedding FROM assigned
+            JOIN probes ON assigned.cell = probes.cent_id),
+          js AS (SELECT unnest(generate_series(0, 3)) AS j),
+          sub AS (SELECT e.vec_id, js.j,
+              list_slice(e.embedding, js.j * 16 + 1, js.j * 16 + 16) AS sv
+            FROM cand e, js),
+          cbsub AS (SELECT c.vec_id AS code, js.j,
+              list_slice(c.embedding, js.j * 16 + 1, js.j * 16 + 16) AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 16) c, js),
+          enc AS (SELECT vec_id, j, code FROM (
+              SELECT s.vec_id, s.j, c.code,
+                row_number() OVER (PARTITION BY s.vec_id, s.j
+                  ORDER BY ${l2k("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+              FROM sub s JOIN cbsub c ON s.j = c.j) t WHERE rn = 1),
+          qs AS (SELECT js.j,
+              list_slice(q0.qvec, js.j * 16 + 1, js.j * 16 + 16) AS qv
+            FROM q0, js),
+          tbl AS (SELECT c.j, c.code, ${l2k("qs.qv", "c.cv")} AS d6
+            FROM cbsub c JOIN qs ON qs.j = c.j)
           SELECT e.vec_id, CAST(sum(t.d6) AS BIGINT) AS pq_dist_s6
           FROM enc e JOIN tbl t ON e.j = t.j AND e.code = t.code
           WHERE e.vec_id != 0

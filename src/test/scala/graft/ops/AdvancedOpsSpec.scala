@@ -543,6 +543,31 @@ class AdvancedOpsSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("IVF-PQ composition: equals ADC restricted to the probed cells") {
+    import spark.implicits._
+    import graft.ext.{Pq, Similarity}
+    val all = graft.RecallProbe.clusteredFixture(spark, 500).cache()
+    val cbs = Pq.seedCodebooks(all, m = 4, ksub = 16)
+    val cents = all.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val qvec = all.filter($"vec_id" === 0L)
+      .select($"embedding").collect().head.getSeq[Float](0)
+    val probes = Similarity.probeCells(cents, qvec, nprobe = 2).toSet
+    val got = Pq.ivfAdcTopK(all, queryVecId = 0L, k = 10, cbs)
+      .as[(Long, Long)].collect().toList
+    // reference: restrict the corpus to the probed cells by the SAME
+    // assignment, then run the full (un-probed) ADC ranker on it
+    val restricted = Similarity.ivfAssign(all, cents)
+      .filter($"cell".isin(probes.toSeq: _*))
+      .select($"vec_id", $"embedding")
+    val want = Pq.adcTopK(restricted, queryVecId = 0L, k = 10, cbs)
+      .as[(Long, Long)].collect().toList
+    assert(got === want)
+    assert(got.nonEmpty && got.size <= 10)
+    all.unpersist()
+  }
+
   test("semanticDropList: greedy keep-smallest per cell; never pairs across cells") {
     import spark.implicits._
     import graft.ext.Similarity
