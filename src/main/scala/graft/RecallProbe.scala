@@ -130,6 +130,91 @@ object RecallProbe {
     }
   }
 
+  /** PQ recall probe (`--pq [n]`): seed vs L2-Lloyd-trained codebooks
+    * at m ∈ {4, 8} on the clustered fixture, recall@10 against exact
+    * L2 over 16 queries — the measured version of the Pq scaladoc's
+    * "trained codebooks recover recall" claim, and the sizing basis
+    * for how much the tier-3 float re-rank must widen (r/k) under each
+    * codebook regime.
+    */
+  private def runPq(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Pq
+    val n = args.lift(1).map(_.toInt).getOrElse(4000)
+    val ksub = args.lift(2).map(_.toInt).getOrElse(16)
+    val k = 10
+    val nQ = 16
+    val all = clusteredFixture(spark, n).cache()
+    val vecs = all.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def sdot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+      acc
+    }
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)
+    val truth: Map[Long, Set[Long]] = (0L until nQ.toLong).map { q =>
+      val qv = vecs.find(_._1 == q).get._2
+      q -> vecs.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(qv, v), id) }.take(k).map(_._1).toSet
+    }.toMap
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def l2kInt(a: Seq[Float], b: Seq[Float]): Long =
+      math.floor(l2(a, b) * 1e6 + 0.5).toLong
+    for (m <- Seq(4, 8)) {
+      val seed = Pq.seedCodebooks(all, m, ksub)
+      val (trained, tTrain) = time(Pq.trainCodebooks(all, m, ksub, iters = 3))
+      val d = 64 / m
+      for ((name, cbs, ts) <- Seq(("seed", seed, 0.0),
+          ("trained_l2_lloyd", trained, tTrain))) {
+        // driver replay of the gated encode/ADC (engine parity is
+        // spec-pinned; the probe sweeps r, which needs many rankings)
+        val codes: Array[(Long, Array[Int])] = vecs.map { case (id, v) =>
+          id -> (0 until m).map { j =>
+            val sub = v.slice(j * d, j * d + d)
+            cbs(j).minBy { case (c, cv) => (l2kInt(sub, cv), c) }._1.toInt
+          }.toArray
+        }
+        def adcRank(q: Long): Seq[Long] = {
+          val qv = vecs.find(_._1 == q).get._2
+          val tbl = (0 until m).map { j =>
+            val qsub = qv.slice(j * d, j * d + d)
+            cbs(j).sortBy(_._1).map { case (_, cv) => l2kInt(qsub, cv) }.toArray
+          }
+          codes.filter(_._1 != q).map { case (id, cs) =>
+            (id, (0 until m).map(j => tbl(j)(cs(j))).sum)
+          }.sortBy { case (id, dd) => (dd, id) }.map(_._1).toSeq
+        }
+        // raw ADC@k, and the TIERED pipeline: ADC top-r -> exact-float
+        // re-rank -> top-k (the SCALE.md three-tier shape; r/k is the
+        // re-rank width the codebook quality buys down)
+        val rs = Seq(50, 100, 200)
+        val sums = Array.fill(rs.size + 1)(0.0)
+        for (q <- 0L until nQ.toLong) {
+          val qv = vecs.find(_._1 == q).get._2
+          val ranked = adcRank(q)
+          sums(0) += ranked.take(k).count(truth(q)).toDouble / k
+          for ((r, i) <- rs.zipWithIndex) {
+            val rerank = ranked.take(r)
+              .map(id => (id, l2(qv, vecs.find(_._1 == id).get._2)))
+              .sortBy { case (id, dd) => (dd, id) }.take(k).map(_._1)
+            sums(i + 1) += rerank.count(truth(q)).toDouble / k
+          }
+        }
+        val raw = sums(0) / nQ
+        val rr = rs.zipWithIndex
+          .map { case (r, i) => s""""rerank_at_$r":${f"${sums(i + 1) / nQ}%.4f"}""" }
+          .mkString(",")
+        println(s"""{"probe":"pq_recall","n":$n,"m":$m,"ksub":$ksub,"codebooks":"$name","adc_raw":${f"$raw%.4f"},$rr,"train_sec":${f"$ts%.2f"}}""")
+      }
+    }
+    all.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val clustered = args.headOption.contains("--clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -143,6 +228,10 @@ object RecallProbe {
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
     if (args.headOption.contains("--drift")) {
       try runDrift(spark, args) finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("--pq")) {
+      try runPq(spark, args) finally spark.stop()
       return
     }
     import org.apache.spark.sql.functions.col

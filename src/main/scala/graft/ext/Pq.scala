@@ -27,14 +27,15 @@ import org.apache.spark.sql.functions._
   *    `floor(l2² · 1e6 + 0.5)` (long), so encode argmins, ADC sums
   *    (exact long additions) and the final ordering can never straddle
   *    a ULP across engines; ties break by code id / vec_id.
-  *  - codebooks here are the deterministic seed (subvector slices of
-  *    the first `ksub` vectors — the q32 "untrained centroids"
-  *    precedent, which is what lets the DuckDB oracle replay the whole
-  *    pipeline without a training unroll per subspace). A trained
-  *    variant would need an L2 Lloyd (the cosine trainer
-  *    [[Similarity.kmeansCentroids]] optimizes a different objective);
-  *    at 100 TB you train codebooks on the round-9 1% sample rule
-  *    either way.
+  *  - the GATED query uses the deterministic seed codebooks (subvector
+  *    slices of the first `ksub` vectors — the q32 "untrained
+  *    centroids" precedent, which is what lets the DuckDB oracle
+  *    replay the whole pipeline without a training unroll per
+  *    subspace); [[trainCodebooks]] is the production path — an L2
+  *    Lloyd per subspace (the cosine trainer
+  *    [[Similarity.kmeansCentroids]] optimizes a different objective),
+  *    recall recovery measured by `RecallProbe --pq`. At 100 TB train
+  *    on the round-9 1% sample rule either way.
   */
 object Pq {
 
@@ -57,6 +58,47 @@ object Pq {
     (0 until m).map(j => rows.map { case (id, v) =>
       (id, v.slice(j * d, j * d + d))
     })
+  }
+
+  /** Trained codebooks: an L2 Lloyd per subspace (assignment by the
+    * same scaled-integer argmin the encoder uses; per-(code, dim) mean
+    * rounded `roundTo` then cast float32 — the q40/q101 quantization
+    * discipline that makes distributed training bit-reproducible;
+    * codes that lose every member keep their previous entry). The
+    * cosine trainer [[Similarity.kmeansCentroids]] optimizes a
+    * different objective, so PQ gets its own: quantization error IS
+    * L2. Per iteration each subspace costs one narrow assignment pass
+    * + a (ksub × d)-row aggregate; at 100 TB train on the round-9 1%
+    * sample rule like the coarse centroids.
+    */
+  def trainCodebooks(embeddings: DataFrame, m: Int, ksub: Int, iters: Int,
+      roundTo: Int = 4): Codebooks = {
+    import graft.queries.Num.{r => rnd}
+    val seed = seedCodebooks(embeddings, m, ksub)
+    val d = seed.head.head._2.length
+    (0 until m).map { j =>
+      val sub = embeddings.select(col("vec_id"),
+        slice(col("embedding"), j * d + 1, d).as("sv"))
+      var cb = seed(j)
+      for (_ <- 0 until iters) {
+        val cands = cb.map { case (code, cv) =>
+          struct(l2KeyCol(col("sv"), cv).as("k"), lit(code).as("id"))
+        }
+        val updated = sub
+          .withColumn("code",
+            element_at(sort_array(array(cands: _*)), 1).getField("id"))
+          .select(col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .groupBy(col("code"), col("dim"))
+          .agg(rnd(avg(col("v")), roundTo).as("c"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (code, rows) =>
+            code -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          }
+        cb = cb.map { case (code, old) => (code, updated.getOrElse(code, old)) }
+      }
+      cb
+    }
   }
 
   /** Sequential dot with the exact accumulation order of the native

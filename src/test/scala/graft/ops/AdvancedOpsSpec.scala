@@ -543,6 +543,29 @@ class AdvancedOpsSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("trainCodebooks: deterministic across partitionings; shape and quantization invariants") {
+    import spark.implicits._
+    import graft.ext.Pq
+    val all = graft.RecallProbe.clusteredFixture(spark, 400).cache()
+    val a = Pq.trainCodebooks(all, m = 4, ksub = 16, iters = 2)
+    val b = Pq.trainCodebooks(all.repartition(3), m = 4, ksub = 16, iters = 2)
+    assert(a === b, "training must not depend on the partition layout")
+    assert(a.size === 4 && a.forall(_.size === 16))
+    assert(a.forall(_.forall(_._2.size === 16)))
+    // a code with members moves to the (quantized) subspace mean:
+    // float32 of the 1e-4-rounded double, exactly — codes that lost
+    // every member keep their seed entry, so compare membership-aware
+    val seed = Pq.seedCodebooks(all, m = 4, ksub = 16)
+    assert(a.flatten.toSet != seed.flatten.toSet,
+      "training must move at least one codebook entry")
+    for (((cb, sb), _) <- a.zip(seed).zipWithIndex; ((code, cv), (_, sv)) <- cb.zip(sb)
+         if cv != sv; x <- cv) {
+      val r = math.floor(x.toDouble * 10000 + 0.5) / 10000
+      assert(x === r.toFloat, s"trained component $x not float32(round4(mean))")
+    }
+    all.unpersist()
+  }
+
   test("IVF-PQ composition: equals ADC restricted to the probed cells") {
     import spark.implicits._
     import graft.ext.{Pq, Similarity}
