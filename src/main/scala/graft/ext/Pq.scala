@@ -113,17 +113,34 @@ object Pq {
     acc
   }
 
-  private def l2Long(a: Seq[Float], b: Seq[Float]): Long =
-    math.floor((sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)) * 1e6 + 0.5).toLong
+  /** Key clamp bound: keys live in [−2⁵⁹, 2⁵⁹], so an ADC sum of up to
+    * 16 subspace entries cannot overflow a long. On the gated corpora
+    * (finite, unit-scale vectors: keys ~1e8) the clamp is IDENTITY, so
+    * oracle parity is untouched; it exists for hostile inputs — a ±1e30
+    * vector squares to ±Inf whose `cast(long)` throws under ANSI, and a
+    * NaN distance (0/overflow arithmetic) maps to the bound = "farthest
+    * possible", which is the right retrieval semantics for a vector the
+    * metric cannot place.
+    */
+  private val KeyBound = (1L << 59).toDouble
+
+  private def l2Long(a: Seq[Float], b: Seq[Float]): Long = {
+    val f = math.floor((sdot(a, a) - 2.0 * sdot(a, b) + sdot(b, b)) * 1e6 + 0.5)
+    val c = if (f.isNaN) KeyBound else math.max(-KeyBound, math.min(KeyBound, f))
+    c.toLong
+  }
 
   /** Engine-side scaled-integer L2² key between a subvector column and
-    * a codebook literal — same composition, same scaling as [[l2Long]].
+    * a codebook literal — same composition, scaling and clamp as
+    * [[l2Long]].
     */
   private def l2KeyCol(sub: Column, cv: Seq[Float]): Column = {
     val b = typedLit(cv)
-    floor((Similarity.dotHof(sub, sub) -
+    val raw = floor((Similarity.dotHof(sub, sub) -
       lit(2.0) * Similarity.dotHof(sub, b) +
-      Similarity.dotHof(b, b)) * 1000000 + 0.5).cast("long")
+      Similarity.dotHof(b, b)) * 1000000 + 0.5)
+    least(greatest(nanvl(raw, lit(KeyBound)), lit(-KeyBound)),
+      lit(KeyBound)).cast("long")
   }
 
   /** PQ encode: (vec_id, c0..c{m-1}) — each code the argmin-L2 codebook

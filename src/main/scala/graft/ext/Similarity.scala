@@ -289,10 +289,15 @@ object Similarity {
     // probe keys: -floor(rnd(cos,6)*1e6 + 0.5) as LONG — the +0.5
     // recovers the exact scaled integer after rnd's inexact division,
     // and an integer key sidesteps the -0.0 / 0.0 ordering mismatch a
-    // negated double would risk across engines
+    // negated double would risk across engines. The nanvl + [-2, 2]
+    // clamp is IDENTITY for any real cosine (|cos| <= 1, so parity on
+    // the gated data is untouched); it exists for hostile vectors —
+    // a zero/±1e30 query makes the cosine NaN/±Inf, whose cast(long)
+    // throws under ANSI. NaN/far maps to cos = -2 = "probe last".
     val cands = centRows.map { case (id, cv) =>
+      val c = nanvl(rnd(cosine(col("qvec"), typedLit(cv)), 6), lit(-2.0))
       struct(
-        (-floor(rnd(cosine(col("qvec"), typedLit(cv)), 6) * 1000000 + 0.5))
+        (-floor(least(greatest(c, lit(-2.0)), lit(2.0)) * 1000000 + 0.5))
           .cast("long").as("nc"),
         lit(id).as("id"))
     }

@@ -519,7 +519,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val embQueries = Seq("q23_cosine_topk", "q24_ann_bucketed",
       "q25_embedding_near_dup", "q32_ivf_ann", "q40_vector_centroid",
       "q64_embedding_quantize", "q70_batch_ann", "q72_rp_lsh_topk",
-      "q84_cluster_profile")
+      "q84_cluster_profile",
+      // the trained/composed ANN family: Lloyd training, batch IVF,
+      // semantic dedup, PQ encode/ADC and IVF-PQ all run over the same
+      // zero/huge/tiny vectors (NaN cosines land in the assignment and
+      // probe orderings; the L2 keys hit ±Inf*1e6 float->long edges)
+      "q101_ivf_trained", "q106_ivf_batch", "q108_semantic_dedup",
+      "q115_pq_adc", "q116_ivf_pq")
     val failures = embQueries.flatMap { name =>
       try { graft.SparkEntry.queries(name)(spark, dir).count(); None }
       catch { case e: Throwable =>
