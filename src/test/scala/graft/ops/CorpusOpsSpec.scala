@@ -498,6 +498,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     Dedup.clearSignatureCaches()
   }
 
+  test("every corpus operator executes on PATHOLOGICAL documents") {
+    import spark.implicits._
+    // the shapes that break tokenizers and per-doc loops: a 200k-char
+    // doc of normal tokens (50k tokens), a single 100k-char TOKEN (one
+    // giant word — shingle/gram windows must not blow up on it), a
+    // whitespace-only doc, repeated-token floods (modal-count paths),
+    // a unicode/combining-mark doc, and a handful of normal docs so
+    // joins/aggregates have structure
+    val dir = java.nio.file.Files.createTempDirectory("patho").toString
+    val huge = Seq.fill(50000)("tok").zipWithIndex
+      .map { case (t, i) => s"$t$i" }.mkString(" ")         // 50k distinct tokens
+    val giantTok = "x" * 100000                              // one 100k-char token
+    val flood = Seq.fill(30000)("same").mkString(" ")        // 30k identical tokens
+    val unicode = ("café Å " * 2000).trim
+    val rows = Seq(
+      (0L, huge, "en", "web"), (1L, giantTok, "en", "web"),
+      (2L, "   \t  \n  ", "en", "web"), (3L, flood, "en", "web"),
+      (4L, unicode, "de", "book")
+    ) ++ (5L until 30L).map(i => (i, s"normal doc $i words here", "en", "web"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length($"text"), lit(0)).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docQueries = (graft.queries.LlmQueries.queries.toSeq ++
+      graft.queries.Mixing.queries.toSeq)
+      .filterNot { case (n, _) =>
+        Seq("q23", "q24", "q25", "q32", "q64", "q70", "q72", "q84")
+          .exists(n.startsWith)
+      }
+    val failures = docQueries.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    Dedup.clearSignatureCaches()
+  }
+
   test("embedding operators execute on zero and extreme vectors") {
     import spark.implicits._
     // a zero vector makes cosine NaN; huge magnitudes stress the dot
