@@ -143,22 +143,40 @@ object Pq {
       lit(KeyBound)).cast("long")
   }
 
-  /** PQ encode: (vec_id, c0..c{m-1}) — each code the argmin-L2 codebook
-    * entry for that subspace (ties by code id). A pure map over
-    * broadcast-sized codebook constants: no shuffle, O(m·ksub·d) work
-    * per row, the same plan shape as IVF cell assignment.
+  /** PQ encode: (vec_id, codes array<long> of length m) — each code the
+    * argmin-L2 codebook entry for that subspace (ties by code id). A
+    * pure map over broadcast-sized codebook constants: no shuffle,
+    * O(m·ksub·d) work per row, the same plan shape as IVF cell
+    * assignment — executed by the native codegen'd [[graft.ext.VecMath
+    * .pqEncode]] kernel (ONE pass; the declarative [[encodeHof]] form
+    * it replaced survives for the bit-parity spec, the
+    * VocabStats/RepetitionStats discipline).
     */
   def encode(embeddings: DataFrame, cbs: Codebooks): DataFrame = {
+    val m = cbs.size
+    val flat = cbs.flatMap(_.sortBy(_._1).map(_._2.toArray)).toArray
+    val dbb = flat.map(cv => sdot(cv.toSeq, cv.toSeq))
+    embeddings.select(col("vec_id"),
+      org.apache.spark.sql.graft.GraftColumns
+        .pqEncode(col("embedding"), m, KeyBound, flat, dbb).as("codes"))
+  }
+
+  /** The declarative encode the native kernel replaced: per subspace,
+    * m × ksub struct(key, code) candidates through sort_array. Output
+    * shape identical to [[encode]]; retained so the kernel's bit parity
+    * is a pinned spec, not an assumption.
+    */
+  def encodeHof(embeddings: DataFrame, cbs: Codebooks): DataFrame = {
     val d = cbs.head.head._2.length
     val codeCols = cbs.zipWithIndex.map { case (cb, j) =>
       val sub = slice(col("embedding"), j * d + 1, d)
       val cands = cb.map { case (code, cv) =>
         struct(l2KeyCol(sub, cv).as("k"), lit(code).as("id"))
       }
-      element_at(sort_array(array(cands: _*)), 1)
-        .getField("id").as(s"c$j")
+      element_at(sort_array(array(cands: _*)), 1).getField("id")
     }
-    embeddings.select(col("vec_id") +: codeCols: _*)
+    embeddings.select(col("vec_id"),
+      array(codeCols: _*).cast("array<long>").as("codes"))
   }
 
   /** ADC top-k for one query: the query's m × ksub distance table is
@@ -184,7 +202,8 @@ object Pq {
     val dist = cbs.zipWithIndex.map { case (cb, j) =>
       val qsub = qvec.slice(j * d, j * d + d)
       val tbl = cb.sortBy(_._1).map { case (_, cv) => lit(l2Long(qsub, cv)) }
-      element_at(array(tbl: _*), (col(s"c$j") + 1).cast("int"))
+      element_at(array(tbl: _*),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
     enc.filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), dist.as("pq_dist_s6"))

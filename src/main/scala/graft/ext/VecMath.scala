@@ -370,6 +370,52 @@ object VecMath {
     sig
   }
 
+  /** PQ encode kernel (the [[graft.ext.Pq]] argmin, one pass): for each
+    * of `m` subspaces of width `d`, the code of the candidate with the
+    * smallest clamped scaled-integer L2² key — arithmetic
+    * operand-for-operand identical to the declarative HOF form
+    * (sequential float-multiply / double-accumulate dots composed as
+    * `daa − 2·dab + dbb`, `floor(x·1e6 + 0.5)`, NaN → +bound, clamp to
+    * ±`keyBound`, ties to the smaller code), which is what the
+    * bit-parity spec pins. `cb` is row-major (j·ksub + c), codes dense
+    * 0..ksub−1; `dbb(j·ksub + c)` the precomputed candidate self-dots.
+    * Null ELEMENTS are out of contract (the embeddings tables have
+    * none); `getFloat` reads them as 0 where the HOF would null out.
+    */
+  def pqEncode(vec: ArrayData, m: Int, d: Int, keyBound: Double,
+      cb: Array[Array[Float]], dbb: Array[Double]): ArrayData = {
+    val ksub = cb.length / m
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var daa = 0.0
+      var i = 0
+      while (i < d) {
+        val f = vec.getFloat(j * d + i); daa += (f * f).toDouble; i += 1
+      }
+      var best = Long.MaxValue
+      var bestC = 0L
+      var c = 0
+      while (c < ksub) {
+        val cv = cb(j * ksub + c)
+        var dab = 0.0
+        i = 0
+        while (i < d) {
+          dab += (vec.getFloat(j * d + i) * cv(i)).toDouble; i += 1
+        }
+        val raw = math.floor((daa - 2.0 * dab + dbb(j * ksub + c)) * 1e6 + 0.5)
+        val key =
+          (if (raw.isNaN) keyBound
+           else math.max(-keyBound, math.min(keyBound, raw))).toLong
+        if (key < best) { best = key; bestC = c.toLong }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Unicode NFC canonicalization (java.text.Normalizer), UTF8String in
     * and out. Fast path: already-normalized text (the overwhelming case
     * in a crawl) returns the input reference without re-encoding.

@@ -362,6 +362,40 @@ case class GramCodes(child: Expression, n: Int)
 }
 
 /** LSH sign-bucket id (bit d set when dim d > 0), codegen'd. */
+/** PQ subspace encode ([[graft.ext.Pq]]): array<float> embedding →
+  * array<long> of `m` codebook codes, the argmin-L2 assignment per
+  * subspace as ONE codegen'd kernel pass instead of m × ksub
+  * struct-array HOF candidates (the q115/q116 hot path — same
+  * retire-the-declarative-form move as VocabStats/RepetitionStats,
+  * with the HOF form retained in Pq.encodeHof for the bit-parity
+  * spec). Codebooks and their precomputed self-dots ride along as
+  * per-task reference objects.
+  */
+case class PqEncode(child: Expression, m: Int, keyBound: Double,
+    cb: Array[Array[Float]], dbb: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def d: Int = cb.head.length
+
+  override def nullSafeEval(a: Any): Any =
+    graft.ext.VecMath.pqEncode(a.asInstanceOf[ArrayData], m, d, keyBound,
+      cb, dbb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][]")
+    val dbbRef = ctx.addReferenceObj("pqDbb", dbb, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.ext.VecMath.pqEncode($a, $m, $d, $keyBound, $cbRef, $dbbRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SignBucket(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -395,6 +429,11 @@ object GraftColumns {
 
   def signBucket(vec: Column, bits: Int): Column =
     ExpressionUtils.column(SignBucket(ExpressionUtils.expression(vec), bits))
+
+  def pqEncode(vec: Column, m: Int, keyBound: Double,
+      cb: Array[Array[Float]], dbb: Array[Double]): Column =
+    ExpressionUtils.column(
+      PqEncode(ExpressionUtils.expression(vec), m, keyBound, cb, dbb))
 
   def rpBucket(vec: Column, nPlanes: Int, dim: Int): Column =
     ExpressionUtils.column(

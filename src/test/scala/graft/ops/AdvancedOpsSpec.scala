@@ -543,6 +543,28 @@ class AdvancedOpsSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("native PqEncode kernel is bit-identical to the declarative HOF encode") {
+    import spark.implicits._
+    import graft.ext.Pq
+    // random + hostile rows: zero vector (NaN-free for L2 but all-tie
+    // keys -> smallest code), huge magnitudes (the clamp path)
+    val rnd = new scala.util.Random(77)
+    val rows = Seq(
+      (1000L, Seq.fill(64)(0.0f)),
+      (1001L, Seq.fill(64)(1e30f)),
+      (1002L, Seq.fill(64)(-1e30f))) ++
+      (0L until 300L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 4 - 2)))
+    val df = rows.toDF("vec_id", "embedding")
+    for (m <- Seq(4, 8)) {
+      val cbs = Pq.seedCodebooks(df, m, ksub = 16)
+      val native = Pq.encode(df, cbs)
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toList
+      val hof = Pq.encodeHof(df, cbs)
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toList
+      assert(native === hof, s"kernel diverged from HOF at m=$m")
+    }
+  }
+
   test("trainCodebooks: deterministic across partitionings; shape and quantization invariants") {
     import spark.implicits._
     import graft.ext.Pq
