@@ -113,6 +113,21 @@ object Pq {
     acc
   }
 
+  /** Contract guard: the native [[encode]] kernel emits the POSITIONAL
+    * candidate index as the code and [[adcScore]] indexes the query
+    * table positionally — both correct only when every subspace's codes
+    * are exactly the dense set 0..ksub−1 (the documented Codebooks
+    * contract; [[seedCodebooks]]/[[trainCodebooks]] produce it). A
+    * caller-supplied sparse/permuted codebook would otherwise SILENTLY
+    * mis-score rankings; fail loudly instead.
+    */
+  private def requireDense(cbs: Codebooks): Unit =
+    cbs.zipWithIndex.foreach { case (cb, j) =>
+      val codes = cb.map(_._1).sorted
+      require(codes == (0L until cb.size.toLong),
+        s"subspace $j codes must be dense 0..${cb.size - 1}, got $codes")
+    }
+
   /** Key clamp bound: keys live in [−2⁵⁹, 2⁵⁹], so an ADC sum of up to
     * 16 subspace entries cannot overflow a long. On the gated corpora
     * (finite, unit-scale vectors: keys ~1e8) the clamp is IDENTITY, so
@@ -153,6 +168,7 @@ object Pq {
     * VocabStats/RepetitionStats discipline).
     */
   def encode(embeddings: DataFrame, cbs: Codebooks): DataFrame = {
+    requireDense(cbs)
     val m = cbs.size
     val flat = cbs.flatMap(_.sortBy(_._1).map(_._2.toArray)).toArray
     val dbb = flat.map(cv => sdot(cv.toSeq, cv.toSeq))
@@ -198,6 +214,7 @@ object Pq {
     */
   private def adcScore(enc: DataFrame, qvec: Seq[Float], queryVecId: Long,
       k: Int, cbs: Codebooks): DataFrame = {
+    requireDense(cbs)
     val d = cbs.head.head._2.length
     val dist = cbs.zipWithIndex.map { case (cb, j) =>
       val qsub = qvec.slice(j * d, j * d + d)

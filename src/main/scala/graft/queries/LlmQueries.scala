@@ -360,12 +360,17 @@ object LlmQueries {
     // (DIV) keep both engines bit-exact.
     "q68_domain_mix" -> ((s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val docs = Tables.documents(s, d)
-      val thr = docs.groupBy($"source").agg(count(lit(1)).as("n_before"))
-        .withColumn("total", sum($"n_before").over(w))
-        .withColumn("k", count(lit(1)).over(w))
+      // scalar totals via crossJoin(broadcast(agg)) — q92's form — not
+      // an unpartitioned window (cosmetically identical here on the
+      // per-source K-row frame, but keeps WindowExec warnings meaning
+      // something in plan audits); cnts cached so the totals pass
+      // doesn't re-scan the corpus
+      val cnts = Dedup.cached(
+        docs.groupBy($"source").agg(count(lit(1)).as("n_before")))
+      val tots = cnts.agg(sum($"n_before").as("total"),
+        count(lit(1)).as("k"))
+      val thr = cnts.crossJoin(broadcast(tots))
         .withColumn("thr",
           least(lit(1000L), expr("(total * 1000) DIV (k * n_before)")))
         .select($"source", $"n_before", $"thr")
@@ -541,10 +546,12 @@ object LlmQueries {
           countDistinct($"text").as("n_distinct_texts"),
           sum(size(TextStats.tokens($"text")).cast("long")).as("n_tokens"),
           sum(when(keepCond, 1L).otherwise(0L)).as("n_keep"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-      val ent = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
-        .withColumn("total", sum($"nl").over(w))
+      // scalar total via crossJoin(broadcast(agg)) — q92's form, no
+      // unpartitioned window; nl table cached (K rows) so the total
+      // doesn't re-run the lang aggregate
+      val nls = Dedup.cached(docs.groupBy($"lang").agg(count(lit(1)).as("nl")))
+      val ent = nls
+        .crossJoin(broadcast(nls.agg(sum($"nl").as("total"))))
         .agg(sum($"nl" *
           floor(log($"nl".cast("double") / $"total".cast("double"))
             * 10000 + 0.5).cast("long")).as("s4"))
@@ -570,11 +577,13 @@ object LlmQueries {
     // with an id-sum checksum proving every replica covers every doc.
     "q86_rebalance_upsample" -> ((s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val docs = Tables.documents(s, d)
-      val fac = docs.groupBy($"lang").agg(count(lit(1)).as("n_before"))
-        .withColumn("maxn", max($"n_before").over(w))
+      // scalar max via crossJoin(broadcast(agg)) — q92's form, no
+      // unpartitioned window; cnts cached so the max doesn't re-scan
+      val cnts = Dedup.cached(
+        docs.groupBy($"lang").agg(count(lit(1)).as("n_before")))
+      val fac = cnts
+        .crossJoin(broadcast(cnts.agg(max($"n_before").as("maxn"))))
         .withColumn("factor", greatest(lit(1L), expr("maxn DIV n_before")))
         .select($"lang", $"n_before", $"factor")
       docs.join(broadcast(fac), Seq("lang"))
@@ -834,13 +843,21 @@ object LlmQueries {
         .select($"doc_id", $"text", $"n_chars"))
       val queries = Bm25BatchQueries.toDF("query_id", "terms")
       val lexical = graft.ext.Retrieval.bm25BatchTopK(docs, queries, 10)
-      val top20 = docs
+      // rank-by-predecessor-count over the broadcast 20-row frame — no
+      // global-order window (cosmetically identical here, but keeps
+      // WindowExec warnings meaning something in plan audits); cached
+      // because both crossJoin sides consume it
+      val top20 = Dedup.cached(docs
         .select($"doc_id", coalesce($"n_chars", lit(0)).cast("long").as("nc"))
-        .orderBy($"nc".desc, $"doc_id".asc).limit(20)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"nc".desc, $"doc_id".asc)
+        .orderBy($"nc".desc, $"doc_id".asc).limit(20))
       val priorRanked = top20
-        .select($"doc_id", row_number().over(w).cast("long").as("rank"))
+        .crossJoin(broadcast(
+          top20.select($"doc_id".as("d2"), $"nc".as("nc2"))))
+        .groupBy($"doc_id", $"nc")
+        .agg((sum(when($"nc2" > $"nc" ||
+            ($"nc2" === $"nc" && $"d2" < $"doc_id"), 1L).otherwise(0L)) + 1L)
+          .as("rank"))
+        .select($"doc_id", $"rank")
       val prior = queries.select($"query_id", lit(1).as("j"))
         .join(broadcast(priorRanked.withColumn("j", lit(1))), Seq("j"))
         .select($"query_id", $"rank", $"doc_id")

@@ -40,15 +40,21 @@ object Mixing {
     // agreement, confined by the rounding like q71's idf.
     "q88_temperature_sampling" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-      Tables.documents(s, d).groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("total", sum($"n_docs").over(w))
+      // scalar totals via crossJoin(broadcast(agg)) — the q92 form —
+      // instead of an unpartitioned window: same cost on this K-row
+      // frame, but keeps plan audits free of WindowExec warnings that
+      // WOULD be real on an unaggregated input. cnts is cached (K rows)
+      // so its two consumers don't re-scan the corpus.
+      val cnts = Dedup.cached(Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs")))
+      val tot = cnts.agg(sum($"n_docs").as("total"))
+      val p = Dedup.cached(cnts.crossJoin(broadcast(tot))
         .withColumn("p_r",
           rnd($"n_docs".cast("double") / $"total".cast("double"), 6))
         .withColumn("pw6",
-          floor(pow($"p_r", lit(Alpha)) * 1000000 + 0.5).cast("long"))
-        .withColumn("z6", sum($"pw6").over(w))
+          floor(pow($"p_r", lit(Alpha)) * 1000000 + 0.5).cast("long")))
+      val z = p.agg(sum($"pw6").as("z6"))
+      p.crossJoin(broadcast(z))
         .select($"lang", $"n_docs", $"p_r",
           rnd($"pw6".cast("double") / $"z6".cast("double"), 6).as("weight"),
           floor(lit(EpochDocs).cast("double") * $"pw6".cast("double") /
@@ -282,14 +288,21 @@ object Mixing {
     // q87/q112; totals are count-sized and broadcast back.
     "q113_pps_sample" -> ((s, d) => {
       import s.implicits._
+      // doc_id reduced mod p BEFORE the multiply: (doc_id % p) < 1e9 so
+      // the product stays < 2.7e18 — no ANSI overflow even at 100 TB id
+      // ranges (doc_id alone would overflow past ~3.5e9). doc_id rides
+      // as an order tiebreak so an h-collision can't make the running
+      // sum order-nondeterministic (unique order also makes the
+      // oracle's default RANGE frame equal ROWS).
       val base = Tables.documents(s, d).select(
         $"lang",
-        pmod($"doc_id" * 2654435761L + 17L, lit(1000000007L)).as("h"),
+        pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 17L,
+          lit(1000000007L)).as("h"),
         $"doc_id",
         coalesce(size(TextStats.tokens($"text")), lit(0))
           .cast("long").as("n_tok"))
       val cum = graft.operators.PrefixSum
-        .cumSumByKey(base, "lang", Seq("h"), "n_tok")
+        .cumSumByKey(base, "lang", Seq("h", "doc_id"), "n_tok")
       val tot = cum.groupBy($"lang").agg(sum($"n_tok").as("tw"))
         .withColumn("step", greatest(expr("tw DIV 25"), lit(1L)))
         .select($"lang", $"step")
@@ -355,14 +368,16 @@ object Mixing {
           FROM e GROUP BY seq_id""",
     // exact-integer PPS: q87's hash order + token-weighted line; the
     // CASE start = 0 mirror matters — (start-1)//step would floor a
-    // negative dividend where Spark DIV truncates
+    // negative dividend where Spark DIV truncates. doc_id is reduced
+    // mod p before the multiply (overflow headroom, mirrors Spark) and
+    // rides as the ORDER BY tiebreak (unique order ⇒ RANGE == ROWS).
     "q113_pps_sample" ->
       s"""WITH t AS (SELECT lang, doc_id,
-            (doc_id * 2654435761 + 17) % 1000000007 AS h,
+            ((doc_id % 1000000007) * 2654435761 + 17) % 1000000007 AS h,
             CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok
             FROM documents),
           c AS (SELECT *, CAST(sum(n_tok) OVER (
-              PARTITION BY lang ORDER BY h) AS BIGINT) AS cum FROM t),
+              PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS cum FROM t),
           w AS (SELECT lang, greatest(CAST(sum(n_tok) AS BIGINT) // 25, 1)
               AS step FROM t GROUP BY lang),
           j AS (SELECT c.lang, c.doc_id, c.n_tok,
