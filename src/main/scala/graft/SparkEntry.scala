@@ -20,7 +20,7 @@ object SparkEntry {
       graft.queries.Ais2.queries ++
       graft.queries.GeoQueries.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.IvefQueries.queries ++ graft.queries.Advanced.queries ++
-      graft.queries.Mixing.queries
+      graft.queries.Mixing.queries ++ graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       graft.queries.Ais2.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
       graft.queries.IvefQueries.oracleSql ++ graft.queries.Advanced.oracleSql ++
-      graft.queries.Mixing.oracleSql
+      graft.queries.Mixing.oracleSql ++ graft.queries.Curation.oracleSql
 }

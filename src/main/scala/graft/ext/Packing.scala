@@ -59,11 +59,19 @@ object Packing {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
-  def packPlan(docs: DataFrame, seqLen: Long): DataFrame = {
-    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val base = docs.select(lit(0L).as("__k"), col("doc_id"),
+  def packPlan(docs: DataFrame, seqLen: Long): DataFrame =
+    packPlanFromCounts(docs.select(col("doc_id"),
       coalesce(size(TextStats.tokens(col("text"))), lit(0))
-        .cast("long").as("n_tok"))
+        .cast("long").as("n_tok")), seqLen)
+
+  /** [[packPlan]] over already-computed per-doc token counts (doc_id,
+    * n_tok) — the form a pipeline whose upstream stages already
+    * tokenized uses, so the corpus is not re-tokenized just to pack.
+    */
+  def packPlanFromCounts(counts: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = counts.select(lit(0L).as("__k"), col("doc_id"),
+      col("n_tok").cast("long").as("n_tok"))
     val cum = graft.operators.PrefixSum
       .cumSumByKey(base, "__k", Seq("doc_id"), "n_tok")
     cum.filter(col("n_tok") > 0)

@@ -604,10 +604,10 @@ object Advanced {
           min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events FROM s1 GROUP BY user_id, session_seq)"""
 
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
 
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     Num.rSql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
 
   /** The trained-IVF Lloyd unroll, shared VERBATIM by the q101, q106 and
@@ -620,7 +620,7 @@ object Advanced {
     * member keep their seed centroid. Leaves `cent1` (trained centroids)
     * and `as1` (trained assignment: vec_id, embedding, cell) in scope.
     */
-  private def lloydCte: String =
+  private[queries] def lloydCte: String =
     s"""cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec
             FROM embeddings WHERE vec_id < 16),
           a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Packing, Similarity, TextStats}
+import graft.queries.Num.{r => rnd}
+
+/** q117: the end-to-end curation pipeline — the product shape a 100 TB
+  * training-data run takes, composed as ONE lineage through the
+  * independently-gated stages:
+  *
+  *   raw documents
+  *     → 1 clean (q57's digit scrub + whitespace normalize)
+  *     → 2 quality + repetition filter (q17's quality score, q67's
+  *         top-token / distinct ratios, q55's min-token floor)
+  *     → 3 exact dedup on cleaned text (q20: keep min doc_id)
+  *     → 4 MinHash-LSH near-dup drop list (q21 pairs → q73 components,
+  *         keep each cluster's min id)
+  *     → 5 semantic dedup (q108: the q101-trained IVF index, pairs
+  *         strictly within a cell, both sides survivors)
+  *     → 6 decontamination (q81: the holdout is carved from the FULL
+  *         corpus by the q51 hash split — eval data exists before
+  *         curation — survivors keep only train-bucket docs with zero
+  *         shingle overlap)
+  *     → 7 domain mix (q68's uniform-share permille thresholds from
+  *         SURVIVOR counts)
+  *     → 8 per-language token budget (q87's deterministic hash order +
+  *         prefix-scan cutoff)
+  *     → 9 sequence packing (q112's contiguous global token stream)
+  *
+  * Drop lists apply in sequence: every stage sees only the previous
+  * stage's survivors (except where the semantics genuinely bind to the
+  * full corpus: the stage-5 index is trained on the whole embedding
+  * table like any production ANN index, and the stage-6 holdout is the
+  * full corpus' eval split). The output manifest is the q112 pack plan
+  * of the final survivors plus their lang/source attribution — a
+  * single hash-gated artifact that any stage drift anywhere upstream
+  * perturbs (the pack offsets are a running sum over the exact
+  * survivor set and token counts).
+  *
+  * Oracle discipline: the DuckDB replay chains the SAME CTE builders
+  * the standalone gates use ([[LlmQueries.shingleCtesFor]],
+  * [[LlmQueries.minhashCols]]/[[LlmQueries.bandKeyCase]],
+  * [[Advanced.lloydCte]]), so no stage can drift from its standalone
+  * gate.
+  *
+  * Scale shape: ONE parquet scan of documents (the cleaned corpus is
+  * cached and every stage derives from it — PlanSpec pins the count),
+  * one of embeddings; the only corpus-wide shuffles are the ones the
+  * standalone stages already pay (LSH band join, component fixpoint on
+  * the dup-density-sized pair list, shingle-code join pruned map-side
+  * by the Bloom filter, two-phase prefix scans). Stage hashes reduce
+  * doc_id mod 1e9 / mod p BEFORE the multiply (the q113 overflow rule;
+  * 1000 | 1e9 and 100 | 1e9, so the permille/bucket values are
+  * unchanged for any doc_id < 1e9 and defined — not overflowing — for
+  * all larger ids).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // stage thresholds — shared verbatim with the oracle SQL below
+  val MinTokens = 10L
+  val MinQuality = 0.5
+  val MaxTopTokRatio = 0.2
+  val MinDistinctRatio = 0.3
+  val MinJaccard = 0.7
+  val MinCos = 0.35
+  val HoldoutBucket = 80L
+  val TokenBudget = 3000L
+  val SeqLen = 2048L
+
+  /** q57's cleaning transform, applied corpus-wide (stage 1). */
+  private def cleaned(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[0-9]+", "<NUM>"), " +", " "))
+
+  /** Overflow-safe q51/q68/q87-family stage hashes (doc_id pre-reduced
+    * so the multiply can't overflow a long under ANSI).
+    */
+  private def bucketOf(docId: Column): Column =
+    pmod(pmod(docId, lit(1000000000L)) * 2654435761L, lit(100L))
+  private def mixHash(docId: Column): Column =
+    pmod(pmod(docId, lit(1000000000L)) * 2654435761L + 131L, lit(1000L))
+  private def orderHash(docId: Column): Column =
+    pmod(pmod(docId, lit(1000000007L)) * 2654435761L + 17L,
+      lit(1000000007L))
+
+  /** The composed pipeline. Returns the final pack-plan manifest:
+    * (doc_id, lang, source, n_tok, start_tok, start_seq, start_off,
+    * end_seq, n_seqs).
+    */
+  def pipeline(s: SparkSession, docs0: DataFrame, emb: DataFrame): DataFrame = {
+    import s.implicits._
+
+    // stage 1: clean — the ONE corpus scan everything derives from
+    val cl = Dedup.cached(docs0.select($"doc_id", $"lang", $"source",
+      $"n_chars", cleaned($"text").as("text")))
+
+    // stage 2: quality + repetition filter on cleaned text. The ratio
+    // denominators are nullif'd (q67's form) so a zero-token doc fails
+    // the filter by NULL on both engines regardless of conjunct order;
+    // quality_score keeps q17's exact expression tree.
+    val ntD = nullif($"n_tokens", lit(0L)).cast("double")
+    val s2 = cl
+      .select(Seq($"doc_id", $"lang", $"source", $"n_chars", $"text",
+        TextStats.repetitionStats($"text").as("r")) ++
+        TextStats.statsColumns($"text"): _*)
+      .filter($"n_tokens" >= MinTokens &&
+        $"quality_score" >= MinQuality &&
+        rnd($"r.top_tok_freq".cast("double") / ntD, 4) <= MaxTopTokRatio &&
+        rnd($"r.n_distinct".cast("double") / ntD, 4) >= MinDistinctRatio)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
+
+    // stage 3: exact dedup on cleaned text — keep min doc_id per text
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"doc_id")
+    val s3 = Dedup.cached(s2
+      .withColumn("rn", row_number().over(w3))
+      .filter($"rn" === 1).drop("rn"))
+
+    // stage 4: MinHash-LSH near-dup drop list among survivors (q21's
+    // pair generator on the survivor frame, q73's keep-min-id policy)
+    val pairs4 = Dedup.minhashPairs(s3, MinJaccard)
+      .select($"doc1".as("src"), $"doc2".as("dst"))
+    val drop4 = graft.operators.Graph.connectedComponents(s, pairs4)
+      .filter($"node" =!= $"component")
+      .select($"node".as("doc_id"))
+    val s4 = Dedup.cached(s3.join(drop4, Seq("doc_id"), "left_anti"))
+
+    // stage 5: semantic dedup — index trained on the FULL embedding
+    // table (q101's trainer), pairs generated strictly within a cell
+    // and only between survivors (filtering the embedding side first is
+    // equivalent: cell assignment is a pure per-vector map)
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
+      roundTo = 4)
+    val embS4 = emb.join(s4.select($"doc_id".as("vec_id")), Seq("vec_id"))
+    val drop5 = Dedup.semanticDropList(embS4, s4, trained, MinCos)
+      .select($"doc_id")
+    val s5 = s4.join(drop5, Seq("doc_id"), "left_anti")
+
+    // stage 6: decontamination — holdout = the FULL corpus' eval split
+    // (q51 hash buckets >= 80); survivors keep only train-bucket docs
+    // with zero 5-gram overlap (q81's Bloom-pruned exact join)
+    val holdout = cl.filter(bucketOf($"doc_id") >= HoldoutBucket)
+    val train6 = Dedup.cached(s5.filter(bucketOf($"doc_id") < HoldoutBucket))
+    val cont = Dedup.contaminationBloom(train6, holdout).select($"doc_id")
+    val s6 = Dedup.cached(train6.join(cont, Seq("doc_id"), "left_anti"))
+
+    // stage 7: domain mix — q68's uniform-share thresholds computed
+    // from SURVIVOR counts (scalar totals broadcast, q92's form)
+    val cnts = Dedup.cached(
+      s6.groupBy($"source").agg(count(lit(1)).as("n_before")))
+    val tots = cnts.agg(sum($"n_before").as("total"), count(lit(1)).as("k"))
+    val thr = cnts.crossJoin(broadcast(tots))
+      .select($"source",
+        least(lit(1000L), expr("(total * 1000) DIV (k * n_before)")).as("thr"))
+    val s7 = s6.join(broadcast(thr), Seq("source"))
+      .filter(mixHash($"doc_id") < $"thr")
+
+    // stage 8: per-language token budget — q87's deterministic hash
+    // order (doc_id tiebreak per the q113 rule) + distributed prefix
+    // scan, cut at the budget
+    val base8 = s7.select($"lang", $"source", orderHash($"doc_id").as("h"),
+      $"doc_id",
+      coalesce(size(TextStats.tokens($"text")), lit(0))
+        .cast("long").as("n_tok"))
+    val s8 = Dedup.cached(graft.operators.PrefixSum
+      .cumSumByKey(base8, "lang", Seq("h", "doc_id"), "n_tok")
+      .filter($"cum" <= TokenBudget)
+      .select($"lang", $"source", $"doc_id", $"n_tok"))
+
+    // stage 9: pack the final survivors into the contiguous token
+    // stream (q112) and attach attribution
+    Packing.packPlanFromCounts(s8.select($"doc_id", $"n_tok"), SeqLen)
+      .join(s8.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"source", $"n_tok", $"start_tok",
+        $"start_seq", $"start_off", $"end_seq", $"n_seqs")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q117_curation_pipeline" -> ((s, d) =>
+      pipeline(s, Tables.documents(s, d), Tables.embeddings(s, d)))
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  import LlmQueries.{toksExpr, minhashCols, bandKeyCase, shingleCtesFor}
+  import Advanced.{lloydCte, cosSql}
+
+  private val P = TextStats.P
+  private val stopList =
+    TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The full pipeline replay: every stage is the standalone gate's CTE
+    * chain re-rooted on the previous stage's survivor set. WITH
+    * RECURSIVE for the stage-4 component fixpoint (the q73 oracle).
+    */
+  private def q117Sql: String = {
+    val quality = Num.rSql(
+      s"least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 + " +
+        s"(1.0 - abs(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+        s" - 0.4)) * 0.5", 4)
+    val topTok = Num.rSql(
+      "CAST(top_tok_freq AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+    val dist = Num.rSql(
+      "CAST(n_distinct AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+    s"""WITH RECURSIVE
+      cl AS (SELECT doc_id, lang, source,
+          trim(regexp_replace(
+            regexp_replace(text, '[0-9]+', '<NUM>', 'g'), ' +', ' ', 'g'))
+            AS text
+        FROM documents),
+      qt AS (SELECT doc_id, $toksExpr AS toks FROM cl),
+      qs AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+            list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) END AS BIGINT)
+            AS top_tok_freq,
+          CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+            AS BIGINT) AS n_stop
+        FROM qt),
+      s2 AS (SELECT doc_id FROM qs
+        WHERE n_tokens >= $MinTokens
+          AND $quality >= $MinQuality
+          AND $topTok <= $MaxTopTokRatio
+          AND $dist >= $MinDistinctRatio),
+      s3 AS (SELECT doc_id FROM (
+          SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.text
+              ORDER BY cl.doc_id) AS rn
+          FROM cl JOIN s2 USING (doc_id)) WHERE rn = 1),
+      ${shingleCtesFor("cl")},
+      sig AS (SELECT t.doc_id, tset, $minhashCols
+        FROM t JOIN s3 USING (doc_id)),
+      bands0 AS (SELECT doc_id, tset, band, $bandKeyCase AS key
+        FROM sig CROSS JOIN (VALUES ${(0 until Dedup.Bands)
+        .map(b => s"($b)").mkString(", ")}) AS bb(band)
+        WHERE len(tset) > 0),
+      bands AS (SELECT doc_id, tset, band, key FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+          FROM bands0) WHERE bsz <= 1000),
+      cand AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+          l.tset AS t1, r.tset AS t2
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+        WHERE l.doc_id < r.doc_id),
+      pairs AS (SELECT doc1, doc2 FROM (
+          SELECT doc1, doc2,
+            floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE))
+              * 10000 + 0.5) / 10000 AS jaccard
+          FROM cand) WHERE jaccard >= $MinJaccard),
+      e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      r AS (SELECT node, node AS lbl FROM n
+            UNION
+            SELECT e.dst AS node, r.lbl FROM r JOIN e ON e.src = r.node),
+      drop4 AS (SELECT node AS doc_id FROM r
+        GROUP BY node HAVING node != min(lbl)),
+      s4 AS (SELECT doc_id FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+      $lloydCte,
+      spairs AS (SELECT l.vec_id AS vec1, r.vec_id AS vec2,
+          ${cosSql("l.embedding", "r.embedding")} AS cos
+        FROM as1 l JOIN as1 r ON l.cell = r.cell
+        JOIN s4 sl ON sl.doc_id = l.vec_id
+        JOIN s4 sr ON sr.doc_id = r.vec_id
+        WHERE l.vec_id < r.vec_id),
+      drop5 AS (SELECT DISTINCT vec2 AS doc_id FROM spairs
+        WHERE cos >= $MinCos),
+      s5 AS (SELECT doc_id FROM s4
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop5)),
+      b6 AS (SELECT doc_id, tset,
+          ((doc_id % 1000000000) * 2654435761) % 100 AS bucket FROM t),
+      te AS (SELECT DISTINCT unnest(tset) AS code FROM b6
+        WHERE bucket >= $HoldoutBucket),
+      tr AS (SELECT b6.doc_id, unnest(tset) AS code
+        FROM b6 JOIN s5 USING (doc_id) WHERE bucket < $HoldoutBucket),
+      contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN te USING (code)),
+      s6 AS (SELECT doc_id FROM b6 JOIN s5 USING (doc_id)
+        WHERE bucket < $HoldoutBucket
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      c7 AS (SELECT source, count(*) AS n_before
+        FROM cl JOIN s6 USING (doc_id) GROUP BY source),
+      t7 AS (SELECT source, CAST(n_before AS BIGINT) AS n_before,
+        CAST((SELECT sum(n_before) FROM c7) AS BIGINT) AS total,
+        CAST((SELECT count(*) FROM c7) AS BIGINT) AS k FROM c7),
+      thr AS (SELECT source,
+        CAST(least(1000, (total * 1000) // (k * n_before)) AS BIGINT)
+          AS thr FROM t7),
+      s7 AS (SELECT cl.doc_id FROM cl JOIN s6 USING (doc_id)
+        JOIN thr USING (source)
+        WHERE ((cl.doc_id % 1000000000) * 2654435761 + 131) % 1000 < thr),
+      t8 AS (SELECT cl.lang, cl.doc_id,
+          ((cl.doc_id % 1000000007) * 2654435761 + 17) % 1000000007 AS h,
+          CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok
+        FROM cl JOIN s7 USING (doc_id)),
+      c8 AS (SELECT *, CAST(sum(n_tok) OVER (
+          PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS cum FROM t8),
+      s8 AS (SELECT lang, doc_id, n_tok FROM c8 WHERE cum <= $TokenBudget),
+      c9 AS (SELECT doc_id, n_tok,
+          CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT)
+            AS start_tok
+        FROM s8)
+      SELECT c9.doc_id, cl.lang, cl.source, c9.n_tok, c9.start_tok,
+        CAST(start_tok // $SeqLen AS BIGINT) AS start_seq,
+        CAST(start_tok % $SeqLen AS BIGINT) AS start_off,
+        CAST((start_tok + n_tok - 1) // $SeqLen AS BIGINT) AS end_seq,
+        CAST((start_tok + n_tok - 1) // $SeqLen - start_tok // $SeqLen + 1
+          AS BIGINT) AS n_seqs
+      FROM c9 JOIN cl USING (doc_id) WHERE n_tok > 0"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q117_curation_pipeline" -> q117Sql
+  )
+}

@@ -978,15 +978,19 @@ object LlmQueries {
   }.mkString(" + ")
 
   /** (doc_id, tset) 5-gram shingle-set CTEs — shared by the q21 LSH
-    * replay and the q66 decontamination replay (one arithmetic, three
-    * consumers, zero drift).
+    * replay, the q66 decontamination replay and the q117 composed
+    * pipeline (one arithmetic, every consumer, zero drift). `src` lets
+    * the pipeline replay build shingles over its cleaned corpus CTE
+    * instead of raw `documents`.
     */
-  private[queries] val shingleCtes =
-    s"""c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM documents),
+  private[queries] def shingleCtesFor(src: String): String =
+    s"""c AS (SELECT doc_id, ${codesExpr(toksExpr)} AS codes FROM $src),
         t AS (SELECT doc_id, list_distinct(CASE WHEN len(codes) >= 5
           THEN list_transform(generate_series(1, len(codes) - 4), i ->
             (((((((codes[i] * 131 + codes[i+1]) % $P) * 131 + codes[i+2]) % $P) * 131 + codes[i+3]) % $P) * 131 + codes[i+4]) % $P)
           ELSE [] END) AS tset FROM c)"""
+
+  private[queries] val shingleCtes = shingleCtesFor("documents")
 
   /** q21's full LSH pair replay — shared with q65, which clusters the
     * same pair list into components.

@@ -298,6 +298,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 composed pipeline pays ONE documents scan and ONE embeddings scan") {
+    // the per-stage gates prove each stage alone; what a 100 TB bill is
+    // made of is how many CORPUS READS the composed lineage pays. The
+    // cleaned corpus is cached once and every stage derives from it, so
+    // the whole nine-stage pipeline must show exactly one documents
+    // file scan (inside the cache build) and one embeddings file scan
+    // (inside the cell-assignment cache) in its executed plan. A
+    // regression here — a stage re-rooting itself on the parquet
+    // instead of the cache — multiplies the dominant cost at scale.
+    val df = graft.SparkEntry.queries("q117_curation_pipeline")(spark, sf)
+    val c = graft.PlanShape.count(physical(df))
+    assert(c.tableScans("documents") <= 1,
+      s"composed pipeline scans documents ${c.tableScans("documents")}x:\n" +
+        physical(df).toString.take(1500))
+    assert(c.tableScans("embeddings") <= 1,
+      s"composed pipeline scans embeddings ${c.tableScans("embeddings")}x:\n" +
+        physical(df).toString.take(1500))
+    // and no stage lost its equi-join keys to a cartesian fallback
+    assert(c.cartesians === 0)
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("q105 batch BM25: every small side broadcasts, none shuffles the corpus") {
     // the batch-retrieval contract: term set, df, corpus stats, and the
     // query fan-out are all broadcast joins — a SortMergeJoin anywhere
