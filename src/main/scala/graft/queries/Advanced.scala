@@ -167,6 +167,17 @@ object Advanced {
         minCos = 0.35)
     }),
 
+    // the same semantic drop list through the SQL table-function surface
+    // (GraftExtensions.semantic_drop_list trains the q101 index and
+    // splices semanticDropList's analyzed plan — gated against the
+    // identical q108 oracle string).
+    "q119_semdedup_sql" -> ((s, d) => {
+      Tables.embeddings(s, d).createOrReplaceTempView("q119_emb")
+      Tables.documents(s, d).createOrReplaceTempView("q119_docs")
+      s.sql("""SELECT doc_id, cell, dup_of, max_cos, n_dups, lang, n_chars
+               FROM semantic_drop_list('q119_emb', 'q119_docs', 0.35)""")
+    }),
+
     // Product quantization + ADC (the ANN memory tier): m=4 subspaces
     // of 16 dims, 16-entry seed codebooks per subspace (the q32
     // untrained-centroid precedent, which is what lets the oracle
@@ -661,6 +672,27 @@ object Advanced {
          >= len(tset) THEN $bit ELSE CAST(0 AS BIGINT) END)"""
   }.mkString(" + ")
 
+  /** The q108 semantic-dedup replay — the shared Lloyd unroll, then
+    * pairs strictly inside a trained cell (the JOIN key IS the cell —
+    * no cross-cell candidate can exist), the greedy keep-smallest-id
+    * drop list, and the documents join. min(cell) is the constant cell
+    * of vec2; count CAST to BIGINT for Spark's long count parity. ONE
+    * string consumed by both the q108 (Scala) and q119 (SQL TVF) gates.
+    */
+  private[queries] val SemDedupOracle: String =
+    s"""WITH $lloydCte,
+        pairs AS (SELECT l.cell, l.vec_id AS vec1, r.vec_id AS vec2,
+            ${cosSql("l.embedding", "r.embedding")} AS cos
+          FROM as1 l JOIN as1 r ON l.cell = r.cell
+          WHERE l.vec_id < r.vec_id),
+        drops AS (SELECT vec2 AS doc_id, min(cell) AS cell,
+            min(vec1) AS dup_of, max(cos) AS max_cos,
+            CAST(count(*) AS BIGINT) AS n_dups
+          FROM pairs WHERE cos >= 0.35 GROUP BY vec2)
+        SELECT dr.doc_id, dr.cell, dr.dup_of, dr.max_cos, dr.n_dups,
+          d.lang, d.n_chars
+        FROM drops dr JOIN documents d ON dr.doc_id = d.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus,
@@ -828,19 +860,10 @@ object Advanced {
     // cross-cell candidate can exist), the greedy keep-smallest-id drop
     // list, and the documents join. min(cell) is the constant cell of
     // vec2; count CAST to BIGINT for Spark's long count parity.
-    "q108_semantic_dedup" ->
-      s"""WITH $lloydCte,
-          pairs AS (SELECT l.cell, l.vec_id AS vec1, r.vec_id AS vec2,
-              ${cosSql("l.embedding", "r.embedding")} AS cos
-            FROM as1 l JOIN as1 r ON l.cell = r.cell
-            WHERE l.vec_id < r.vec_id),
-          drops AS (SELECT vec2 AS doc_id, min(cell) AS cell,
-              min(vec1) AS dup_of, max(cos) AS max_cos,
-              CAST(count(*) AS BIGINT) AS n_dups
-            FROM pairs WHERE cos >= 0.35 GROUP BY vec2)
-          SELECT dr.doc_id, dr.cell, dr.dup_of, dr.max_cos, dr.n_dups,
-            d.lang, d.n_chars
-          FROM drops dr JOIN documents d ON dr.doc_id = d.doc_id""",
+    "q108_semantic_dedup" -> SemDedupOracle,
+    // ONE oracle string, two consumers: the SQL table function must
+    // land on the Scala gate's answer exactly (q111's discipline)
+    "q119_semdedup_sql" -> SemDedupOracle,
     "q34_session_window" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          s0 AS (SELECT user_id, event_id, ts,

@@ -788,6 +788,16 @@ object LlmQueries {
     "q102_bm25" -> ((s, d) =>
       graft.ext.Retrieval.bm25TopK(Tables.documents(s, d), Bm25Terms, 20)),
 
+    // the same retrieval through the SQL table-function surface
+    // (GraftExtensions.bm25_topk splices bm25TopK's analyzed plan, so
+    // this gate proves the pure-SQL user gets the Scala answer and the
+    // Scala plan — gated against the identical q102 oracle string).
+    "q118_bm25_sql" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("q118_docs")
+      s.sql(s"""SELECT doc_id, n_terms, score
+                FROM bm25_topk('q118_docs', '${Bm25Terms.mkString(",")}', 20)""")
+    }),
+
     // Vocabulary-richness report: per-doc type/token counts, hapax count
     // and ratios from a row-local sorted-code scan — narrow, no explode,
     // no shuffle (see TextStats.vocabRichness).
@@ -1014,6 +1024,39 @@ object LlmQueries {
           floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS jaccard
         FROM cand) WHERE jaccard >= 0.7"""
+
+  /** The q102 BM25 replay — ONE string consumed by both the q102
+    * (Scala helper) and q118 (SQL table function) gates.
+    */
+  private[queries] val Bm25Oracle: String = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val idfR = Num.rSql(
+      "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
+    s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
+          FROM documents),
+        b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+            list_filter(toks, t -> list_contains($termsList, t)) AS qtoks
+          FROM t),
+        st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
+        tfg AS (SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM b)
+          GROUP BY doc_id, dl, term),
+        dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
+        sc AS (SELECT doc_id,
+            CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
+          FROM (SELECT tfg.doc_id,
+              $idfR AS idf_r,
+              CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
+                1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
+            FROM tfg JOIN dft USING (term)
+            CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
+              FROM st) s))
+        SELECT doc_id, count(*) AS n_terms,
+          ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q17_doc_stats" ->
@@ -1556,35 +1599,10 @@ object LlmQueries {
            CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
                 ELSE 0 END AS INTEGER) AS channels
          FROM documents""",
-    "q102_bm25" -> {
-      val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
-      val idfR = Num.rSql(
-        "ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)", 4)
-      s"""WITH t AS (SELECT doc_id,
-            list_filter(string_split(coalesce(text, ''), ' '), t -> t != '') AS toks
-            FROM documents),
-          b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-              list_filter(toks, t -> list_contains($termsList, t)) AS qtoks
-            FROM t),
-          st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM b),
-          tfg AS (SELECT doc_id, dl, term, count(*) AS tf
-            FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM b)
-            GROUP BY doc_id, dl, term),
-          dft AS (SELECT term, count(*) AS df FROM tfg GROUP BY term),
-          sc AS (SELECT doc_id,
-              CAST(floor(idf_r * tfs * 10000 + 0.5) AS BIGINT) AS s4
-            FROM (SELECT tfg.doc_id,
-                $idfR AS idf_r,
-                CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) +
-                  1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS tfs
-              FROM tfg JOIN dft USING (term)
-              CROSS JOIN (SELECT n, CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl
-                FROM st) s))
-          SELECT doc_id, count(*) AS n_terms,
-            ${Num.rSql("CAST(sum(s4) AS DOUBLE) / 10000.0", 4)} AS score
-          FROM sc GROUP BY doc_id
-          ORDER BY score DESC, doc_id ASC LIMIT 20"""
-    },
+    "q102_bm25" -> Bm25Oracle,
+    // the SQL table function must land on the Scala gate's answer
+    // exactly — ONE oracle string, two consumers (q111's discipline)
+    "q118_bm25_sql" -> Bm25Oracle,
     "q105_bm25_batch" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score

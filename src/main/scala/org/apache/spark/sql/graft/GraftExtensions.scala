@@ -161,14 +161,25 @@ object GraftExtensions {
     e.eval(null).asInstanceOf[Number].intValue()
 
   private def strArg(e: Expression, what: String): String = {
-    require(e.foldable, s"asof_join: $what must be a constant string")
+    require(e.foldable, s"$what must be a constant string")
     val v = e.eval(null)
-    require(v != null, s"asof_join: $what must not be null")
+    require(v != null, s"$what must not be null")
     v.toString
   }
 
   private def namesArg(e: Expression, what: String): Seq[String] =
     strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def dblArg(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a constant number")
+    e.eval(null) match {
+      // SQL numeric literals with a fraction parse as DecimalType
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be numeric, got $other")
+    }
+  }
 
   /** SQL table functions (SURVEY §4 optional (b)): `asof_join(left,
     * right, on, by, right_cols)` — the backward-inclusive as-of join as
@@ -197,6 +208,43 @@ object GraftExtensions {
           namesArg(es(3), "by_cols"),
           namesArg(es(4), "right_cols"))
         plan.queryExecution.analyzed
+      }),
+    // Lexical retrieval as a FROM-clause citizen: `bm25_topk(corpus,
+    // 'term1,term2', k)` splices graft.ext.Retrieval.bm25TopK's analyzed
+    // plan — the identical filter-before-explode / broadcast-stats /
+    // integer-scaled scoring shape the Scala gate (q102) pins, so the
+    // SQL surface can never drift from the Scala one.
+    (FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo(graft.ext.Retrieval.getClass.getName, "bm25_topk"),
+      (es: Seq[Expression]) => {
+        require(es.size == 3, "bm25_topk(corpus_table, terms_csv, k)")
+        val spark = SparkSession.active
+        graft.ext.Retrieval.bm25TopK(
+          spark.table(strArg(es(0), "bm25_topk: corpus_table")),
+          namesArg(es(1), "bm25_topk: terms_csv"),
+          intArg(es(2)))
+          .queryExecution.analyzed
+      }),
+    // Semantic near-dup drop list as a table function:
+    // `semantic_drop_list(embeddings, documents, min_cos)` trains the
+    // q101/q108 k=16 one-iteration Lloyd index (a driver-side action at
+    // plan-build time — k×dim floats, the same collect the Scala call
+    // path performs) and splices graft.ext.Dedup.semanticDropList's
+    // cell-scoped pair plan. Tables need (vec_id, embedding) and
+    // (doc_id, lang, n_chars) columns respectively.
+    (FunctionIdentifier("semantic_drop_list"),
+      new ExpressionInfo(graft.ext.Dedup.getClass.getName, "semantic_drop_list"),
+      (es: Seq[Expression]) => {
+        require(es.size == 3,
+          "semantic_drop_list(embeddings_table, documents_table, min_cos)")
+        val spark = SparkSession.active
+        val emb = spark.table(strArg(es(0), "semantic_drop_list: embeddings_table"))
+        val docs = spark.table(strArg(es(1), "semantic_drop_list: documents_table"))
+        val trained = graft.ext.Similarity.kmeansCentroids(
+          emb, k = 16, iters = 1, roundTo = 4)
+        graft.ext.Dedup.semanticDropList(emb, docs, trained,
+          dblArg(es(2), "semantic_drop_list: min_cos"))
+          .queryExecution.analyzed
       }))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

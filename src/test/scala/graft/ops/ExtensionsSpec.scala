@@ -270,6 +270,63 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(agg === Map("B" -> 1L, "C" -> 1L, "T2" -> 1L))
   }
 
+  test("bm25_topk SQL table function equals the Scala helper") {
+    import spark.implicits._
+    // corpus with null text (the dl=-1 hazard the helper coalesces),
+    // repeated terms, and non-matching docs
+    val docs = Seq(
+      (1L, "spark table spark hash join"),
+      (2L, "table scan"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "nothing relevant here"),
+      (5L, "hash hash hash")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bm25_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, n_terms, score
+         FROM bm25_topk('bm25_docs', 'spark,table,hash', 3)""")
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaScala = graft.ext.Retrieval
+      .bm25TopK(docs, Seq("spark", "table", "hash"), 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaSql === viaScala)
+    assert(viaSql.map(_._1).toSet.subsetOf(Set(1L, 2L, 5L)))
+    // composes like any FROM-clause relation
+    val n = spark.sql(
+      """SELECT count(*) AS n
+         FROM bm25_topk('bm25_docs', 'spark,table,hash', 3)
+         WHERE score > 0""").as[Long].collect().head
+    assert(n === 3L)
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
+  test("semantic_drop_list SQL table function equals the Scala path") {
+    import spark.implicits._
+    val dims = 0 until 8
+    val emb = spark.range(64).select($"id".as("vec_id"),
+      array(dims.map(i =>
+        // two vectors per id-pair are near-identical -> real drops
+        ((pmod($"id" / 2 * (i + 3), lit(17)) - 8) +
+          (pmod($"id", lit(2)) * lit(0.001))).cast("float")): _*)
+        .as("embedding"))
+    val docs = spark.range(64).select($"id".as("doc_id"),
+      concat(lit("lang"), pmod($"id", lit(3))).as("lang"),
+      ($"id" * 7 % 100).cast("long").as("n_chars"))
+    emb.createOrReplaceTempView("sdl_emb")
+    docs.createOrReplaceTempView("sdl_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, cell, dup_of, max_cos, n_dups, lang, n_chars
+         FROM semantic_drop_list('sdl_emb', 'sdl_docs', 0.95)""")
+      .collect().map(_.toSeq).toSet
+    graft.ext.Dedup.clearSignatureCaches()
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+    val viaScala = graft.ext.Dedup
+      .semanticDropList(emb, docs, trained, minCos = 0.95)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty, "fixture must produce real drops")
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("pii_redact SQL function matches the Column-function scrub") {
     import spark.implicits._
     val texts = Seq(
