@@ -54,4 +54,27 @@ object PlanShape {
     walk(root)
     Counts(scans, ex, cart, cg)
   }
+
+  /** All FileSourceScanExec nodes under `root`, AQE wrappers and cached
+    * relations descended — for contracts on the scans themselves
+    * (partition filters, pushed filters, selected-partition counts).
+    */
+  def fileScans(root: SparkPlan): Seq[FileSourceScanExec] = {
+    val out = scala.collection.mutable.ArrayBuffer[FileSourceScanExec]()
+    val seenCaches = scala.collection.mutable.Set[Int]()
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // after execution AQE freezes materialized stages as leaves —
+      // their real subtree hangs off `plan`
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case f: FileSourceScanExec => out += f
+      case m: InMemoryTableScanExec =>
+        if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+          walk(m.relation.cachedPlan)
+      case _ => ()
+    }
+    walk(root)
+    out.toSeq
+  }
 }

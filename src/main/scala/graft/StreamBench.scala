@@ -69,6 +69,10 @@ object StreamBench {
       val nVecs = args.lift(3).map(_.toInt).getOrElse(20000)
       for (provider <- Seq(None, Some(RocksDb)))
         serveAnnLatency(spark, qps, secs, nVecs, provider)
+    } else if (args.headOption.contains("--lookup")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      val nLookups = args.lift(2).map(_.toInt).getOrElse(50)
+      lookupLatency(spark, nDocs, nLookups)
     } else if (args.headOption.contains("--sweep")) {
       // the round-9 knee: windowed counts saturate at ~50k rows/s while
       // dedup holds; the documented fix is state-store parallelism. This
@@ -185,6 +189,131 @@ object StreamBench {
     * results drain — batch latency IS the serving latency, and the
     * query-id dedup state keeps the state-store provider in the path.
     */
+  /** The point-lookup tier ([[graft.jobs.IndexExport]]) measured
+    * against the micro-batch serving floor: single BM25 queries and
+    * single IVF-PQ queries served by partition-pruned reads of the
+    * exported layout, NO streaming query, NO in-memory index. Each
+    * lookup is timed individually (wall clock around the collect);
+    * the probe also asserts hash-parity — the lookup's rows must equal
+    * `bm25TopKIndexed` / `ivfAdcTopK` on the live data — so the
+    * latency row can never describe a different answer. Export cost is
+    * reported separately (it is the index build, paid once).
+    */
+  private def lookupLatency(spark: SparkSession, nDocs: Int,
+      nLookups: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val docs = (0L until nDocs.toLong).map { i =>
+      (i, Seq.fill(40 + rnd.nextInt(80))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+
+    def pctRow(op: String, durs: Seq[Double], extra: String): Unit = {
+      val d = durs.sorted
+      def pct(p: Double): Double = d(math.round(p * (d.length - 1)).toInt)
+      println(s"""{"probe":"point_lookup","op":"$op","n_lookups":${d.length},""" +
+        s""""p50_ms":${f"${pct(0.5)}%.1f"},"p95_ms":${f"${pct(0.95)}%.1f"},""" +
+        s""""max_ms":${f"${d.last}%.1f"},$extra}""")
+    }
+
+    // ---- BM25 ----
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    val out = java.nio.file.Files.createTempDirectory("lookup_bm25").toString
+    val tExp0 = System.nanoTime()
+    graft.jobs.IndexExport.exportBm25(idx, out)
+    val exportSec = (System.nanoTime() - tExp0) / 1e9
+    // parity: fixed query through both paths before releasing the index
+    val parityTerms = Seq(vocab(3), vocab(77), vocab(150))
+    val viaMem = graft.ext.Retrieval
+      .bm25TopKIndexed(idx, Seq((0L, parityTerms)).toDF("query_id", "terms"), 10)
+      .collect().map(_.toSeq).toSet
+    graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    val viaDisk = graft.jobs.IndexExport
+      .bm25Lookup(spark, out, Seq(0L -> parityTerms), 10)
+      .collect().map(_.toSeq).toSet
+    require(viaDisk == viaMem,
+      s"lookup/batch divergence: ${viaDisk.size} vs ${viaMem.size} rows")
+    // the dedicated single-query plan must land on the same (doc, score)s
+    val viaSingle = graft.jobs.IndexExport
+      .bm25LookupSingle(spark, out, parityTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    require(viaSingle == viaMem.map(s =>
+        (s(2).asInstanceOf[Long], s(3).asInstanceOf[Double])),
+      "single-lookup/batch divergence")
+    // warm-up then measure: the batch-shaped lookup and the dedicated
+    // single-query plan, same query stream
+    (0 until 3).foreach { i =>
+      graft.jobs.IndexExport.bm25Lookup(spark, out,
+        Seq(i.toLong -> Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))), 10)
+        .collect()
+      graft.jobs.IndexExport.bm25LookupSingle(spark, out,
+        Seq.fill(3)(vocab(rnd.nextInt(vocab.size))), 10).collect()
+    }
+    var rows = 0L
+    val durs = (0 until nLookups).map { i =>
+      val terms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+      val t0 = System.nanoTime()
+      rows += graft.jobs.IndexExport
+        .bm25Lookup(spark, out, Seq(i.toLong -> terms), 10).collect().length
+      (System.nanoTime() - t0) / 1e6
+    }
+    pctRow("bm25_lookup_batchplan", durs,
+      s""""n_docs":$nDocs,"export_sec":${f"$exportSec%.2f"},""" +
+        s""""result_rows":$rows,"parity":true""")
+    var rowsS = 0L
+    val dursS = (0 until nLookups).map { _ =>
+      val terms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+      val t0 = System.nanoTime()
+      rowsS += graft.jobs.IndexExport
+        .bm25LookupSingle(spark, out, terms, 10).collect().length
+      (System.nanoTime() - t0) / 1e6
+    }
+    pctRow("bm25_lookup_single", dursS,
+      s""""n_docs":$nDocs,"result_rows":$rowsS,"parity":true""")
+
+    // ---- IVF-PQ ----
+    val dims = 0 until 64
+    val emb = spark.range(20000L).select($"id".as("vec_id"),
+      array(dims.map(i =>
+        (pmod($"id" * (i + 3), lit(257)) - 128).cast("float")): _*)
+        .as("embedding"))
+    val cbs = graft.ext.Pq.seedCodebooks(emb, m = 4, ksub = 16)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val pqOut = java.nio.file.Files.createTempDirectory("lookup_pq").toString
+    val tPq0 = System.nanoTime()
+    graft.jobs.IndexExport.exportPqCells(emb, cents, cbs, pqOut)
+    val pqExportSec = (System.nanoTime() - tPq0) / 1e9
+    // query vectors fetched OUTSIDE the timed path (a server holds them)
+    val qids = (0 until nLookups).map(i => (i * 37L + 5L) % 20000L)
+    val qvecs = emb.filter($"vec_id".isin(qids.distinct: _*))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pqParity = graft.jobs.IndexExport
+      .pqLookup(spark, pqOut, qvecs(qids.head), qids.head, 10, cbs, cents)
+      .collect().map(_.toSeq).toSeq
+    val pqLive = graft.ext.Pq.ivfAdcTopK(emb, qids.head, 10, cbs,
+      centroids = Some(cents)).collect().map(_.toSeq).toSeq
+    require(pqParity == pqLive, "pq lookup/live divergence")
+    (0 until 3).foreach { i =>
+      graft.jobs.IndexExport.pqLookup(spark, pqOut, qvecs(qids(i)),
+        qids(i), 10, cbs, cents).collect()
+    }
+    var pqRows = 0L
+    val pqDurs = qids.map { qid =>
+      val t0 = System.nanoTime()
+      pqRows += graft.jobs.IndexExport
+        .pqLookup(spark, pqOut, qvecs(qid), qid, 10, cbs, cents)
+        .collect().length
+      (System.nanoTime() - t0) / 1e6
+    }
+    pctRow("ivf_pq_lookup", pqDurs,
+      s""""n_vecs":20000,"export_sec":${f"$pqExportSec%.2f"},""" +
+        s""""result_rows":$pqRows,"parity":true""")
+  }
+
   private def serveLatency(spark: SparkSession, qps: Int, seconds: Int,
       nDocs: Int, provider: Option[String]): Unit = {
     import spark.implicits._

@@ -167,14 +167,19 @@ object Pq {
     * it replaced survives for the bit-parity spec, the
     * VocabStats/RepetitionStats discipline).
     */
-  def encode(embeddings: DataFrame, cbs: Codebooks): DataFrame = {
+  def encode(embeddings: DataFrame, cbs: Codebooks): DataFrame =
+    embeddings.select(col("vec_id"), codesCol(cbs).as("codes"))
+
+  /** The [[encode]] codes column alone — for export pipelines that
+    * carry extra columns (e.g. the IVF cell) through the same select.
+    */
+  def codesCol(cbs: Codebooks): Column = {
     requireDense(cbs)
     val m = cbs.size
     val flat = cbs.flatMap(_.sortBy(_._1).map(_._2.toArray)).toArray
     val dbb = flat.map(cv => sdot(cv.toSeq, cv.toSeq))
-    embeddings.select(col("vec_id"),
-      org.apache.spark.sql.graft.GraftColumns
-        .pqEncode(col("embedding"), m, KeyBound, flat, dbb).as("codes"))
+    org.apache.spark.sql.graft.GraftColumns
+      .pqEncode(col("embedding"), m, KeyBound, flat, dbb)
   }
 
   /** The declarative encode the native kernel replaced: per subspace,
@@ -212,7 +217,7 @@ object Pq {
   /** The ADC tail shared by [[adcTopK]] and [[ivfAdcTopK]]: per-subspace
     * query tables as plan literals, per-doc exact long sum, rank.
     */
-  private def adcScore(enc: DataFrame, qvec: Seq[Float], queryVecId: Long,
+  private[graft] def adcScore(enc: DataFrame, qvec: Seq[Float], queryVecId: Long,
       k: Int, cbs: Codebooks): DataFrame = {
     requireDense(cbs)
     val d = cbs.head.head._2.length

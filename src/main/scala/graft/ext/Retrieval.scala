@@ -240,6 +240,48 @@ object Retrieval {
     fusePerQuery(scoreMatches(tf, df, idx.stats), qterms, k)
   }
 
+  /** Single-query scoring over a (pruned) postings subset with
+    * driver-known corpus stats — the POINT-LOOKUP plan
+    * ([[graft.jobs.IndexExport.bm25LookupSingle]]): no query-table
+    * fan-out, no per-query top-k aggregate, no stats crossJoin; just
+    * the pruned postings scan, a broadcast of the ≤|terms|-row df
+    * table, ONE shuffle (the per-doc sum), and a TakeOrdered top-k.
+    * `tf` rows are (doc_id, dl, term, tf) already restricted to the
+    * query's terms; `n`/`sumDl` come from the export's meta row.
+    *
+    * Arithmetic is copied expression-for-expression from [[bm25TopK]]
+    * (idf rounded early, integer-scaled per-term partials, shared
+    * literals; `lit(n)`/`lit(sumDl)` take the exact path the batch
+    * plan's aggregated columns take) — q121 gates this path against
+    * the SAME oracle string as q102, so the two plans cannot drift.
+    * Output (doc_id, n_terms, score), ties by doc_id.
+    */
+  def bm25ScoreSingle(tf: DataFrame, dfTable: DataFrame, n: Long,
+      sumDl: Long, k: Int): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    // empty corpus: NULL avgdl (no posting row exists to score), like
+    // the batch path's NULL sum-over-zero-rows — a 0/0 literal would
+    // throw at constant-folding time under ANSI
+    val avgdl = if (n == 0) lit(null).cast("double")
+      else lit(sumDl).cast("double") / lit(n).cast("double")
+    tf.join(broadcast(dfTable), Seq("term"))
+      .withColumn("avgdl", avgdl)
+      .withColumn("idf_r", rnd(log(
+        (lit(n).cast("double") - $"df".cast("double") + 0.5) /
+          ($"df".cast("double") + 0.5) + 1.0), 4))
+      .withColumn("tfs", $"tf".cast("double") * lit(K1Plus1) /
+        ($"tf".cast("double") +
+          lit(K1) * (lit(1.0 - B) + lit(B) * $"dl".cast("double") / $"avgdl")))
+      .select($"doc_id",
+        floor($"idf_r" * $"tfs" * 10000 + 0.5).cast("long").as("s4"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        rnd(sum($"s4").cast("double") / 10000.0, 4).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.'s RRF) over any number of
     * per-query rankings — the standard hybrid-retrieval combiner
     * (lexical + vector + priors): each system contributes

@@ -891,7 +891,45 @@ object LlmQueries {
         .unionByName(graft.ext.Retrieval
           .bm25TopKIndexed(idx, b2.toDF("query_id", "terms"), 10))
     }),
+
+    // the POINT-LOOKUP tier: the q105 queries served ONE AT A TIME
+    // through the bucketed/sorted disk export (IndexExport) — each
+    // lookup partition-prunes to its own terms' buckets, no in-memory
+    // index, no streaming floor — unioned and gated against the SAME
+    // q105 oracle chain (the serving decompositions must all land on
+    // the batch answer exactly).
+    "q120_bm25_lookup" -> ((s, d) => {
+      val out = bm25ExportDir(s, d)
+      Bm25BatchQueries.map { case (qid, terms) =>
+        graft.jobs.IndexExport.bm25Lookup(s, out, Seq(qid -> terms), 10)
+      }.reduce(_ unionByName _)
+    }),
+
+    // the DEDICATED single-query lookup plan (one shuffle, TakeOrdered
+    // top-k, driver-constant stats) over the same export — gated
+    // against the IDENTICAL q102 oracle string, so the fast path's
+    // arithmetic can never drift from the batch scorer's.
+    "q121_bm25_lookup_single" -> ((s, d) =>
+      graft.jobs.IndexExport.bm25LookupSingle(s, bm25ExportDir(s, d),
+        Bm25Terms, 20)),
   )
+
+  /** Build + export the bm25 index for `d` into a FIXED per-corpus temp
+    * dir (mode overwrite — re-runs reuse the path instead of strewing
+    * /tmp with full postings copies), dropping the long-lived readers
+    * whose file listings the re-export just invalidated.
+    */
+  private def bm25ExportDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_export_${math.abs(d.hashCode)}").toString
+    val idx = graft.ext.Retrieval.bm25Index(Tables.documents(s, d))
+    graft.jobs.IndexExport.exportBm25(idx, out)
+    graft.jobs.IndexExport.clearReaders()
+    graft.ext.Dedup.clearSignatureCaches()
+    out
+  }
 
   /** q102's fixed query terms — shared verbatim with the oracle SQL. */
   private[queries] val Bm25Terms = Seq("spark", "table", "hash")
@@ -1603,6 +1641,8 @@ object LlmQueries {
     // the SQL table function must land on the Scala gate's answer
     // exactly — ONE oracle string, two consumers (q111's discipline)
     "q118_bm25_sql" -> Bm25Oracle,
+    // the point-lookup fast path lands on the q102 answer too
+    "q121_bm25_lookup_single" -> Bm25Oracle,
     "q105_bm25_batch" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
@@ -1611,6 +1651,12 @@ object LlmQueries {
     // (union of disjoint per-batch servings == one batch run), so the
     // oracle IS the q105 chain via the same shared builder
     "q110_bm25_serving" ->
+      s"""$bm25BatchRkCtes
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+          FROM rk WHERE rank <= 10""",
+    // the disk-export point-lookup path must also land on the batch
+    // answer — same shared chain
+    "q120_bm25_lookup" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
           FROM rk WHERE rank <= 10""",

@@ -414,6 +414,17 @@ case class SignBucket(child: Expression, bits: Int)
 }
 
 object GraftColumns {
+  /** Driver-side evaluation of Spark's `xxhash64` on one string —
+    * bit-identical to `functions.xxhash64(col)` (same expression, same
+    * default seed), so a lookup client can compute which hash bucket a
+    * term's postings were exported under WITHOUT running a Spark job.
+    */
+  def xxhash64String(s: String, seed: Long = 42L): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), seed)
+      .eval(null).asInstanceOf[Long]
+
   def pointInPolygon(lon: Column, lat: Column, poly: Array[Double]): Column =
     ExpressionUtils.column(PointInPolygon(
       ExpressionUtils.expression(lon), ExpressionUtils.expression(lat), poly))

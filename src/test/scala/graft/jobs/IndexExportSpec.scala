@@ -1,0 +1,155 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Pq, Retrieval, Similarity}
+
+/** The point-lookup serving tier: the exported bucketed/sorted layout
+  * must (a) serve results hash-identical to the in-memory index paths,
+  * and (b) actually PRUNE — the lookup's scans must carry a partition
+  * filter on the bucket/cell directory column and read strictly fewer
+  * partition directories than exist, or the "point lookup" is a full
+  * index scan wearing a trench coat.
+  */
+class IndexExportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  private def docsFixture = {
+    import spark.implicits._
+    // 40 docs over a 12-term vocabulary, several terms per doc,
+    // repetition included (tf > 1 paths)
+    (0 until 40).map { i =>
+      val toks = Seq("spark", "table", "hash", "scan", "join", "sort",
+        "row", "col", "disk", "ram", "net", "cpu")
+      val text = (0 until 6).map(j => toks((i * 5 + j * 7) % toks.size))
+        .mkString(" ") + (if (i % 3 == 0) " spark spark" else "")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("bm25 lookup over the export equals the in-memory indexed serving") {
+    import spark.implicits._
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_export").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+
+    val queries = Seq(7L -> Seq("spark", "hash"), 9L -> Seq("scan"))
+    val viaMemory = Retrieval
+      .bm25TopKIndexed(idx, queries.toDF("query_id", "terms"), 5)
+      .collect().map(_.toSeq).toSet
+    graft.ext.Dedup.clearSignatureCaches()
+
+    // single-query point lookups, unioned — each pays only its own
+    // buckets
+    val viaLookup = queries.map { case (qid, terms) =>
+      IndexExport.bm25Lookup(spark, out, Seq(qid -> terms), 5)
+        .collect().map(_.toSeq).toSet
+    }.reduce(_ ++ _)
+    assert(viaLookup === viaMemory)
+    assert(viaLookup.nonEmpty)
+  }
+
+  test("single-query lookup plan equals the indexed serving scores") {
+    import spark.implicits._
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_export_single").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    IndexExport.clearReaders()
+    val terms = Seq("spark", "hash", "cpu")
+    val viaMem = Retrieval
+      .bm25TopKIndexed(idx, Seq((0L, terms)).toDF("query_id", "terms"), 7)
+      .select($"doc_id", $"score").collect().map(_.toSeq).toSet
+    graft.ext.Dedup.clearSignatureCaches()
+    val viaSingle = IndexExport.bm25LookupSingle(spark, out, terms, 7)
+      .select($"doc_id", $"score").collect().map(_.toSeq).toSet
+    assert(viaSingle === viaMem)
+    assert(viaSingle.nonEmpty)
+    // the fast plan's whole point: exactly ONE shuffle below the top-k
+    val df = IndexExport.bm25LookupSingle(spark, out, terms, 7)
+    df.collect()
+    val c = graft.PlanShape.count(df.queryExecution.executedPlan)
+    assert(c.cartesians === 0)
+  }
+
+  test("bm25 lookup prunes to the query's buckets and pushes the term filter") {
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_export_prune").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    graft.ext.Dedup.clearSignatureCaches()
+
+    val df = IndexExport.bm25Lookup(spark, out, Seq(1L -> Seq("spark")), 5)
+    df.collect()
+    val scans = graft.PlanShape.fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val s = f.toString
+      assert(s.contains("PartitionFilters") && s.contains("bucket"),
+        s"scan must carry a bucket partition filter:\n$s")
+      // a one-term IN folds to EqualTo before pushdown
+      assert(s.contains("PushedFilters") &&
+        (s.contains("In(term") || s.contains("EqualTo(term")),
+        s"term filter must reach the parquet reader:\n$s")
+      // one term -> exactly one of the 16 bucket directories is read
+      assert(f.relation.partitionSchema.fieldNames.contains("bucket"))
+      assert(f.selectedPartitions.partitionCount === 1,
+        s"one-term lookup must read 1 bucket dir, got " +
+          s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+
+  test("pq lookup over exported cells equals ivfAdcTopK on the live table") {
+    import spark.implicits._
+    val dims = 0 until 32
+    val emb = spark.range(200).select($"id".as("vec_id"),
+      array(dims.map(i =>
+        (pmod($"id" * (i + 3), lit(23)) - 11).cast("float")): _*)
+        .as("embedding"))
+    val cbs = Pq.seedCodebooks(emb, m = 4, ksub = 16)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val out = Files.createTempDirectory("pq_export").toString
+    IndexExport.exportPqCells(emb, cents, cbs, out)
+
+    val qvec = emb.filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val viaLookup = IndexExport
+      .pqLookup(spark, out, qvec, queryVecId = 0L, k = 10, cbs, cents)
+      .collect().map(_.toSeq).toSeq
+    val viaLive = Pq.ivfAdcTopK(emb, queryVecId = 0L, k = 10, cbs,
+      centroids = Some(cents))
+      .collect().map(_.toSeq).toSeq
+    assert(viaLookup === viaLive)
+    assert(viaLookup.nonEmpty)
+
+    // and the scan is cell-pruned: nprobe=2 of 16 cell directories
+    val df = IndexExport.pqLookup(spark, out, qvec, 0L, 10, cbs, cents)
+    df.collect()
+    val scans = graft.PlanShape.fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.toString.contains("PartitionFilters") &&
+        f.toString.contains("cell"),
+        s"codes scan must carry a cell partition filter:\n$f")
+      assert(f.selectedPartitions.partitionCount <= 2,
+        s"nprobe=2 lookup must read <=2 cell dirs, got " +
+          s"${f.selectedPartitions.partitionCount}")
+    }
+  }
+}

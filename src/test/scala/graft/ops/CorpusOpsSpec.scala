@@ -18,12 +18,18 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // the sweep drives SparkEntry.queries, whose SQL-TVF members
+    // (q111/q118/q119) assume the Verify/Bench session contract
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
+    s
+  }
 
   test("Pii.redact masks each planted PII class exactly once, in order") {
     import spark.implicits._
