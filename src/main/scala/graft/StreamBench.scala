@@ -69,6 +69,14 @@ object StreamBench {
       val nVecs = args.lift(3).map(_.toInt).getOrElse(20000)
       for (provider <- Seq(None, Some(RocksDb)))
         serveAnnLatency(spark, qps, secs, nVecs, provider)
+    } else if (args.headOption.contains("--serve-pq")) {
+      // the PQ code tier under the same stream: pair with --serve-ann
+      // at equal qps/nVecs to read the float-vs-code serving delta
+      val qps = args.lift(1).map(_.toInt).getOrElse(100)
+      val secs = args.lift(2).map(_.toInt).getOrElse(15)
+      val nVecs = args.lift(3).map(_.toInt).getOrElse(20000)
+      for (provider <- Seq(None, Some(RocksDb)))
+        serveAnnLatency(spark, qps, secs, nVecs, provider, pq = true)
     } else if (args.headOption.contains("--lookup")) {
       val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
       val nLookups = args.lift(2).map(_.toInt).getOrElse(50)
@@ -390,7 +398,7 @@ object StreamBench {
     * per-batch `triggerExecution` percentiles, both providers.
     */
   private def serveAnnLatency(spark: SparkSession, qps: Int, seconds: Int,
-      nVecs: Int, provider: Option[String]): Unit = {
+      nVecs: Int, provider: Option[String], pq: Boolean = false): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val provName = setProvider(spark, provider)
@@ -399,10 +407,22 @@ object StreamBench {
     val all = graft.RecallProbe.clusteredFixture(spark, nVecs).cache()
     val cents = graft.ext.Similarity
       .kmeansCentroids(all, k = 16, iters = 3, roundTo = 4)
+    // pq=false: the float-vector cell store (ivfAppendStore) served by
+    // in-plan cosine re-ranking; pq=true: the CODES store
+    // (IndexExport.exportPqCells — m longs/vec, no float reads) served
+    // by batch ADC. Same probe discipline, same stream topology — the
+    // row pair isolates what the memory tier buys per batch.
+    val cbs = if (pq) Some(graft.ext.Pq.seedCodebooks(all, m = 4, ksub = 16))
+      else None
     val dir = java.nio.file.Files
       .createTempDirectory(s"serve_ann_store_$provName").toString
-    graft.ext.Similarity.ivfAppendStore(all, cents, dir)
-    val store = spark.read.parquet(dir).cache()
+    val store = if (pq) {
+      graft.jobs.IndexExport.exportPqCells(all, cents, cbs.get, dir)
+      spark.read.parquet(s"$dir/codes").cache()
+    } else {
+      graft.ext.Similarity.ivfAppendStore(all, cents, dir)
+      spark.read.parquet(dir).cache()
+    }
     store.count() // materialize: store read cost off the serving path
     val qvecs = all.filter($"vec_id" < 256)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
@@ -413,11 +433,14 @@ object StreamBench {
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"serve_ann_ckpt_$provName").toString
     val base = 1673222400000L
+    val serveFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (pq) b => graft.ext.Pq.ivfAdcBatchTopK(store, cents, cbs.get,
+        b.select(col("query_id"), col("qvec")), k = 10, nprobe = 2)
+      else b => graft.ext.Similarity.ivfBatchTopKQueries(store, cents.sortBy(_._1),
+        b.select(col("query_id"), col("qvec")), k = 10, nprobe = 2)
     val q = StreamOps.retrievalServeStream(
       mem.toDF().toDF("query_id", "qvec", "ts"), "ts", "30 seconds", ckpt,
-      b => graft.ext.Similarity.ivfBatchTopKQueries(store, cents.sortBy(_._1),
-        b.select(col("query_id"), col("qvec")), k = 10, nprobe = 2)) {
-        (res, _) => served.addAndGet(res.count()); () }
+      serveFn) { (res, _) => served.addAndGet(res.count()); () }
     @volatile var stop = false
     val feeder = new Thread(() => {
       var emitted = 0L
@@ -447,7 +470,8 @@ object StreamBench {
       require(durs.nonEmpty, "no non-empty batches in serve-ann run")
       def pct(p: Double): Long = durs(math.round(p * (durs.length - 1)).toInt)
       val qPerBatch = prog.map(_.numInputRows).sum.toDouble / prog.length
-      println(s"""{"probe":"serve_latency","op":"ivf_serve","provider":"$provName",""" +
+      val opName = if (pq) "ivf_pq_serve" else "ivf_serve"
+      println(s"""{"probe":"serve_latency","op":"$opName","provider":"$provName",""" +
         s""""qps":$qps,"seconds":$seconds,"n_vecs":$nVecs,""" +
         s""""batches":${durs.length},"queries_per_batch":${f"$qPerBatch%.1f"},""" +
         s""""p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)},"max_ms":${durs.last},""" +

@@ -243,6 +243,94 @@ object Pq {
     * encode/ADC), composed; the float re-rank tier on the top-r results
     * reads the IVF cell store ([[Similarity.ivfAppendStore]]'s layout).
     */
+  /** The per-query ADC table expression over the `__sub<j>`/`__dss<j>`
+    * projection, MEMOIZED per codebook set: the 64 `typedLit` float
+    * arrays cost ~250 ms of driver-side encoder work to construct, and
+    * a streaming serve fn calls [[ivfAdcBatchTopK]] once per
+    * micro-batch with the same codebooks — Columns are immutable plan
+    * fragments, safely shared across DataFrames.
+    */
+  private val adcTableCache =
+    new java.util.concurrent.ConcurrentHashMap[Codebooks, Column]
+
+  private def adcTableCol(cbs: Codebooks): Column =
+    adcTableCache.computeIfAbsent(cbs, { cbs2 =>
+      array(cbs2.zipWithIndex.map { case (cb, j) =>
+        array(cb.sortBy(_._1).map { case (_, cv) =>
+          val raw = floor((col(s"__dss$j") -
+            lit(2.0) * Similarity.dotHof(col(s"__sub$j"), typedLit(cv)) +
+            lit(sdot(cv, cv))) * 1000000 + 0.5)
+          least(greatest(nanvl(raw, lit(KeyBound)), lit(-KeyBound)),
+            lit(KeyBound)).cast("long")
+        }: _*)
+      }: _*)
+    })
+
+  /** Batch/streaming IVF-PQ serving: every query in `(query_id, qvec)`
+    * ranked by ADC against a PREBUILT codes store `(vec_id, codes,
+    * cell)` (the [[graft.jobs.IndexExport.exportPqCells]] layout — at
+    * scale the cell-partitioned parquet the stream's probe join
+    * partition-prunes). The RAM-code serving tier, reachable from
+    * `retrievalServeStream` like the BM25/float-IVF serve fns.
+    *
+    * Plan shape: probe cells resolve IN-PLAN per query
+    * ([[Similarity.probesPerQuery]] — the same total order the
+    * single-query driver-side [[Similarity.probeCells]] uses, so batch
+    * ≡ single probing); each query's m × ksub ADC table is computed
+    * ONCE on its own row (exact scaled-long entries, the [[adcScore]]
+    * arithmetic); the broadcast query×probe frame joins the codes store
+    * on `cell`, and each candidate pays m table lookups + an exact long
+    * sum — O(matched codes) rows, zero float reads. Per-query top-k via
+    * the bounded mergeable aggregate, dist asc / vec_id asc (fed as
+    * -dist into the score-desc combiner; exact in double for any real
+    * corpus — hostile ±1e30 vectors saturate at the [[KeyBound]] clamp
+    * where relative order among garbage is not contractual). Output:
+    * (query_id, rank, vec_id, pq_dist_s6). Self-matches
+    * (vec_id == query_id) are excluded like [[adcScore]], so a corpus
+    * vector serving as its own query reproduces [[ivfAdcTopK]] exactly
+    * (pinned per-batch ≡ batch by the streaming spec).
+    */
+  def ivfAdcBatchTopK(codes: DataFrame, centRows: Seq[(Long, Seq[Float])],
+      cbs: Codebooks, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    requireDense(cbs)
+    val d = cbs.head.head._2.length
+    // per-query ADC table, built FRUGALLY: the query subvectors and
+    // their self-dots are projected once per subspace and shared by the
+    // ksub entries (the naive per-entry l2KeyCol would evaluate 3
+    // interpreted HOF dots × m × ksub per query row and leave m × ksub
+    // codebook self-dots to the constant folder on EVERY micro-batch);
+    // codebook self-dots fold driver-side via the same sdot the
+    // single-query tables use, so the composed double arithmetic —
+    // dss − 2·dsc + dcc — is bit-identical to [[l2Long]]/[[l2KeyCol]].
+    val probed = Similarity.probesPerQuery(queries, centRows.sortBy(_._1), nprobe)
+    // three SELECTs, not a withColumn chain — each withColumn re-analyzes
+    // the growing plan on the driver, and this runs once per micro-batch
+    // (measured ~380 ms/batch of pure driver time for the chained form)
+    val subs = probed.select(
+      Seq(col("query_id"), col("cell")) ++ (0 until cbs.size).map(j =>
+        slice(col("qvec"), j * d + 1, d).as(s"__sub$j")): _*)
+    val withDss = subs.select(
+      col("*") +: (0 until cbs.size).map(j =>
+        Similarity.dotHof(col(s"__sub$j"), col(s"__sub$j")).as(s"__dss$j")): _*)
+    val q = withDss.select(col("query_id"), col("cell"),
+      adcTableCol(cbs).as("tbl"))
+    val dist = cbs.indices.map { j =>
+      element_at(element_at(col("tbl"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val topk = org.apache.spark.sql.functions.udaf(new TopKByScore(k))
+    codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("pq_dist_s6"))
+      .groupBy(col("query_id"))
+      .agg(topk((-col("pq_dist_s6")).cast("double"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("query_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("r._2").as("vec_id"),
+        (-col("r._1")).cast("long").as("pq_dist_s6"))
+  }
+
   def ivfAdcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
       cbs: Codebooks, nCentroids: Int = 16, nprobe: Int = 2,
       centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {

@@ -283,17 +283,23 @@ object Similarity {
     * re-deriving the assignment per call. [[ivfBatchTopK]] delegates
     * here, so batch and serving results are identical by construction.
     */
-  def ivfBatchTopKQueries(assigned: DataFrame,
-      centRows: Seq[(Long, Seq[Float])], queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
-    // probe keys: -floor(rnd(cos,6)*1e6 + 0.5) as LONG — the +0.5
-    // recovers the exact scaled integer after rnd's inexact division,
-    // and an integer key sidesteps the -0.0 / 0.0 ordering mismatch a
-    // negated double would risk across engines. The nanvl + [-2, 2]
-    // clamp is IDENTITY for any real cosine (|cos| <= 1, so parity on
-    // the gated data is untouched); it exists for hostile vectors —
-    // a zero/±1e30 query makes the cosine NaN/±Inf, whose cast(long)
-    // throws under ANSI. NaN/far maps to cos = -2 = "probe last".
+  /** In-plan probe-cell selection for a query frame `(query_id, qvec,
+    * …)`: one output row per (query, probed cell), columns preserved
+    * plus `cell`. Same total order as the driver-side [[probeCells]]
+    * (rounded cosine, centroid-id tie-break), so single-query and
+    * batch servings probe identical cells.
+    *
+    * Probe keys: -floor(rnd(cos,6)*1e6 + 0.5) as LONG — the +0.5
+    * recovers the exact scaled integer after rnd's inexact division,
+    * and an integer key sidesteps the -0.0 / 0.0 ordering mismatch a
+    * negated double would risk across engines. The nanvl + [-2, 2]
+    * clamp is IDENTITY for any real cosine (|cos| <= 1, so parity on
+    * the gated data is untouched); it exists for hostile vectors —
+    * a zero/±1e30 query makes the cosine NaN/±Inf, whose cast(long)
+    * throws under ANSI. NaN/far maps to cos = -2 = "probe last".
+    */
+  private[ext] def probesPerQuery(queries: DataFrame,
+      centRows: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
     val cands = centRows.map { case (id, cv) =>
       val c = nanvl(rnd(cosine(col("qvec"), typedLit(cv)), 6), lit(-2.0))
       struct(
@@ -301,13 +307,19 @@ object Similarity {
           .cast("long").as("nc"),
         lit(id).as("id"))
     }
-    val q = queries
+    queries
       .withColumn("probes",
         slice(sort_array(array(cands.toIndexedSeq: _*)), 1, nprobe))
-      .select(col("query_id"), col("qvec"),
-        explode(col("probes")).as("p"))
-      .select(col("query_id"), col("qvec"),
-        col("p.id").cast("long").as("cell"))
+      .withColumn("p", explode(col("probes")))
+      .withColumn("cell", col("p.id").cast("long"))
+      .drop("probes", "p")
+  }
+
+  def ivfBatchTopKQueries(assigned: DataFrame,
+      centRows: Seq[(Long, Seq[Float])], queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val q = probesPerQuery(queries, centRows, nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
     val topk = udaf(new TopKByScore(k))
     assigned.withColumn("cell", col("cell").cast("long"))
       .join(broadcast(q), Seq("cell"))

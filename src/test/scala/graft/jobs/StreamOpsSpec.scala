@@ -565,6 +565,52 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
       all.unpersist()
     }
   }
+
+  test("PQ serving stream: query batches through the disk CODES store equal single-query ivfAdcTopK") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Pq, Similarity}
+    val all = graft.RecallProbe.clusteredFixture(spark, 300).cache()
+    val cents = Similarity.kmeansCentroids(all, k = 16, iters = 3, roundTo = 4)
+    val cbs = Pq.seedCodebooks(all, m = 4, ksub = 16)
+    // the serving index is the exported cell-partitioned CODES store —
+    // the RAM tier's bytes (m longs/vec), floats never read at serve time
+    val dir = Files.createTempDirectory("pq_serve_store").toString
+    graft.jobs.IndexExport.exportPqCells(all, cents, cbs, dir)
+    graft.jobs.IndexExport.clearReaders()
+    val store = spark.read.parquet(s"$dir/codes")
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val ckpt = Files.createTempDirectory("pq_serve_ckpt").toString
+    val q = StreamOps.retrievalServeStream(
+      in.toDF().toDF("query_id", "qvec", "ts"), "ts", "10 minutes", ckpt,
+      b => Pq.ivfAdcBatchTopK(store, cents,
+        cbs, b.select($"query_id", $"qvec"), k = 5, nprobe = 2)) { (res, _) =>
+        val rows = res.as[(Long, Long, Long, Long)].collect()
+        buf.synchronized { buf ++= rows }
+      }
+    try {
+      val qvecs = all.filter($"vec_id" < 4)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().sortBy(_._1)
+      in.addData(qvecs.take(2).map { case (id, v) => (id, v, ts(0)) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(qvecs.drop(2).map { case (id, v) => (id, v, ts(2)) }.toSeq: _*)
+      q.processAllAvailable()
+      // per-batch ≡ the single-query ADC path on the LIVE embedding
+      // table (same probes, same codes, same exact-integer scoring)
+      val expected = (0L until 4L).flatMap { qid =>
+        Pq.ivfAdcTopK(all, qid, k = 5, cbs, centroids = Some(cents))
+          .as[(Long, Long)].collect().zipWithIndex
+          .map { case ((vid, dist), i) => (qid, (i + 1).toLong, vid, dist) }
+      }
+      assert(buf.sorted.toList === expected.sorted.toList)
+      assertProviderEngaged(ckpt)
+    } finally {
+      q.stop()
+      all.unpersist()
+    }
+  }
 }
 
 /** The stateful family on the default HDFS-backed in-memory store. */
