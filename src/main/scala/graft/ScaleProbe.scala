@@ -185,7 +185,138 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
   }
 
+  /** K× corpus where HALF of each replica's docs are a near-dup flood:
+    * 30 shared namespace tokens + one unique token per doc, so flood
+    * members band-collide into buckets holding ~|replica|/2 docs
+    * (jaccard ~0.9 between any two). The adversarial input the
+    * `maxBucket` guards exist for — one bucket owning 50% of the
+    * corpus, quadratic if paired naively.
+    */
+  private def skewedDocs(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = lit(1000000L)
+    val boiler = (0 until 30).map(w => s"b$w")
+    (0 until k).map { rep =>
+      val flood = concat_ws(" ",
+        (boiler.map(t => lit(s"r${rep}_$t")) :+
+          concat(lit(s"r${rep}_u"), col("doc_id"))): _*)
+      val honest = array_join(transform(split(col("text"), " "),
+        t => concat(lit(s"r${rep}_"), t)), " ")
+      docs.select((col("doc_id") + n * rep).as("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 0, flood).otherwise(honest).as("text"))
+    }.reduce(_ unionAll _)
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** K× embeddings where HALF of each replica's vectors collapse onto
+    * one tight cluster (unit direction + per-vector 1e-5 jitter): one
+    * IVF cell ends up owning ~50% of the corpus however k was sized —
+    * the input [[graft.ext.Dedup.semanticDropList]]'s `maxCell`
+    * tiers exist for. Replica directions rotate so replicas stay
+    * mutually dissimilar; seed rows (vec_id < 16) keep their original
+    * vectors so trained/seeded centroid sets stay honest.
+    */
+  private def skewedEmbeddings(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val n = lit(1000000L)
+    val dim = 64
+    (0 until k).map { rep =>
+      val hotDim = (rep * 7) % dim
+      val hot = array((0 until dim).map { d =>
+        if (d == hotDim) lit(1.0f)
+        else if (d == (hotDim + 1) % dim)
+          (col("vec_id") % 100000L).cast("float") * 1e-5f
+        else lit(0.0f)
+      }: _*)
+      vecs.select((col("vec_id") + n * rep).as("vec_id"),
+        when(col("vec_id") % 2 === 0 && col("vec_id") >= 16, hot)
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** `--skew` mode: the join-heavy family on the deliberately skewed
+    * replicas — runtime must track the CAPS, not the flood. Also runs
+    * the uncapped band join once with AQE skew-join thresholds lowered
+    * to probe scale, recording whether Spark's own skew splitting
+    * engaged (it parallelizes the flood's quadratic output; only the
+    * cap removes it — the two mitigations are complementary, and the
+    * row pair shows which does what).
+    */
+  private def skewProbe(spark: SparkSession, sfDir: String,
+      mults: Seq[Int]): Unit = {
+    import graft.ext.{Dedup, Similarity}
+    for (k <- mults) {
+      val dir = tempDir(s"skew_${k}x")
+      skewedDocs(spark, sfDir, k).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      skewedEmbeddings(spark, sfDir, k).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      def row(q: String, f: => Long): Unit = {
+        Dedup.clearSignatureCaches()
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"probe":"skew","query":"$q","mult":$k,""" +
+          s""""sec":${f"$sec%.3f"},"rows":$rows}""")
+      }
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      row("q21_minhash_capped",
+        Dedup.minhashPairs(docs, minJaccard = 0.7).count())
+      row("q94_containment_capped",
+        Dedup.containmentPairs(docs, minContainment = 0.7).count())
+      val cents = Similarity.kmeansCentroids(emb, 16, 1, 4)
+      row("q108_semdedup_capped",
+        Dedup.semanticDropList(emb, docs, cents, minCos = 0.35,
+          maxCell = 2000).count())
+      // uncapped reference only at small multipliers: it is the
+      // quadratic case the caps remove (|flood|²/4 pairs)
+      if (k <= 2) {
+        row("q108_semdedup_UNCAPPED",
+          Dedup.semanticDropList(emb, docs, cents, minCos = 0.35).count())
+        // AQE skew-split leg: uncapped band join, thresholds at probe
+        // scale so OptimizeSkewedJoin can engage on local[32] volumes
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        Dedup.clearSignatureCaches()
+        val t0 = System.nanoTime()
+        val df = Dedup.minhashPairs(docs, minJaccard = 0.7,
+          maxBucket = Int.MaxValue)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val skewApplied = df.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        println(s"""{"probe":"skew","query":"q21_minhash_UNCAPPED_aqe",""" +
+          s""""mult":$k,"sec":${f"$sec%.3f"},"rows":$rows,""" +
+          s""""aqe_skew_split":$skewApplied}""")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      }
+      Dedup.clearSignatureCaches()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--skew")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1, 2, 5, 10))
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try skewProbe(spark, sfDir, mults)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
     val sfDir = args(0)
     val mults = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
                 else Seq(1, 2, 5, 10)

@@ -701,15 +701,82 @@ object Dedup {
     * once per side.
     */
   def semanticDropList(embeddings: DataFrame, documents: DataFrame,
-      centroids: Seq[(Long, Seq[Float])], minCos: Double): DataFrame = {
-    val assigned = cached(embeddings
+      centroids: Seq[(Long, Seq[Float])], minCos: Double,
+      maxCell: Long = Long.MaxValue): DataFrame = {
+    val assigned0 = embeddings
       .select(col("vec_id"), col("embedding"),
-        Similarity.nearestCentroid(centroids, col("embedding")).as("cell")))
-    val l = assigned.select(col("cell"), col("vec_id").as("vec1"),
-      col("embedding").as("e1"))
-    val r = assigned.select(col("cell"), col("vec_id").as("vec2"),
-      col("embedding").as("e2"))
-    val pairs = l.join(r, Seq("cell"))
+        Similarity.nearestCentroid(centroids, col("embedding")).as("cell"))
+    // Skew guard (off by default — maxCell = MaxValue keeps the gated
+    // q108/q119 plan and oracle byte-identical): a cell holding m
+    // vectors scores m²/2 pairs, so one hot region turns the cell join
+    // quadratic no matter how k was sized. Two tiers, both only above
+    // the cap (DedupSkewSpec pins the semantics, ScaleProbe --skew the
+    // runtime):
+    //  1. cells above `maxCell` are SUB-BUCKETED by an 8-plane
+    //     random-projection sign hash of the vector itself
+    //     ([[Similarity.rpBucket]]) — a merely-POPULAR (diverse) region
+    //     splits ~256 ways while near-identical vectors agree on every
+    //     plane's sign and stay co-bucketed;
+    //  2. a sub-bucket STILL above `maxCell` is a tight duplicate flood
+    //     RP cannot split (near-identical vectors hash together by
+    //     design) — there, each member pairs ONLY with the sub-bucket's
+    //     min-id anchor: m pairs instead of m²/2, and because the flood
+    //     is tight (that is what defeated RP), cos(anchor, member)
+    //     clears any near-dup threshold the full join would have — the
+    //     drop SET is preserved, n_dups collapses to the anchor count.
+    //     Recall caveat: a member whose only dups are non-anchor
+    //     members of a >maxCell sub-bucket is missed — possible only
+    //     for a region so dense it flooded 16 centroids AND 8
+    //     hyperplanes yet is not mutually similar.
+    // Cell/sub-bucket sizes are small aggregates → broadcast; the pair
+    // key packs (cell, sub) as cell·4096 + sub; original `cell` rides
+    // to the output contract.
+    val assigned = cached(
+      if (maxCell == Long.MaxValue) assigned0
+      else {
+        val hot = assigned0.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") > maxCell)
+          .select(col("cell"), lit(1).as("__hot"))
+        assigned0.join(broadcast(hot), Seq("cell"), "left")
+          .withColumn("__jk", col("cell") * 4096L +
+            when(col("__hot").isNotNull,
+              Similarity.rpBucket(col("embedding"), 8, 64) + 1L)
+              .otherwise(lit(0L)))
+          .select(col("vec_id"), col("embedding"), col("cell"), col("__jk"))
+      })
+    val rawPairs =
+      if (maxCell == Long.MaxValue) {
+        // gated path: byte-identical to the pre-cap plan (equi-join ON
+        // the cell — PlanSpec pins the key by name)
+        val l = assigned.select(col("cell"), col("vec_id").as("vec1"),
+          col("embedding").as("e1"))
+        val r = assigned.select(col("cell"), col("vec_id").as("vec2"),
+          col("embedding").as("e2"))
+        l.join(r, Seq("cell"))
+      } else {
+        val l = assigned.select(col("__jk"), col("cell"),
+          col("vec_id").as("vec1"), col("embedding").as("e1"))
+        val r = assigned.select(col("__jk"),
+          col("vec_id").as("vec2"), col("embedding").as("e2"))
+        val bigKeys = assigned.groupBy(col("__jk"))
+          .agg(count(lit(1)).as("__gsz"))
+          .filter(col("__gsz") > maxCell).select(col("__jk"))
+        val lSmall = l.join(broadcast(bigKeys), Seq("__jk"), "left_anti")
+        val rSmall = r.join(broadcast(bigKeys), Seq("__jk"), "left_anti")
+        // anchor tier: min-id member per oversized sub-bucket, joined
+        // back to every other member — m rows per flood, not m²/2
+        val anchors = assigned
+          .join(broadcast(bigKeys), Seq("__jk"))
+          .groupBy(col("__jk"))
+          .agg(min(col("vec_id")).as("vec1"),
+            min_by(col("embedding"), col("vec_id")).as("e1"),
+            min_by(col("cell"), col("vec_id")).as("cell"))
+        lSmall.join(rSmall, Seq("__jk"))
+          .unionByName(r.join(broadcast(anchors), Seq("__jk")))
+          .drop("__jk")
+      }
+    val pairs = rawPairs
       .filter(col("vec1") < col("vec2"))
       .select(col("cell"), col("vec1"), col("vec2"),
         rnd(Similarity.cosine(col("e1"), col("e2")), 6).as("cos"))

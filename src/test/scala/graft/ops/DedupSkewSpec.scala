@@ -116,6 +116,53 @@ class DedupSkewSpec extends AnyFunSuite {
       "anti-join must be a descendant of the aggregate:\n" + plan.treeString)
   }
 
+  test("semanticDropList maxCell bounds flood work without changing the drop set") {
+    import spark.implicits._
+    val dim = 64
+    def vec(hotDim: Int, i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d =>
+        if (d == hotDim) 1.0f
+        else if (d == (hotDim + 1) % dim) i * 1e-5f
+        else 0.0f)
+    // cluster A: 300 near-identical vectors along dim 0 (a duplicate
+    // flood); cluster B: 40 near-identical along dim 7 (under-cap,
+    // orthogonal to A); both land in cells by the single centroid set
+    val a = (0 until 300).map(i => (100L + i, vec(0, i)))
+    val b = (0 until 40).map(i => (1000L + i, vec(7, i)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val docs = (a ++ b).map(_._1).toDF("doc_id")
+      .select($"doc_id", lit("en").as("lang"), lit(10L).as("n_chars"))
+    // centroids: one per cluster direction — A floods its cell
+    val cents = Seq((0L, vec(0, 0)), (1L, vec(7, 0)))
+
+    val uncapped = Dedup.semanticDropList(emb, docs, cents, minCos = 0.9)
+      .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toMap
+    Dedup.clearSignatureCaches()
+    val capped = Dedup.semanticDropList(emb, docs, cents, minCos = 0.9,
+      maxCell = 50)
+      .select($"doc_id", $"dup_of", $"n_dups").as[(Long, Long, Long)]
+      .collect()
+    Dedup.clearSignatureCaches()
+
+    // the drop SET survives the cap: every non-anchor flood member and
+    // every non-min B member is still dropped, nothing else
+    assert(capped.map(_._1).toSet === uncapped.keySet)
+    assert(capped.map(_._1).toSet ===
+      (a.map(_._1).toSet - 100L) ++ (b.map(_._1).toSet - 1000L))
+    // flood members carry the anchor-tier signature: exactly ONE pair
+    // (the sub-bucket anchor), dup_of = the flood's min id — the m-not-m²
+    // work bound made observable in the output
+    capped.filter(_._1 >= 100L).filter(_._1 < 1000L).foreach {
+      case (id, dupOf, nDups) =>
+        assert(dupOf === 100L, s"flood member $id anchored to $dupOf")
+        assert(nDups === 1L, s"flood member $id scored $nDups pairs")
+    }
+    // under-cap cells keep FULL pair semantics (bitwise same dup_of)
+    capped.filter(_._1 >= 1000L).foreach { case (id, dupOf, _) =>
+      assert(dupOf === uncapped(id))
+    }
+  }
+
   test("incremental dedup == cross-side subset of the symmetric generator") {
     import spark.implicits._
     val docs = skewedCorpus

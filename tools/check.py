@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 DuckDB-oracle check.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [oracleTimeoutSec]
+
+With a timeout, an oracle query exceeding it is reported as
+"SKIP (oracle cost cap)" and counted separately — the gate result for
+that query is then unknown rather than failed. Used for the sf1-class
+run where a handful of DuckDB list-heavy replays (the quadratic
+shingle/pair CTEs) exceed any reasonable single-process budget while
+the Spark side finishes fine.
 
 Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"` has produced
 outDir/<name>/ parquet dirs + outDir/oracle_sql.json. For each query:
@@ -36,6 +43,7 @@ def cmp_vals(a, b):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -45,14 +53,34 @@ def main():
         pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    npass = nfail = 0
+    npass = nfail = nskip = 0
+
+    def run_oracle(sql):
+        if timeout is None:
+            return con.execute(sql).fetchall(), [d[0] for d in con.description]
+        import threading
+        res, err = [], []
+        def work():
+            try:
+                res.append((con.execute(sql).fetchall(),
+                            [d[0] for d in con.description]))
+            except Exception as e:
+                err.append(e)
+        t = threading.Thread(target=work, daemon=True)
+        t.start(); t.join(timeout)
+        if t.is_alive():
+            con.interrupt(); t.join(30)
+            raise TimeoutError(f"oracle exceeded {timeout}s")
+        if err: raise err[0]
+        return res[0]
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); nfail += 1; continue
         try:
-            orows = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
+            orows, ocols = run_oracle(sql)
+        except TimeoutError as e:
+            print(f"SKIP {name}: oracle cost cap ({e})"); nskip += 1; continue
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); nfail += 1; continue
         srel = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
@@ -75,7 +103,8 @@ def main():
             nfail += 1
         else:
             print(f"PASS {name} ({len(srows_c)} rows)"); npass += 1
-    print(f"== {npass} pass / {nfail} fail ==")
+    skip = f" / {nskip} skip (oracle cost cap)" if nskip else ""
+    print(f"== {npass} pass / {nfail} fail{skip} ==")
     sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
