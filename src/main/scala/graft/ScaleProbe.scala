@@ -192,10 +192,11 @@ object ScaleProbe {
     * `maxBucket` guards exist for — one bucket owning 50% of the
     * corpus, quadratic if paired naively.
     */
-  private def skewedDocs(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  private def skewedDocs(spark: SparkSession, sfDir: String, k: Int,
+      floodPct: Int = 50, boilerLen: Int = 30): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = lit(1000000L)
-    val boiler = (0 until 30).map(w => s"b$w")
+    val boiler = (0 until boilerLen).map(w => s"b$w")
     (0 until k).map { rep =>
       val flood = concat_ws(" ",
         (boiler.map(t => lit(s"r${rep}_$t")) :+
@@ -203,7 +204,8 @@ object ScaleProbe {
       val honest = array_join(transform(split(col("text"), " "),
         t => concat(lit(s"r${rep}_"), t)), " ")
       docs.select((col("doc_id") + n * rep).as("doc_id"), col("lang"),
-        when(col("doc_id") % 2 === 0, flood).otherwise(honest).as("text"))
+        when(pmod(col("doc_id"), lit(100)) < floodPct, flood)
+          .otherwise(honest).as("text"))
     }.reduce(_ unionAll _)
       .withColumn("n_chars", length(col("text")))
   }
@@ -222,11 +224,14 @@ object ScaleProbe {
     val n = lit(1000000L)
     val dim = 64
     (0 until k).map { rep =>
-      val hotDim = (rep * 7) % dim
+      // ONE direction across ALL replicas: the hot cell grows with K —
+      // the "one cell holds 50% of the corpus" adversary (per-replica
+      // directions would give K independent caps-sized floods instead)
       val hot = array((0 until dim).map { d =>
-        if (d == hotDim) lit(1.0f)
-        else if (d == (hotDim + 1) % dim)
-          (col("vec_id") % 100000L).cast("float") * 1e-5f
+        if (d == 0) lit(1.0f)
+        else if (d == 1)
+          ((col("vec_id") % 100000L).cast("float") +
+            lit(rep * 100000.0f)) * 1e-7f
         else lit(0.0f)
       }: _*)
       vecs.select((col("vec_id") + n * rep).as("vec_id"),
@@ -244,6 +249,97 @@ object ScaleProbe {
     * cap removes it — the two mitigations are complementary, and the
     * row pair shows which does what).
     */
+
+  /** The AQE legs, run ONCE on purpose-sized corpora (independent of
+    * the multiplier sweep):
+    *  (a) decontamination's exact code join on a 90%-flood / 5-token-
+    *      boilerplate corpus — the flood shares exactly ONE 5-gram
+    *      code, so a single reduce partition owns ~half the exploded
+    *      train side's bytes: INPUT-byte skew, the class
+    *      OptimizeSkewedJoin's partition-size test sees (a 30-token
+    *      boilerplate spreads ~27 equally-hot codes uniformly over the
+    *      partitions and the rule correctly declines — no outlier);
+    *  (b) the uncapped LSH band join on the 30-token flood — its cost
+    *      is the hot bucket's m²/2 OUTPUT pairs generated from
+    *      byte-tiny input partitions: skew no partition-size heuristic
+    *      can see, recorded as the negative result motivating the
+    *      operator-level caps.
+    */
+  private def aqeLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ext.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the shingle/signature tables are CACHED; by default AQE refuses
+    // to re-partition plans reading cached relations, which silently
+    // disables skew splitting for this whole family — the cluster-side
+    // setting a real deployment flips for exactly this reason
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    // skew splitting works at MAPPER granularity: a hot reduce
+    // partition fed by a single map task cannot be subdivided, and the
+    // probe corpus is one small parquet file (one scan partition ->
+    // one mapper). Small scan splits restore the multi-mapper shape a
+    // real corpus has.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+    if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.adaptive",
+        org.apache.logging.log4j.Level.DEBUG)
+    def aqeRow(q: String, mult: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      Dedup.clearSignatureCaches()
+      val t0 = System.nanoTime()
+      // execute THIS DataFrame's own QueryExecution (count() would plan
+      // a separate aggregate query, leaving df's plan initial — its
+      // toString would never show the final skew markers)
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val planStr = df.queryExecution.executedPlan.toString
+      val skewApplied = planStr.contains("skew=true")
+      if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+        planStr.linesIterator.filter(l => l.contains("Join") || l.contains("skew") || l.contains("AQEShuffleRead"))
+          .foreach(l => println("PLANLINE " + l.trim.take(200)))
+      println(s"""{"probe":"skew","query":"$q","mult":$mult,""" +
+        s""""sec":${f"$sec%.3f"},"rows":$rows,"aqe_skew_split":$skewApplied}""")
+    }
+    try {
+      val inDir = tempDir("skew_aqe_input")
+      skewedDocs(spark, sfDir, 10, floodPct = 98, boilerLen = 5)
+        .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+      val inDocs = Tables.documents(spark, inDir)
+      aqeRow("q66_decontam_exact_aqe", 10,
+        Dedup.contamination(inDocs,
+          inDocs.filter(pmod(col("doc_id"), lit(100)) < 3)))
+      // the SAME code join with both sides SHUFFLE-ADJACENT (no
+      // distinct/aggregate between the exchange and the join): the
+      // only shape OptimizeSkewedJoin's pattern matches — the
+      // true-positive control proving the engine CAN split this skew
+      // when the plan exposes it
+      val lCodes = inDocs.select(col("doc_id"),
+        explode(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))).as("term"))
+      val rCodes = inDocs.filter(pmod(col("doc_id"), lit(100)) < 3)
+        .select(col("doc_id").as("h_doc"),
+          explode(graft.ext.TextStats.tokens(coalesce(col("text"), lit("")))).as("term"))
+      aqeRow("q66_shuffle_adjacent_join_aqe", 10,
+        lCodes.join(rCodes, Seq("term"))
+          .select(col("doc_id"), col("h_doc")))
+      val outDir = tempDir("skew_aqe_output")
+      skewedDocs(spark, sfDir, 1, floodPct = 90, boilerLen = 30)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      aqeRow("q21_minhash_UNCAPPED_aqe", 1,
+        Dedup.minhashPairs(Tables.documents(spark, outDir),
+          minJaccard = 0.7, maxBucket = Int.MaxValue))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      Dedup.clearSignatureCaches()
+    }
+  }
+
   private def skewProbe(spark: SparkSession, sfDir: String,
       mults: Seq[Int]): Unit = {
     import graft.ext.{Dedup, Similarity}
@@ -272,32 +368,15 @@ object ScaleProbe {
         Dedup.semanticDropList(emb, docs, cents, minCos = 0.35,
           maxCell = 2000).count())
       // uncapped reference only at small multipliers: it is the
-      // quadratic case the caps remove (|flood|²/4 pairs)
-      if (k <= 2) {
+      // quadratic case the caps remove (|flood|²/2 pairs in the one
+      // growing hot cell)
+      if (k <= 5) {
         row("q108_semdedup_UNCAPPED",
           Dedup.semanticDropList(emb, docs, cents, minCos = 0.35).count())
-        // AQE skew-split leg: uncapped band join, thresholds at probe
-        // scale so OptimizeSkewedJoin can engage on local[32] volumes
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        Dedup.clearSignatureCaches()
-        val t0 = System.nanoTime()
-        val df = Dedup.minhashPairs(docs, minJaccard = 0.7,
-          maxBucket = Int.MaxValue)
-        val rows = df.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val skewApplied = df.queryExecution.executedPlan.toString
-          .contains("skew=true")
-        println(s"""{"probe":"skew","query":"q21_minhash_UNCAPPED_aqe",""" +
-          s""""mult":$k,"sec":${f"$sec%.3f"},"rows":$rows,""" +
-          s""""aqe_skew_split":$skewApplied}""")
-        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
       }
       Dedup.clearSignatureCaches()
     }
+    aqeLegs(spark, sfDir)
   }
 
   def main(args: Array[String]): Unit = {
