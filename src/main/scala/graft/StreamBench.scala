@@ -280,6 +280,38 @@ object StreamBench {
     pctRow("bm25_lookup_single", dursS,
       s""""n_docs":$nDocs,"result_rows":$rowsS,"parity":true""")
 
+    // ---- BM25 through the NO-SPARK local reader ----
+    // parity first: the local rows must equal the Spark single-query
+    // plan's rows exactly (ids, counts, scores to the bit)
+    graft.jobs.LocalLookup.clearLayouts()
+    val viaLocalParity = graft.jobs.LocalLookup
+      .bm25Single(out, parityTerms, 10)
+      .map(t => Seq[Any](t._1, t._2, t._3))
+    val viaSingleRows = graft.jobs.IndexExport
+      .bm25LookupSingle(spark, out, parityTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    require(viaLocalParity == viaSingleRows,
+      s"local/spark lookup divergence:\n$viaLocalParity\nvs\n$viaSingleRows")
+    (0 until 3).foreach { _ =>
+      graft.jobs.LocalLookup.bm25Single(out,
+        Seq.fill(3)(vocab(rnd.nextInt(vocab.size))), 10)
+    }
+    var rowsL = 0L
+    val dursL = (0 until nLookups).map { _ =>
+      val terms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+      val t0 = System.nanoTime()
+      rowsL += graft.jobs.LocalLookup.bm25Single(out, terms, 10).length
+      (System.nanoTime() - t0) / 1e6
+    }
+    pctRow("bm25_lookup_local", dursL,
+      s""""n_docs":$nDocs,"result_rows":$rowsL,"parity":true,""" +
+        s""""export_dir":"$out"""")
+    // NOTE: this row measures the local reader INSIDE the bench JVM,
+    // which at this point carries the Spark phases' heap (GC pauses
+    // stripe the tail). The deployment-shaped number comes from
+    // `runMain graft.jobs.LocalLookupBench <export_dir> <n>` — a fresh
+    // Spark-free JVM over the same export (SCALE.md records both).
+
     // ---- IVF-PQ ----
     val dims = 0 until 64
     val emb = spark.range(20000L).select($"id".as("vec_id"),
@@ -320,6 +352,27 @@ object StreamBench {
     pctRow("ivf_pq_lookup", pqDurs,
       s""""n_vecs":20000,"export_sec":${f"$pqExportSec%.2f"},""" +
         s""""result_rows":$pqRows,"parity":true""")
+
+    // ---- IVF-PQ through the NO-SPARK local reader ----
+    graft.jobs.LocalLookup.clearLayouts()
+    val pqLocalParity = graft.jobs.LocalLookup
+      .pqSingle(pqOut, qvecs(qids.head), qids.head, 10, cbs, cents)
+      .map(t => Seq[Any](t._1, t._2))
+    require(pqLocalParity == pqLive.map(_.take(2)),
+      s"local/live pq divergence:\n$pqLocalParity\nvs\n$pqLive")
+    (0 until 3).foreach { i =>
+      graft.jobs.LocalLookup.pqSingle(pqOut, qvecs(qids(i)), qids(i),
+        10, cbs, cents)
+    }
+    var pqRowsL = 0L
+    val pqDursL = qids.map { qid =>
+      val t0 = System.nanoTime()
+      pqRowsL += graft.jobs.LocalLookup
+        .pqSingle(pqOut, qvecs(qid), qid, 10, cbs, cents).length
+      (System.nanoTime() - t0) / 1e6
+    }
+    pctRow("ivf_pq_lookup_local", pqDursL,
+      s""""n_vecs":20000,"result_rows":$pqRowsL,"parity":true""")
   }
 
   private def serveLatency(spark: SparkSession, qps: Int, seconds: Int,

@@ -282,6 +282,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Driver-side twin of [[bm25ScoreSingle]] for the no-Spark point
+    * lookup ([[graft.jobs.LocalLookup]]): the SAME expression tree
+    * evaluated in plain Scala over already-matched posting rows.
+    * Bit-parity notes, term by term:
+    *  - Spark's `log` evaluates `java.lang.StrictMath.log` in codegen
+    *    and interpretation — use StrictMath here, not `math.log` (the
+    *    x86 `Math.log` intrinsic may differ by 1 ULP);
+    *  - [[graft.queries.Num.r]] is `floor(x * 10000 + 0.5) / 10000`
+    *    where the floor's long result re-enters a double division —
+    *    mirrored exactly;
+    *  - the per-doc sum is over exact longs (s4), so accumulation
+    *    order cannot matter;
+    *  - ordering is (score desc, doc_id asc) with a NULL doc_id first
+    *    on ties, matching Spark's asc-nulls-first default.
+    * `postings` rows are (doc_id, dl, tf, df) already restricted to the
+    * query's terms; doc_id is boxed because a NULL doc_id document
+    * still forms a group in the batch plan. Output rows are
+    * (doc_id, n_terms, score), the [[bm25ScoreSingle]] shape.
+    */
+  private[graft] def scoreSingleLocal(
+      postings: Iterable[(java.lang.Long, Long, Long, Long)],
+      n: Long, sumDl: Long, k: Int): Seq[(java.lang.Long, Long, Double)] = {
+    val avgdl = sumDl.toDouble / n.toDouble
+    val perDoc = new java.util.HashMap[java.lang.Long, (Long, Long)]
+    postings.foreach { case (docId, dl, tf, df) =>
+      val idf = StrictMath.log(
+        (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val idfR = math.floor(idf * 10000L + 0.5).toLong.toDouble / 10000L
+      val tfs = tf.toDouble * K1Plus1 /
+        (tf.toDouble + K1 * ((1.0 - B) + B * dl.toDouble / avgdl))
+      val s4 = math.floor(idfR * tfs * 10000 + 0.5).toLong
+      val prev = perDoc.getOrDefault(docId, (0L, 0L))
+      perDoc.put(docId, (prev._1 + 1L, prev._2 + s4))
+    }
+    import scala.jdk.CollectionConverters._
+    perDoc.asScala.toSeq.map { case (docId, (nTerms, sumS4)) =>
+      (docId, nTerms,
+        math.floor(sumS4.toDouble / 10000.0 * 10000L + 0.5).toLong
+          .toDouble / 10000L)
+    }.sortBy { case (docId, _, score) =>
+      (-score, docId != null, if (docId == null) 0L else docId.longValue())
+    }.take(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.'s RRF) over any number of
     * per-query rankings — the standard hybrid-retrieval combiner
     * (lexical + vector + priors): each system contributes

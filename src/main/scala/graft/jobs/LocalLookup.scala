@@ -1,0 +1,241 @@
+package graft.jobs
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.Binary
+
+import graft.ext.{Pq, Retrieval, Similarity}
+
+/** The point-lookup tier WITHOUT Spark: serve single queries by reading
+  * the [[IndexExport]] layout directly through parquet-hadoop — no
+  * SparkSession, no job scheduling, no shuffle. This is the "a
+  * non-Spark reader serves the same bytes at file-seek latency" claim
+  * from SCALE.md made executable: the `IndexExport` layout was designed
+  * so a KV-style reader only ever touches the query's own buckets/cells,
+  * and this object IS that reader.
+  *
+  * What a lookup costs (and why it is O(query), not O(index)):
+  *  - bucket/cell choice is driver arithmetic ([[IndexExport.termBucket]]
+  *    / [[Similarity.probeCells]] over the broadcast-sized centroid
+  *    constants) — zero I/O;
+  *  - one parquet footer + the term-matching pages per touched file:
+  *    the export sorts rows by (term, doc_id) within files, so the
+  *    pushed `term = …` predicate prunes row groups via min/max stats
+  *    and pages via the column index — a term's postings are a few
+  *    contiguous pages, not the bucket;
+  *  - scoring is driver arithmetic over the matched rows
+  *    ([[Retrieval.scoreSingleLocal]] / [[Pq.adcTables]] — the SAME
+  *    expression trees the Spark plans evaluate, shared at the source
+  *    level so parity is by construction, and pinned by LocalLookupSpec
+  *    plus the in-probe asserts of `StreamBench --lookup`).
+  *
+  * At 100 TB this is the serving split: the batch engine maintains the
+  * export (a scannable table); point traffic hits this reader (or any
+  * parquet-capable KV layer) and never pays a cluster round-trip. The
+  * per-directory caches below play the role of a server process's open
+  * index: footers and listings resolved once, queries only read pages.
+  */
+object LocalLookup {
+
+  private final case class Bm25Layout(fs: FileSystem, dir: String,
+      n: Long, sumDl: Long, nBuckets: Int,
+      files: ConcurrentHashMap[String, Seq[Path]],
+      // per-bucket df maps, loaded whole on first touch: the df table
+      // is dictionary-sized (one row per distinct term), which is
+      // exactly what a serving process keeps resident — after warmup a
+      // query only opens its postings buckets
+      dfCache: ConcurrentHashMap[Long, java.util.HashMap[String, Long]])
+
+  private val bm25Layouts = new ConcurrentHashMap[String, Bm25Layout]
+  private val codeFiles =
+    new ConcurrentHashMap[(String, Long), Seq[Path]]
+  private val conf = {
+    val c = new Configuration()
+    // serving reads: skip the checksum-wrapper filesystem for local
+    // paths (the .crc side files are a writer-integrity feature; a
+    // read-mostly serving tier verifies at rest, not per lookup)
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c
+  }
+
+  // parquet footers, resolved once per file (a serving process keeps
+  // them resident — re-parsing the thrift footer dominated the cold
+  // per-open cost)
+  private val footers = new ConcurrentHashMap[Path, ParquetMetadata]
+
+  /** Drop cached layouts (tests; or after re-exporting over a dir). */
+  def clearLayouts(): Unit =
+    { bm25Layouts.clear(); codeFiles.clear(); footers.clear() }
+
+  /** Data files under `dir`, excluding `_SUCCESS`/hidden/checksum
+    * siblings; empty when the directory does not exist (an empty
+    * corpus's export writes no partition directories at all).
+    */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath).sortBy(_.getName)
+
+  /** Read every row of `file` matching `pred` (or all rows when None)
+    * into `row`-mapped values, against the CACHED footer. Row-group
+    * stats filtering happens in the reader's constructor
+    * (`filterRowGroups` over the footer blocks), dictionary and
+    * column-index page filtering inside `readNextFilteredRowGroup`,
+    * record-level filtering in the record reader — the export's
+    * within-file sort is what makes the stats/page pruning tight.
+    */
+  private def readGroups[T](file: Path, pred: Option[FilterPredicate])
+      (row: Group => T): Seq[T] = {
+    val footer = footers.computeIfAbsent(file, f =>
+      ParquetFileReader.readFooter(HadoopInputFile.fromPath(f, conf),
+        ParquetMetadataConverter.NO_FILTER))
+    val opts = pred match {
+      case Some(p) => HadoopReadOptions.builder(conf, file)
+        .withRecordFilter(FilterCompat.get(p)).build()
+      case None => HadoopReadOptions.builder(conf, file).build()
+    }
+    val reader = new ParquetFileReader(conf, file, footer, opts)
+    try {
+      val schema = footer.getFileMetaData.getSchema
+      val colIO = new ColumnIOFactory().getColumnIO(schema)
+      val out = ArrayBuffer.empty[T]
+      var pages = reader.readNextFilteredRowGroup()
+      while (pages != null) {
+        val materializer = new GroupRecordConverter(schema)
+        val rr = pred.fold(colIO.getRecordReader(pages, materializer))(p =>
+          colIO.getRecordReader(pages, materializer, FilterCompat.get(p)))
+        val n = pages.getRowCount
+        var i = 0L
+        while (i < n) {
+          val g = rr.read()
+          if (g != null && !rr.shouldSkipCurrentRecord) out += row(g)
+          i += 1
+        }
+        pages = reader.readNextFilteredRowGroup()
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  private def termPred(terms: Seq[String]): FilterPredicate =
+    terms.map(t => FilterApi.eq(FilterApi.binaryColumn("term"),
+      Binary.fromString(t)): FilterPredicate).reduce(FilterApi.or)
+
+  private def bm25Layout(outDir: String): Bm25Layout =
+    bm25Layouts.computeIfAbsent(outDir, { dir =>
+      val fs = new Path(dir).getFileSystem(conf)
+      val metaFiles = dataFiles(fs, new Path(dir, "meta"))
+      require(metaFiles.nonEmpty, s"no meta file under $dir/meta")
+      // one row: (n: long, sum_dl: nullable long, n_buckets: int) —
+      // but the writer may emit empty sibling part files, so scan all
+      val meta = metaFiles.flatMap(readGroups(_, None) { g =>
+        val sumDl = if (g.getFieldRepetitionCount("sum_dl") == 0) 0L
+          else g.getLong("sum_dl", 0)
+        (g.getLong("n", 0), sumDl, g.getInteger("n_buckets", 0))
+      }).head
+      Bm25Layout(fs, dir, meta._1, meta._2, meta._3,
+        new ConcurrentHashMap, new ConcurrentHashMap)
+    })
+
+  private def bucketFiles(l: Bm25Layout, table: String,
+      bucket: Long): Seq[Path] =
+    l.files.computeIfAbsent(s"$table/$bucket",
+      _ => dataFiles(l.fs, new Path(l.dir, s"$table/bucket=$bucket")))
+
+  /** Single-query BM25 point lookup over an [[IndexExport.exportBm25]]
+    * layout — rows (doc_id, n_terms, score) identical to
+    * [[IndexExport.bm25LookupSingle]] (and therefore to every other
+    * bm25 path; q121's shared-oracle chain). Pays no Spark job.
+    */
+  def bm25Single(outDir: String, terms: Seq[String],
+      k: Int): Seq[(java.lang.Long, Long, Double)] = {
+    val l = bm25Layout(outDir)
+    val ts = terms.filter(_ != null).distinct
+    if (ts.isEmpty || l.n == 0) return Seq.empty
+    val byBucket = ts.groupBy(IndexExport.termBucket(_, l.nBuckets))
+    // df from the resident per-bucket maps, postings from the bucket's
+    // sorted files: a term's rows live in exactly one bucket directory
+    // of each table
+    val postings = ArrayBuffer.empty[(java.lang.Long, Long, Long, Long)]
+    byBucket.foreach { case (bucket, bucketTerms) =>
+      val pred = Some(termPred(bucketTerms))
+      val df = l.dfCache.computeIfAbsent(bucket, { b =>
+        val m = new java.util.HashMap[String, Long]
+        bucketFiles(l, "df", b).foreach { f =>
+          readGroups(f, None) { g =>
+            m.put(g.getBinary("term", 0).toStringUsingUTF8,
+              g.getLong("df", 0))
+          }
+        }
+        m
+      })
+      bucketFiles(l, "postings", bucket).foreach { f =>
+        readGroups(f, pred) { g =>
+          val docId: java.lang.Long =
+            if (g.getFieldRepetitionCount("doc_id") == 0) null
+            else java.lang.Long.valueOf(g.getLong("doc_id", 0))
+          val term = g.getBinary("term", 0).toStringUsingUTF8
+          postings += ((docId, g.getLong("dl", 0), g.getLong("tf", 0),
+            df.get(term)))
+        }
+      }
+    }
+    Retrieval.scoreSingleLocal(postings, l.n, l.sumDl, k)
+  }
+
+  /** Single-query IVF-PQ point lookup over an
+    * [[IndexExport.exportPqCells]] layout — rows (vec_id, pq_dist_s6)
+    * identical to [[IndexExport.pqLookup]] / [[Pq.ivfAdcTopK]]: same
+    * driver-side probe choice, same ADC tables ([[Pq.adcTables]] — the
+    * one construction both paths share), same exact-long sums and
+    * (dist asc, vec_id asc) order. Reads only the probed cells' code
+    * files; the floats are never touched.
+    */
+  def pqSingle(outDir: String, qvec: Seq[Float], queryVecId: Long, k: Int,
+      cbs: Pq.Codebooks, centroids: Seq[(Long, Seq[Float])],
+      nprobe: Int = 2): Seq[(Long, Long)] = {
+    val tables = Pq.adcTables(qvec, cbs)
+    val probes = Similarity.probeCells(centroids.sortBy(_._1), qvec, nprobe)
+    val fs = new Path(outDir).getFileSystem(conf)
+    val scored = ArrayBuffer.empty[(Long, Long)]
+    probes.foreach { cell =>
+      val files = codeFiles.computeIfAbsent((outDir, cell),
+        _ => dataFiles(fs, new Path(outDir, s"codes/cell=$cell")))
+      files.foreach { f =>
+        readGroups(f, None) { g =>
+          val vecId = g.getLong("vec_id", 0)
+          if (vecId != queryVecId) {
+            val codes = g.getGroup("codes", 0)
+            val m = codes.getFieldRepetitionCount(0)
+            var dist = 0L
+            var j = 0
+            while (j < m) {
+              dist += tables(j)(codes.getGroup(0, j).getLong(0, 0).toInt)
+              j += 1
+            }
+            scored += ((vecId, dist))
+          }
+        }
+      }
+    }
+    scored.sortBy { case (vecId, dist) => (dist, vecId) }.take(k).toSeq
+  }
+}

@@ -1,0 +1,142 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Pq, Retrieval}
+
+/** The no-Spark point-lookup reader ([[LocalLookup]]) must return rows
+  * identical to the Spark lookup plans over the same export — same
+  * matches, same scores to the bit, same order — and must do it with
+  * ZERO Spark jobs (that is the tier's reason to exist: point traffic
+  * never pays cluster scheduling). Spark is used here only to build
+  * the fixture/export and to compute the expected answers.
+  */
+class LocalLookupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  private val vocab = Seq("spark", "table", "hash", "scan", "join",
+    "sort", "row", "col", "disk", "ram", "net", "cpu")
+
+  private def docsFixture = {
+    import spark.implicits._
+    // repetition (tf > 1), a NULL text and a NULL doc_id: the batch
+    // plan scores both (dl 0 never matches; the null-id doc groups),
+    // so the local twin must too
+    val rows = (0 until 40).map { i =>
+      val text = (0 until 6).map(j => vocab((i * 5 + j * 7) % vocab.size))
+        .mkString(" ") + (if (i % 3 == 0) " spark spark" else "")
+      (Option(i.toLong), Option(text))
+    } ++ Seq((Option(99L), Option.empty[String]),
+      (Option.empty[Long], Option("spark hash hash")))
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Spark jobs visible to the status tracker, flushed until stable so
+    * an async listener event from fixture-building cannot leak into the
+    * measured window.
+    */
+  private def stableJobCount(): Int = {
+    def c() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    var prev = -1
+    var cur = c()
+    while (cur != prev) { Thread.sleep(100); prev = cur; cur = c() }
+    cur
+  }
+
+  test("local bm25 lookup equals the Spark single-query plan, with zero Spark jobs") {
+    import spark.implicits._
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_local").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    graft.ext.Dedup.clearSignatureCaches()
+    IndexExport.clearReaders()
+    LocalLookup.clearLayouts()
+
+    val queries: Seq[Seq[String]] =
+      vocab.map(Seq(_)) ++ // every term alone (every bucket path)
+        Seq(Seq("spark", "hash", "cpu"), Seq("scan", "scan", "join"),
+          Seq("absent_term"), Seq("spark", "absent_term"),
+          Seq(null, "disk"), Seq("net", "ram", "row", "col"))
+    val expected = queries.map { terms =>
+      IndexExport.bm25LookupSingle(spark, out, terms, 7)
+        .collect().map(r => (
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+          r.getLong(1), r.getDouble(2))).toSeq
+    }
+
+    val before = stableJobCount()
+    val got = queries.map(LocalLookup.bm25Single(out, _, 7))
+    val after = stableJobCount()
+    assert(after === before, "local lookup must run zero Spark jobs")
+    queries.lazyZip(expected).lazyZip(got).foreach { (terms, exp, act) =>
+      assert(act === exp, s"divergence for terms=$terms")
+    }
+    assert(expected.count(_.nonEmpty) > queries.size / 2)
+    // the null-id doc ("spark hash hash", high tf/dl) must surface in
+    // at least one query's top-k through both paths (got === expected
+    // above already pinned the local path to it)
+    assert(expected.exists(_.exists(_._1 == null)))
+  }
+
+  test("local bm25 over an empty-corpus export returns empty") {
+    import spark.implicits._
+    val idx = Retrieval.bm25Index(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val out = Files.createTempDirectory("bm25_local_empty").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 8)
+    graft.ext.Dedup.clearSignatureCaches()
+    LocalLookup.clearLayouts()
+    assert(LocalLookup.bm25Single(out, Seq("spark"), 5) === Seq.empty)
+  }
+
+  test("local pq lookup equals the Spark pqLookup plan, with zero Spark jobs") {
+    import spark.implicits._
+    val dims = 0 until 32
+    val emb = spark.range(200).select($"id".as("vec_id"),
+      array(dims.map(i =>
+        (pmod($"id" * (i + 3), lit(23)) - 11).cast("float")): _*)
+        .as("embedding"))
+    val cbs = Pq.seedCodebooks(emb, m = 4, ksub = 16)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val out = Files.createTempDirectory("pq_local").toString
+    IndexExport.exportPqCells(emb, cents, cbs, out)
+    LocalLookup.clearLayouts()
+
+    val qids = Seq(0L, 7L, 42L, 133L)
+    val qvecs = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val cases = for (qid <- qids; nprobe <- Seq(1, 2, 4)) yield (qid, nprobe)
+    val expected = cases.map { case (qid, nprobe) =>
+      IndexExport.pqLookup(spark, out, qvecs(qid), qid, 10, cbs, cents, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+
+    val before = stableJobCount()
+    val got = cases.map { case (qid, nprobe) =>
+      LocalLookup.pqSingle(out, qvecs(qid), qid, 10, cbs, cents, nprobe)
+    }
+    val after = stableJobCount()
+    assert(after === before, "local pq lookup must run zero Spark jobs")
+    cases.lazyZip(expected).lazyZip(got).foreach { (c, exp, act) =>
+      assert(act === exp, s"divergence for (qid, nprobe)=$c")
+    }
+    assert(expected.forall(_.nonEmpty))
+  }
+}
