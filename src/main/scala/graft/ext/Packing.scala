@@ -74,13 +74,22 @@ object Packing {
       col("n_tok").cast("long").as("n_tok"))
     val cum = graft.operators.PrefixSum
       .cumSumByKey(base, "__k", Seq("doc_id"), "n_tok")
-    cum.filter(col("n_tok") > 0)
+    withSeqFields(cum.filter(col("n_tok") > 0)
       .select(col("doc_id"), col("n_tok"),
-        (col("cum") - col("n_tok")).as("start_tok"))
-      .select(col("doc_id"), col("n_tok"), col("start_tok"),
-        expr(s"start_tok DIV $seqLen").as("start_seq"),
-        pmod(col("start_tok"), lit(seqLen)).as("start_off"),
-        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("end_seq"))
-      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+        (col("cum") - col("n_tok")).as("start_tok")), seqLen)
   }
+
+  /** The derived sequence fields from (doc_id, n_tok, start_tok) — ONE
+    * expression set shared by [[packPlanFromCounts]] and the
+    * append-to-stream path ([[graft.queries.Curation.incrementalIngest]]
+    * shifts `start_tok` by the store's stream length and re-derives),
+    * so an appended manifest can never disagree with a from-scratch one
+    * on how offsets map to sequences.
+    */
+  private[graft] def withSeqFields(df: DataFrame, seqLen: Long): DataFrame =
+    df.select(col("doc_id"), col("n_tok"), col("start_tok"),
+      expr(s"start_tok DIV $seqLen").as("start_seq"),
+      pmod(col("start_tok"), lit(seqLen)).as("start_off"),
+      expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
 }

@@ -86,24 +86,24 @@ object Curation {
     pmod(pmod(docId, lit(1000000007L)) * 2654435761L + 17L,
       lit(1000000007L))
 
-  /** The composed pipeline. Returns the final pack-plan manifest:
-    * (doc_id, lang, source, n_tok, start_tok, start_seq, start_off,
-    * end_seq, n_seqs).
-    */
-  def pipeline(s: SparkSession, docs0: DataFrame, emb: DataFrame): DataFrame = {
+  /** Stage 1: the cleaning projection over a raw documents frame. */
+  private def clean(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
     import s.implicits._
+    docs0.select($"doc_id", $"lang", $"source", $"n_chars",
+      cleaned($"text").as("text"))
+  }
 
-    // stage 1: clean — the ONE corpus scan everything derives from
-    val cl = Dedup.cached(docs0.select($"doc_id", $"lang", $"source",
-      $"n_chars", cleaned($"text").as("text")))
-
-    // stage 2: quality + repetition filter on cleaned text. The ratio
-    // denominators are nullif'd (q67's form) so a zero-token doc fails
-    // the filter by NULL on both engines regardless of conjunct order;
-    // quality_score keeps q17's exact expression tree.
+  /** Stage 2: quality + repetition filter on cleaned text. The ratio
+    * denominators are nullif'd (q67's form) so a zero-token doc fails
+    * the filter by NULL on both engines regardless of conjunct order;
+    * quality_score keeps q17's exact expression tree.
+    */
+  private def qualityFiltered(cl: DataFrame): DataFrame = {
+    val s = cl.sparkSession
+    import s.implicits._
     val ntD = nullif($"n_tokens", lit(0L)).cast("double")
-    val s2 = cl
-      .select(Seq($"doc_id", $"lang", $"source", $"n_chars", $"text",
+    cl.select(Seq($"doc_id", $"lang", $"source", $"n_chars", $"text",
         TextStats.repetitionStats($"text").as("r")) ++
         TextStats.statsColumns($"text"): _*)
       .filter($"n_tokens" >= MinTokens &&
@@ -111,6 +111,22 @@ object Curation {
         rnd($"r.top_tok_freq".cast("double") / ntD, 4) <= MaxTopTokRatio &&
         rnd($"r.n_distinct".cast("double") / ntD, 4) >= MinDistinctRatio)
       .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
+  }
+
+  /** Stages 2–6 over a cleaned corpus `cl`: quality filter, exact
+    * dedup, MinHash-LSH dedup, semantic dedup, decontamination — the
+    * batch curation core shared VERBATIM by [[pipeline]] (q117, which
+    * continues into mix/budget/pack) and [[incrementalIngest]] (q122,
+    * which uses it to build the frozen store the delta ingests
+    * against). The holdout is carved from `cl` itself (its q51 eval
+    * split); the semantic index is trained on the full `emb` table —
+    * the maintained production index.
+    */
+  private def curatedSurvivors(s: SparkSession, cl: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import s.implicits._
+
+    val s2 = qualityFiltered(cl)
 
     // stage 3: exact dedup on cleaned text — keep min doc_id per text
     val w3 = org.apache.spark.sql.expressions.Window
@@ -139,13 +155,27 @@ object Curation {
       .select($"doc_id")
     val s5 = s4.join(drop5, Seq("doc_id"), "left_anti")
 
-    // stage 6: decontamination — holdout = the FULL corpus' eval split
+    // stage 6: decontamination — holdout = the corpus' eval split
     // (q51 hash buckets >= 80); survivors keep only train-bucket docs
     // with zero 5-gram overlap (q81's Bloom-pruned exact join)
     val holdout = cl.filter(bucketOf($"doc_id") >= HoldoutBucket)
     val train6 = Dedup.cached(s5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationBloom(train6, holdout).select($"doc_id")
-    val s6 = Dedup.cached(train6.join(cont, Seq("doc_id"), "left_anti"))
+    Dedup.cached(train6.join(cont, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The composed pipeline. Returns the final pack-plan manifest:
+    * (doc_id, lang, source, n_tok, start_tok, start_seq, start_off,
+    * end_seq, n_seqs).
+    */
+  def pipeline(s: SparkSession, docs0: DataFrame, emb: DataFrame): DataFrame = {
+    import s.implicits._
+
+    // stage 1: clean — the ONE corpus scan everything derives from
+    val cl = Dedup.cached(clean(docs0))
+
+    // stages 2–6: the shared batch curation core
+    val s6 = curatedSurvivors(s, cl, emb)
 
     // stage 7: domain mix — q68's uniform-share thresholds computed
     // from SURVIVOR counts (scalar totals broadcast, q92's form)
@@ -178,9 +208,148 @@ object Curation {
         $"start_seq", $"start_off", $"end_seq", $"n_seqs")
   }
 
+  /** q122: INCREMENTAL curation ingest — the production shape after the
+    * first 100 TB run: the store of already-curated survivors is
+    * immutable (you do not retract data a model already trained on);
+    * a DELTA of new documents flows through the same stage semantics,
+    * each dedup stage now asymmetric (delta-vs-store first — the store
+    * always wins — then within-delta with the keep-min-id policy), and
+    * accepted docs APPEND to the store's token stream: their pack
+    * offsets continue exactly where the store's manifest ends.
+    *
+    * Stage contract, delta side (thresholds shared with [[pipeline]]):
+    *   1 clean, 2 quality+repetition filter — per-doc, unchanged;
+    *   3 exact: drop a delta doc whose cleaned text appears among the
+    *     STORE's survivor texts, then keep-min-id per text within the
+    *     remaining delta;
+    *   4 MinHash: drop any delta doc paired ≥ [[MinJaccard]] with a
+    *     store survivor ([[Dedup.minhashPairsAgainst]] — the q76
+    *     ingestion operator, hot buckets capped on each side), then
+    *     connected components over the remaining delta's internal
+    *     pairs, keep each cluster's min id;
+    *   5 semantic: same two-phase policy on the maintained index
+    *     (trained over the full embedding table) — drop a delta vec
+    *     with a store survivor at ≥ [[MinCos]] in its cell, then
+    *     within-delta (vec1 < vec2 drops vec2);
+    *   6 decontamination: the holdout is the STORE corpus' q51 eval
+    *     split, frozen at store-build time; only train-bucket delta
+    *     docs with zero shingle-code overlap are ingested;
+    *   7 pack-append: [[Packing.packPlanFromCounts]] over the accepted
+    *     delta, `start_tok` shifted by the store's total token count
+    *     ([[Packing.withSeqFields]] re-derives the sequence fields, so
+    *     append and from-scratch packing share one expression set).
+    *
+    * Mixing and token budgets (q117 stages 7–8) are deliberately NOT
+    * incremental: they are corpus-global quota policies a production
+    * pipeline re-runs periodically over the manifest (metadata-sized),
+    * not per-ingest. Replay idempotence falls out of stage 3: re-
+    * ingesting the same texts under fresh ids dedups against the store
+    * exactly (IncrementalCurationSpec pins it).
+    *
+    * Scale shape: the store chain is the q117 core; the delta chain's
+    * joins are all delta-sized on one side (anti-joins against
+    * broadcastable drop lists) or capped band/cell joins against the
+    * store's bucketed signature/cell tables — never store × store
+    * re-pairing. The stream base is a 1-row aggregate crossJoined
+    * broadcast, not a collect.
+    */
+  def incrementalIngest(s: SparkSession, docs0: DataFrame, emb: DataFrame,
+      deltaPred: Column): DataFrame = {
+    import s.implicits._
+
+    val cl = Dedup.cached(clean(docs0))
+    val clS = cl.filter(!deltaPred)
+    val clD = cl.filter(deltaPred)
+
+    // the frozen store: the batch curation core over the store corpus.
+    // EAGER localCheckpoint (the Graph.scala lineage discipline): the
+    // store is referenced by four delta stages, and nesting the full
+    // store lineage into each would grow the composed plan
+    // multiplicatively (observed: a >2 GB plan string before Spark even
+    // scheduled). Production reads the store from a persisted table;
+    // the checkpoint IS that boundary.
+    val store = curatedSurvivors(s, clS, emb).localCheckpoint(true)
+
+    // delta stages 1–2
+    val d2 = qualityFiltered(clD)
+
+    // stage 3: exact vs store survivor texts, then keep-min within delta
+    val d3a = d2.join(store.select($"text"), Seq("text"), "left_anti")
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"doc_id")
+    val d3 = Dedup.cached(d3a
+      .withColumn("rn", row_number().over(w3))
+      .filter($"rn" === 1).drop("rn")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text"))
+
+    // stage 4: near-dup vs store (q76's asymmetric band join), then
+    // components over the remaining delta's internal pairs
+    val dropVs4 = Dedup.minhashPairsAgainst(store, d3, MinJaccard)
+      .select($"in_doc".as("doc_id")).distinct()
+    val d4a = Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti"))
+    val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
+      .select($"doc1".as("src"), $"doc2".as("dst"))
+    val drop4 = graft.operators.Graph.connectedComponents(s, pairsD)
+      .filter($"node" =!= $"component")
+      .select($"node".as("doc_id"))
+    val d4 = Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti"))
+
+    // stage 5: semantic — maintained index (full-table training, the
+    // q117 choice), store-vs-delta pairs within a cell first, then
+    // within-delta keep-min
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
+      roundTo = 4)
+    def assigned(ids: DataFrame) = Similarity.ivfAssign(
+      emb.join(ids.select($"doc_id".as("vec_id")), Seq("vec_id")), trained)
+    val aS = Dedup.cached(assigned(store))
+    val aD = Dedup.cached(assigned(d4))
+    val dropVs5 = aS.select($"cell", $"embedding".as("e1"))
+      .join(aD.select($"cell", $"vec_id".as("vec2"),
+        $"embedding".as("e2")), Seq("cell"))
+      .filter(rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
+      .select($"vec2".as("doc_id")).distinct()
+    val d5a = Dedup.cached(d4.join(dropVs5, Seq("doc_id"), "left_anti"))
+    val aD5 = aD.join(d5a.select($"doc_id".as("vec_id")), Seq("vec_id"))
+    val dropIn5 = aD5.select($"cell", $"vec_id".as("vec1"),
+        $"embedding".as("e1"))
+      .join(aD5.select($"cell", $"vec_id".as("vec2"),
+        $"embedding".as("e2")), Seq("cell"))
+      .filter($"vec1" < $"vec2" &&
+        rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
+      .select($"vec2".as("doc_id")).distinct()
+    val d5 = d5a.join(dropIn5, Seq("doc_id"), "left_anti")
+
+    // stage 6: decontaminate against the STORE corpus' frozen holdout;
+    // eval-bucket delta docs are eval data, never ingested
+    val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
+    val dTrain = Dedup.cached(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
+    val cont = Dedup.contaminationBloom(dTrain, holdout).select($"doc_id")
+    val accepted = Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti"))
+
+    // stage 7: pack-append — offsets continue the store's token stream
+    val tokCount = coalesce(size(TextStats.tokens($"text")), lit(0))
+      .cast("long").as("n_tok")
+    val base = store.select(tokCount).agg(
+      coalesce(sum($"n_tok"), lit(0L)).as("__base"))
+    val packed = Packing.packPlanFromCounts(
+      accepted.select($"doc_id", tokCount), SeqLen)
+    Packing.withSeqFields(
+      packed.crossJoin(broadcast(base))
+        .select($"doc_id", $"n_tok",
+          ($"start_tok" + $"__base").as("start_tok")), SeqLen)
+      .join(accepted.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"source", $"n_tok", $"start_tok",
+        $"start_seq", $"start_off", $"end_seq", $"n_seqs")
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_curation_pipeline" -> ((s, d) =>
-      pipeline(s, Tables.documents(s, d), Tables.embeddings(s, d)))
+      pipeline(s, Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q122_incremental_curation" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      incrementalIngest(s, Tables.documents(s, d), Tables.embeddings(s, d),
+        pmod(col("doc_id"), lit(7L)) === 0L)
+    })
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -313,7 +482,201 @@ object Curation {
       FROM c9 JOIN cl USING (doc_id) WHERE n_tok > 0"""
   }
 
+  /** q122 replay: the q117 CTE chain run twice over one corpus — the
+    * store chain (membership `doc_id % 7 <> 0`) exactly as q117's
+    * stages 2–6, then the delta chain with each dedup stage asymmetric
+    * (vs the store's survivor set first, then within the delta). Every
+    * builder string is the one the standalone gates use; NOT EXISTS
+    * (not NOT IN) for the text anti-joins so a NULL text matches
+    * Spark's left_anti semantics. Band caps are windowed per SIDE and
+    * per POPULATION, exactly where the Spark plan caps
+    * ([[Dedup.minhashPairsAgainst]] caps store and delta bands
+    * independently; the within-delta pair generator re-caps over the
+    * post-store-drop population).
+    */
+  /** Mark multiply-referenced CTEs MATERIALIZED in an assembled oracle.
+    * DuckDB 1.0 INLINES CTEs by default, so q122's band/sig fan-out
+    * (four band tables over one signature table, each self-joined)
+    * re-expands the whole shingle chain once per reference — the plan
+    * exhausted a 20k fd limit at sf0.01 before touching real data. A
+    * planning artifact, not semantics: MATERIALIZED is a pure hint.
+    * Applied textually AFTER assembly so the shared CTE builders stay
+    * verbatim across their consumers.
+    */
+  private def materialize(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql)((q, n) =>
+      q.replaceFirst(s"(?<![a-zA-Z0-9_])$n AS \\(", s"$n AS MATERIALIZED ("))
+
+  private def q122Sql: String = {
+    val quality = Num.rSql(
+      s"least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.5 + " +
+        s"(1.0 - abs(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+        s" - 0.4)) * 0.5", 4)
+    val topTok = Num.rSql(
+      "CAST(top_tok_freq AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+    val dist = Num.rSql(
+      "CAST(n_distinct AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)", 4)
+    val bandsValues = (0 until Dedup.Bands).map(b => s"($b)").mkString(", ")
+    val jac = "floor((CAST(len(list_intersect(t1, t2)) AS DOUBLE) " +
+      "/ CAST(len(list_distinct(list_concat(t1, t2))) AS DOUBLE)) " +
+      "* 10000 + 0.5) / 10000"
+    // one band-table builder per (name, population): the q117 bands0/
+    // bands chain with the cap windowed over exactly this population
+    def bandCtes(name: String, pop: String): String =
+      s"""${name}0 AS (SELECT doc_id, tset, band, $bandKeyCase AS key
+        FROM (SELECT sig.* FROM sig JOIN $pop USING (doc_id))
+        CROSS JOIN (VALUES $bandsValues) AS bb(band)
+        WHERE len(tset) > 0),
+      $name AS (SELECT doc_id, tset, band, key FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+          FROM ${name}0) WHERE bsz <= 1000)"""
+    s"""WITH RECURSIVE
+      cl AS (SELECT doc_id, lang, source,
+          trim(regexp_replace(
+            regexp_replace(text, '[0-9]+', '<NUM>', 'g'), ' +', ' ', 'g'))
+            AS text
+        FROM documents),
+      qt AS (SELECT doc_id, $toksExpr AS toks FROM cl),
+      qs AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+            list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) END AS BIGINT)
+            AS top_tok_freq,
+          CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+            AS BIGINT) AS n_stop
+        FROM qt),
+      f2 AS (SELECT doc_id FROM qs
+        WHERE n_tokens >= $MinTokens
+          AND $quality >= $MinQuality
+          AND $topTok <= $MaxTopTokRatio
+          AND $dist >= $MinDistinctRatio),
+      a2 AS (SELECT doc_id FROM f2 WHERE doc_id % 7 <> 0),
+      a3 AS (SELECT doc_id FROM (
+          SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.text
+              ORDER BY cl.doc_id) AS rn
+          FROM cl JOIN a2 USING (doc_id)) WHERE rn = 1),
+      ${shingleCtesFor("cl")},
+      sig AS (SELECT t.doc_id, tset, $minhashCols FROM t
+        WHERE t.doc_id IN (SELECT doc_id FROM a3
+          UNION SELECT doc_id FROM f2 WHERE doc_id % 7 = 0)),
+      ${bandCtes("abands", "a3")},
+      acand AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+          l.tset AS t1, r.tset AS t2
+        FROM abands l JOIN abands r ON l.band = r.band AND l.key = r.key
+        WHERE l.doc_id < r.doc_id),
+      apairs AS (SELECT doc1, doc2 FROM (
+          SELECT doc1, doc2, $jac AS jaccard FROM acand)
+        WHERE jaccard >= $MinJaccard),
+      ae AS (SELECT doc1 AS src, doc2 AS dst FROM apairs
+            UNION SELECT doc2, doc1 FROM apairs),
+      an AS (SELECT DISTINCT src AS node FROM ae),
+      ar AS (SELECT node, node AS lbl FROM an
+            UNION
+            SELECT ae.dst AS node, ar.lbl FROM ar JOIN ae ON ae.src = ar.node),
+      adrop4 AS (SELECT node AS doc_id FROM ar
+        GROUP BY node HAVING node != min(lbl)),
+      a4 AS (SELECT doc_id FROM a3
+        WHERE doc_id NOT IN (SELECT doc_id FROM adrop4)),
+      $lloydCte,
+      aspairs AS (SELECT l.vec_id AS vec1, r.vec_id AS vec2,
+          ${cosSql("l.embedding", "r.embedding")} AS cos
+        FROM as1 l JOIN as1 r ON l.cell = r.cell
+        JOIN a4 sl ON sl.doc_id = l.vec_id
+        JOIN a4 sr ON sr.doc_id = r.vec_id
+        WHERE l.vec_id < r.vec_id),
+      adrop5 AS (SELECT DISTINCT vec2 AS doc_id FROM aspairs
+        WHERE cos >= $MinCos),
+      a5 AS (SELECT doc_id FROM a4
+        WHERE doc_id NOT IN (SELECT doc_id FROM adrop5)),
+      b6 AS (SELECT doc_id, tset,
+          ((doc_id % 1000000000) * 2654435761) % 100 AS bucket FROM t),
+      te AS (SELECT DISTINCT unnest(tset) AS code FROM b6
+        WHERE bucket >= $HoldoutBucket AND doc_id % 7 <> 0),
+      atr AS (SELECT b6.doc_id, unnest(tset) AS code
+        FROM b6 JOIN a5 USING (doc_id) WHERE bucket < $HoldoutBucket),
+      acont AS (SELECT DISTINCT atr.doc_id FROM atr JOIN te USING (code)),
+      a6 AS (SELECT doc_id FROM b6 JOIN a5 USING (doc_id)
+        WHERE bucket < $HoldoutBucket
+          AND doc_id NOT IN (SELECT doc_id FROM acont)),
+      d2 AS (SELECT doc_id FROM f2 WHERE doc_id % 7 = 0),
+      d3a AS (SELECT cl.doc_id FROM cl JOIN d2 USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM cl c2 JOIN a6 ON c2.doc_id = a6.doc_id
+          WHERE c2.text = cl.text)),
+      d3 AS (SELECT doc_id FROM (
+          SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.text
+              ORDER BY cl.doc_id) AS rn
+          FROM cl JOIN d3a USING (doc_id)) WHERE rn = 1),
+      ${bandCtes("sbands", "a6")},
+      ${bandCtes("dbands", "d3")},
+      vcand AS (SELECT DISTINCT d.doc_id AS in_doc, d.tset AS t1,
+          s.tset AS t2
+        FROM dbands d JOIN sbands s ON d.band = s.band AND d.key = s.key),
+      vs4 AS (SELECT DISTINCT in_doc AS doc_id FROM (
+          SELECT in_doc, $jac AS jaccard FROM vcand)
+        WHERE jaccard >= $MinJaccard),
+      d4a AS (SELECT doc_id FROM d3
+        WHERE doc_id NOT IN (SELECT doc_id FROM vs4)),
+      ${bandCtes("ibands", "d4a")},
+      icand AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+          l.tset AS t1, r.tset AS t2
+        FROM ibands l JOIN ibands r ON l.band = r.band AND l.key = r.key
+        WHERE l.doc_id < r.doc_id),
+      ipairs AS (SELECT doc1, doc2 FROM (
+          SELECT doc1, doc2, $jac AS jaccard FROM icand)
+        WHERE jaccard >= $MinJaccard),
+      de AS (SELECT doc1 AS src, doc2 AS dst FROM ipairs
+            UNION SELECT doc2, doc1 FROM ipairs),
+      dn AS (SELECT DISTINCT src AS node FROM de),
+      dr AS (SELECT node, node AS lbl FROM dn
+            UNION
+            SELECT de.dst AS node, dr.lbl FROM dr JOIN de ON de.src = dr.node),
+      ddrop4 AS (SELECT node AS doc_id FROM dr
+        GROUP BY node HAVING node != min(lbl)),
+      d4 AS (SELECT doc_id FROM d4a
+        WHERE doc_id NOT IN (SELECT doc_id FROM ddrop4)),
+      svec AS (SELECT as1.* FROM as1 JOIN a6 ON a6.doc_id = as1.vec_id),
+      dvec AS (SELECT as1.* FROM as1 JOIN d4 ON d4.doc_id = as1.vec_id),
+      vs5 AS (SELECT DISTINCT d.vec_id AS doc_id
+        FROM svec s JOIN dvec d ON s.cell = d.cell
+        WHERE ${cosSql("s.embedding", "d.embedding")} >= $MinCos),
+      d5a AS (SELECT doc_id FROM d4
+        WHERE doc_id NOT IN (SELECT doc_id FROM vs5)),
+      dvec2 AS (SELECT as1.* FROM as1 JOIN d5a ON d5a.doc_id = as1.vec_id),
+      in5 AS (SELECT DISTINCT r.vec_id AS doc_id
+        FROM dvec2 l JOIN dvec2 r ON l.cell = r.cell
+        WHERE l.vec_id < r.vec_id
+          AND ${cosSql("l.embedding", "r.embedding")} >= $MinCos),
+      d5 AS (SELECT doc_id FROM d5a
+        WHERE doc_id NOT IN (SELECT doc_id FROM in5)),
+      dtr AS (SELECT b6.doc_id, unnest(tset) AS code
+        FROM b6 JOIN d5 USING (doc_id) WHERE bucket < $HoldoutBucket),
+      dcont AS (SELECT DISTINCT dtr.doc_id FROM dtr JOIN te USING (code)),
+      d6 AS (SELECT doc_id FROM b6 JOIN d5 USING (doc_id)
+        WHERE bucket < $HoldoutBucket
+          AND doc_id NOT IN (SELECT doc_id FROM dcont)),
+      stok AS (SELECT doc_id,
+          CAST(coalesce(len($toksExpr), 0) AS BIGINT) AS n_tok FROM cl),
+      base AS (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS b
+        FROM stok JOIN a6 USING (doc_id)),
+      dc9 AS (SELECT doc_id, n_tok,
+          CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok
+            + (SELECT b FROM base) AS BIGINT) AS start_tok
+        FROM stok JOIN d6 USING (doc_id))
+      SELECT dc9.doc_id, cl.lang, cl.source, dc9.n_tok, dc9.start_tok,
+        CAST(start_tok // $SeqLen AS BIGINT) AS start_seq,
+        CAST(start_tok % $SeqLen AS BIGINT) AS start_off,
+        CAST((start_tok + n_tok - 1) // $SeqLen AS BIGINT) AS end_seq,
+        CAST((start_tok + n_tok - 1) // $SeqLen - start_tok // $SeqLen + 1
+          AS BIGINT) AS n_seqs
+      FROM dc9 JOIN cl USING (doc_id) WHERE n_tok > 0"""
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q117_curation_pipeline" -> q117Sql
+    "q117_curation_pipeline" -> q117Sql,
+    "q122_incremental_curation" -> materialize(q122Sql,
+      Seq("cl", "qt", "qs", "t", "sig", "abands", "sbands", "dbands",
+        "ibands", "a6", "b6", "te", "stok", "as1"))
   )
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Curation
+
+/** The q122 incremental-ingest contract, pinned cause by cause on a
+  * fixture where every drop has exactly one designed reason:
+  *  - store priority: exact / near / semantic duplicates OF THE STORE
+  *    are dropped however new their ids are (re-ingesting already-
+  *    curated content is a no-op — replay idempotence);
+  *  - within-delta keep-min: exact text, near-dup components and
+  *    semantic pairs each keep the smallest delta id;
+  *  - the store holdout decontaminates the delta (and eval-bucket
+  *    delta docs are never ingested);
+  *  - pack append: accepted docs CONTINUE the store's token stream —
+  *    first offset = the store's total token count, offsets contiguous
+  *    in doc_id order (the from-scratch q112 semantics shifted by the
+  *    base, via the shared [[graft.ext.Packing.withSeqFields]]).
+  * The q122 gate proves the whole lineage hash-equal to the DuckDB
+  * replay; this spec proves each drop happens for the REASON the
+  * contract names.
+  */
+class IncrementalCurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  // the q51/q117 hash split, replicated for id selection
+  private def bucketOf(id: Long): Long =
+    ((id % 1000000000L) * 2654435761L) % 100L
+
+  private def pickIds(n: Int, pred: Long => Boolean,
+      from: Long = 1L): Seq[Long] =
+    Iterator.iterate(from)(_ + 1L).filter(pred).take(n).toSeq
+
+  // 20 tokens: 12 doc-unique words interleaved with 8 stopwords, so
+  // every 5-gram contains doc-unique tokens (zero cross-doc shingle
+  // overlap unless designed), top-token ratio 1/20, stopword ratio 0.4
+  // (quality 0.7 — comfortably past every stage-2 threshold)
+  // NO DIGITS anywhere: stage 1 rewrites [0-9]+ to <NUM>, which would
+  // collapse numbered tags into identical cleaned tokens
+  private def text(tag: String): String = {
+    val u = ('a' to 'l').map(ch => s"${tag}q$ch")
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+    val inter = u.take(8).zip(stops).flatMap { case (w, st) => Seq(w, st) }
+    (inter ++ u.drop(8)).mkString(" ")
+  }
+
+  test("incremental ingest: per-stage drop causes, store priority, pack continuity") {
+    import spark.implicits._
+
+    val storeIds = pickIds(12, id => id % 7 != 0 && bucketOf(id) < 80)
+    val teId = pickIds(1, id => id % 7 != 0 && bucketOf(id) >= 80).head
+    val deltaIds = pickIds(11, id => id % 7 == 0 && bucketOf(id) < 80)
+    val Seq(dupExact, dupNear, dupSem, pairA, pairB, nearA, nearB,
+      semA, semB, contam, fresh) = deltaIds
+    val evalD = pickIds(1, id => id % 7 == 0 && bucketOf(id) >= 80).head
+
+    val teText = text("holdout")
+    def stag(i: Int): String = s"s${('a' + i).toChar}"
+    val docs = (
+      storeIds.zipWithIndex.map { case (id, i) => (id, text(stag(i))) } ++
+      Seq(
+        teId -> teText,
+        dupExact -> text(stag(0)), // exact text of store doc 0
+        dupNear -> (text(stag(1)) + " extraTok"), // 16/17 shared shingles
+        dupSem -> text("dsem"), // unique text, store doc 2's embedding
+        pairA -> text("pair"), pairB -> text("pair"), // exact twins
+        nearA -> text("near"), nearB -> (text("near") + " extraTok"),
+        semA -> text("sema"), semB -> text("semb"), // shared embedding
+        contam -> (('a' to 'o').map(ch => s"conq$ch") ++
+          teText.split(" ").take(5)).mkString(" "),
+        fresh -> text("fresh"),
+        evalD -> text("evald"))
+      ).map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+
+    // one-hot embeddings: a distinct dimension per doc, except the two
+    // designed semantic pairs (dupSem = store doc 2; semB = semA)
+    val allIds = storeIds ++ Seq(teId) ++ deltaIds ++ Seq(evalD)
+    val dims = allIds.zipWithIndex.toMap
+    def dim(id: Long): Int =
+      if (id == dupSem) dims(storeIds(2))
+      else if (id == semB) dims(semA)
+      else dims(id)
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(d => if (d == dim(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+
+    val out = Curation.incrementalIngest(spark, docs, emb,
+      pmod(col("doc_id"), lit(7L)) === 0L)
+      .orderBy($"doc_id").collect()
+
+    val acceptedIds = out.map(_.getLong(0)).toSeq
+    assert(acceptedIds === Seq(pairA, nearA, semA, fresh).sorted,
+      s"accepted = $acceptedIds; expected keep-min winners + fresh only")
+
+    // every drop had its designed cause — spot the five store-priority
+    // and within-delta losers plus the decontaminated/eval docs
+    for (id <- Seq(dupExact, dupNear, dupSem, pairB, nearB, semB,
+        contam, evalD))
+      assert(!acceptedIds.contains(id), s"$id must be dropped")
+
+    // pack continuity: the store has 12 survivors x 20 tokens; accepted
+    // docs continue the stream contiguously in doc_id order
+    val base = 12L * 20L
+    val rows = out.map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).forall(_ == 20L))
+    val expectedStarts = rows.map(_._1).sorted.zipWithIndex.map {
+      case (_, i) => base + 20L * i
+    }
+    assert(rows.map(_._3).toSeq === expectedStarts.toSeq,
+      s"offsets must continue the store stream at $base")
+    // seq fields derive from the SHIFTED offsets (SeqLen = 2048)
+    out.foreach { r =>
+      assert(r.getLong(5) === r.getLong(4) / 2048L) // start_seq
+      assert(r.getLong(6) === r.getLong(4) % 2048L) // start_off
+    }
+  }
+
+  test("full-duplicate delta is a no-op (replay idempotence)") {
+    import spark.implicits._
+    val storeIds = pickIds(16, id => id % 7 != 0 && bucketOf(id) < 80)
+    val deltaIds = pickIds(4, id => id % 7 == 0 && bucketOf(id) < 80)
+    // every delta text is an exact copy of a store text
+    val docs = (storeIds.zipWithIndex.map { case (id, i) =>
+        (id, text(s"s${('a' + i).toChar}"))
+      } ++ deltaIds.zipWithIndex.map { case (id, i) =>
+        (id, text(s"s${('a' + i).toChar}"))
+      }).map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val allIds = storeIds ++ deltaIds
+    val emb = allIds.zipWithIndex.map { case (id, i) =>
+      (id, (0 until 64).map(d => if (d == i % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Curation.incrementalIngest(spark, docs, emb,
+      pmod(col("doc_id"), lit(7L)) === 0L)
+    assert(out.count() === 0L, "re-ingesting curated content must be a no-op")
+  }
+}

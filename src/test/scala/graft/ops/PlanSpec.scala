@@ -320,6 +320,25 @@ class PlanSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("q122 incremental ingest pays one documents scan and one embeddings scan") {
+    // the incremental twin of the q117 pin. The store chain runs once
+    // at construction (eager localCheckpoint — the persisted-table
+    // boundary production reads the store through), so the SERVED plan
+    // must derive every delta stage from the one cached cleaned corpus
+    // and the checkpointed store: one documents file scan, one
+    // embeddings file scan, zero cartesians.
+    val df = graft.SparkEntry.queries("q122_incremental_curation")(spark, sf)
+    val c = graft.PlanShape.count(physical(df))
+    assert(c.tableScans("documents") <= 1,
+      s"incremental ingest scans documents ${c.tableScans("documents")}x:\n" +
+        physical(df).toString.take(1500))
+    assert(c.tableScans("embeddings") <= 1,
+      s"incremental ingest scans embeddings ${c.tableScans("embeddings")}x:\n" +
+        physical(df).toString.take(1500))
+    assert(c.cartesians === 0)
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("q105 batch BM25: every small side broadcasts, none shuffles the corpus") {
     // the batch-retrieval contract: term set, df, corpus stats, and the
     // query fan-out are all broadcast joins — a SortMergeJoin anywhere
