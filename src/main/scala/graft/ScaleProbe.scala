@@ -113,6 +113,28 @@ object ScaleProbe {
       graft.ext.Dedup.semanticDropList(emb, Tables.documents(s, d), cents,
         minCos = 0.35)
     }),
+    // The q122 ingest under the PRODUCTION semantic-index rule (the
+    // q108_semdedup_scaled seeding: k = corpus/targetCell, hash-spread
+    // seeds). The gated q122 pins the fixed q101-trained k=16 index so
+    // DuckDB can replay training — but across scaled replicas that
+    // seeding is a probe artifact (replica-0-only seeds pile rotated
+    // replicas into one cell and the accepted count stops being
+    // comparable across multipliers). This probe measures the shape
+    // that runs at 100 TB.
+    "q122_incremental_scaled" -> ((s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val targetCell = 125L
+      val k = math.max(16L, emb.count() / targetCell).toInt
+      val seeds = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("h",
+          pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L + 13L,
+            lit(1000000007L)))
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .collect().map(r => r.getSeq[Float](1))
+      val cents = seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      graft.queries.Curation.incrementalIngest(s, Tables.documents(s, d),
+        emb, pmod(col("doc_id"), lit(7L)) === 0L, Some(cents))
+    }),
     "q65_tier2_forced" -> ((s: SparkSession, d: String) => {
       val pairs = graft.ext.Dedup
         .minhashPairs(Tables.documents(s, d), minJaccard = 0.7)
@@ -126,15 +148,28 @@ object ScaleProbe {
     })
   )
 
-  private[graft] def scaled(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  /** `alphaNs`: replica namespace prefixes WITHOUT digits ("ra_", "rb_"
+    * …) — required by the curation-pipeline probes, whose stage-1 clean
+    * rewrites `[0-9]+` → `<NUM>` and would otherwise collapse `r0_`/
+    * `r1_` into ONE token, silently destroying replica independence
+    * (observed: replica-1's store chain shrank 6× at the exact-dedup
+    * stage because its cleaned texts equalled replica-0's). The digit
+    * form stays the default so every previously recorded probe corpus
+    * is reproducible byte-for-byte.
+    */
+  private[graft] def scaled(spark: SparkSession, sfDir: String, k: Int,
+      alphaNs: Boolean = false): DataFrame = {
+    require(!alphaNs || k <= 26, s"alpha namespace supports <=26 replicas, got $k")
     val docs = Tables.documents(spark, sfDir)
     val n = lit(1000000L) // id stride safely above any sf0.1 doc_id
     (0 until k).map { rep =>
+      val ns = if (alphaNs) s"r${('a' + rep).toChar}_" else s"r${rep}_"
       docs.select(
         (col("doc_id") + n * rep).as("doc_id"),
         col("lang"),
+        col("source"),
         array_join(transform(split(col("text"), " "),
-          t => concat(lit(s"r${rep}_"), t)), " ").as("text"))
+          t => concat(lit(ns), t)), " ").as("text"))
     }.reduce(_ unionAll _)
       // recomputed from the prefixed text (keeper-policy queries read it)
       .withColumn("n_chars", length(col("text")))
@@ -414,11 +449,24 @@ object ScaleProbe {
     // the scaled corpus copies on /tmp (r9 advice — cleanup previously
     // ran only on the success path)
     try {
+      // curation probes need the digit-free replica namespace (their
+      // clean stage rewrites digits) — and therefore their own corpus,
+      // so they cannot share a run with digit-namespace probes
+      val curationSet = Set("q117_curation_pipeline",
+        "q122_incremental_curation", "q122_incremental_scaled")
+      val curation = Queries.exists(curationSet)
+      require(!curation || Queries.forall(curationSet),
+        "curation probes use the alpha replica namespace; run them " +
+          "separately from the digit-namespace probes")
       val results = for (k <- mults) yield {
         val dir = tempDir(s"scale_${k}x")
-        scaled(spark, sfDir, k).write.mode("overwrite")
+        scaled(spark, sfDir, k, alphaNs = curation).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-        if (Queries.contains("q108_semdedup_scaled")) {
+        // the curation pipelines carry the semantic-dedup stage, so they
+        // take the SHIFTED (structure-preserving) embedding replication
+        if (Queries.exists(Set("q108_semdedup_scaled",
+            "q117_curation_pipeline", "q122_incremental_curation",
+            "q122_incremental_scaled"))) {
           require(!Queries.exists(Set("q84_cluster_profile",
             "q98_embedding_outliers", "q106_ivf_batch")),
             "q108_semdedup_scaled needs the SHIFTED embeddings replication;" +

@@ -123,7 +123,8 @@ object Curation {
     * the maintained production index.
     */
   private def curatedSurvivors(s: SparkSession, cl: DataFrame,
-      emb: DataFrame): DataFrame = {
+      emb: DataFrame,
+      trainedOpt: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     import s.implicits._
 
     val s2 = qualityFiltered(cl)
@@ -145,11 +146,13 @@ object Curation {
     val s4 = Dedup.cached(s3.join(drop4, Seq("doc_id"), "left_anti"))
 
     // stage 5: semantic dedup — index trained on the FULL embedding
-    // table (q101's trainer), pairs generated strictly within a cell
-    // and only between survivors (filtering the embedding side first is
-    // equivalent: cell assignment is a pure per-vector map)
-    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
-      roundTo = 4)
+    // table (q101's trainer; [[incrementalIngest]] passes its already-
+    // trained index in — ONE maintained index, trained once), pairs
+    // generated strictly within a cell and only between survivors
+    // (filtering the embedding side first is equivalent: cell
+    // assignment is a pure per-vector map)
+    val trained = trainedOpt.getOrElse(
+      Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4))
     val embS4 = emb.join(s4.select($"doc_id".as("vec_id")), Seq("vec_id"))
     val drop5 = Dedup.semanticDropList(embS4, s4, trained, MinCos)
       .select($"doc_id")
@@ -254,12 +257,21 @@ object Curation {
     * broadcast, not a collect.
     */
   def incrementalIngest(s: SparkSession, docs0: DataFrame, emb: DataFrame,
-      deltaPred: Column): DataFrame = {
+      deltaPred: Column,
+      centroidsOpt: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     import s.implicits._
 
     val cl = Dedup.cached(clean(docs0))
     val clS = cl.filter(!deltaPred)
     val clD = cl.filter(deltaPred)
+
+    // ONE maintained semantic index (q117's full-table training),
+    // trained once and shared by the store chain and the delta stages.
+    // `centroidsOpt` lets ScaleProbe substitute the production k-rule
+    // index (k = n/targetCell, hash-spread seeds) — the gated default
+    // is the q101-trained k=16 the oracle replays.
+    val trained = centroidsOpt.getOrElse(
+      Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4))
 
     // the frozen store: the batch curation core over the store corpus.
     // EAGER localCheckpoint (the Graph.scala lineage discipline): the
@@ -268,7 +280,8 @@ object Curation {
     // multiplicatively (observed: a >2 GB plan string before Spark even
     // scheduled). Production reads the store from a persisted table;
     // the checkpoint IS that boundary.
-    val store = curatedSurvivors(s, clS, emb).localCheckpoint(true)
+    val store = curatedSurvivors(s, clS, emb, Some(trained))
+      .localCheckpoint(true)
 
     // delta stages 1–2
     val d2 = qualityFiltered(clD)
@@ -294,11 +307,8 @@ object Curation {
       .select($"node".as("doc_id"))
     val d4 = Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti"))
 
-    // stage 5: semantic — maintained index (full-table training, the
-    // q117 choice), store-vs-delta pairs within a cell first, then
-    // within-delta keep-min
-    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
-      roundTo = 4)
+    // stage 5: semantic — the shared maintained index, store-vs-delta
+    // pairs within a cell first, then within-delta keep-min
     def assigned(ids: DataFrame) = Similarity.ivfAssign(
       emb.join(ids.select($"doc_id".as("vec_id")), Seq("vec_id")), trained)
     val aS = Dedup.cached(assigned(store))

@@ -24,6 +24,7 @@ class LocalLookupSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
     s
   }
 

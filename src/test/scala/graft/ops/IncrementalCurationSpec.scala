@@ -32,6 +32,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
     s
   }
 

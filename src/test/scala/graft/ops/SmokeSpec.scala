@@ -10,12 +10,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SmokeSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // the TVF-backed queries (q111/q118/q119) need the extensions; in a
+    // full `sbt test` the shared session may come from ANY suite, so
+    // install here instead of depending on suite order
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
+    s
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
