@@ -86,8 +86,12 @@ object Curation {
     pmod(pmod(docId, lit(1000000007L)) * 2654435761L + 17L,
       lit(1000000007L))
 
-  /** Stage 1: the cleaning projection over a raw documents frame. */
-  private def clean(docs0: DataFrame): DataFrame = {
+  /** Stage 1: the cleaning projection over a raw documents frame —
+    * public because it is the entry transform every ingest surface
+    * (q117, q122, the streaming [[graft.streaming.CurationStream]])
+    * applies before the store-dedup stages.
+    */
+  def clean(docs0: DataFrame): DataFrame = {
     val s = docs0.sparkSession
     import s.implicits._
     docs0.select($"doc_id", $"lang", $"source", $"n_chars",
@@ -282,9 +286,36 @@ object Curation {
     // the checkpoint IS that boundary.
     val store = curatedSurvivors(s, clS, emb, Some(trained))
       .localCheckpoint(true)
+    val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
+
+    ingestDelta(s, store, holdout, clD, emb, trained)
+  }
+
+  /** ONE ingest round against an EXPLICIT store — the store-in /
+    * manifest-out form a production system loops: round N+1 passes
+    * `store` = round N's store unioned with round N's accepted docs
+    * (their cleaned text rides the store frame, so the pack base —
+    * derived here from the store itself — advances automatically), the
+    * SAME frozen `holdout`, and the SAME maintained index. The q122
+    * entry point [[incrementalIngest]] is exactly one such round over a
+    * store it builds itself.
+    *
+    * Composition contract (IncrementalCurationSpec): sequential rounds
+    * ≡ one combined ingest of the concatenated deltas whenever no
+    * near-dup/semantic CHAIN straddles batches (a ~ b across batches,
+    * b ~ c within the later one, a !~ c). On such chains the sequential
+    * form keeps `c` (its only links died in round 1) while the combined
+    * form's component drops it — the anchor-based incremental semantics
+    * q76 established: the store, not the transitive closure over
+    * never-ingested docs, is the dedup authority.
+    */
+  def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,
+      clDelta: DataFrame, emb: DataFrame,
+      trained: Seq[(Long, Seq[Float])]): DataFrame = {
+    import s.implicits._
 
     // delta stages 1–2
-    val d2 = qualityFiltered(clD)
+    val d2 = qualityFiltered(clDelta)
 
     // stage 3: exact vs store survivor texts, then keep-min within delta
     val d3a = d2.join(store.select($"text"), Seq("text"), "left_anti")
@@ -331,7 +362,6 @@ object Curation {
 
     // stage 6: decontaminate against the STORE corpus' frozen holdout;
     // eval-bucket delta docs are eval data, never ingested
-    val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
     val dTrain = Dedup.cached(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationBloom(dTrain, holdout).select($"doc_id")
     val accepted = Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti"))
@@ -351,6 +381,7 @@ object Curation {
       .select($"doc_id", $"lang", $"source", $"n_tok", $"start_tok",
         $"start_seq", $"start_off", $"end_seq", $"n_seqs")
   }
+
 
   val queries: Map[String, Q] = Map(
     "q117_curation_pipeline" -> ((s, d) =>

@@ -1,0 +1,143 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Curation
+import graft.streaming.CurationStream
+
+/** The streaming ingest ([[CurationStream]]) must be the q122 contract
+  * run per micro-batch — batch-for-batch equal to sequential
+  * [[Curation.ingestDelta]] calls — and exactly-once-EQUIVALENT across
+  * a crash/replay window with NO sink-side transaction machinery: the
+  * store append is the only durable write, and a replayed batch's docs
+  * are already in the store, so stage-3 dedup drops them all.
+  */
+class CurationStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    org.apache.spark.sql.graft.GraftExtensions.install(s)
+    s
+  }
+
+  private def bucketOf(id: Long): Long =
+    ((id % 1000000000L) * 2654435761L) % 100L
+  private def pickIds(n: Int, pred: Long => Boolean,
+      from: Long = 1L): Seq[Long] =
+    Iterator.iterate(from)(_ + 1L).filter(pred).take(n).toSeq
+
+  // digit-free 20-token texts (the IncrementalCurationSpec fixture
+  // discipline: the clean stage rewrites digits)
+  private def text(tag: String): String = {
+    val u = ('a' to 'l').map(ch => s"${tag}q$ch")
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+    val inter = u.take(8).zip(stops).flatMap { case (w, st) => Seq(w, st) }
+    (inter ++ u.drop(8)).mkString(" ")
+  }
+
+  private def stopAndWait(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.stop(); q.awaitTermination()
+  }
+
+  test("streamed batches equal sequential ingestDelta rounds; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val storeIds = pickIds(12, id => id % 7 != 0 && bucketOf(id) < 80)
+    val teId = pickIds(1, id => id % 7 != 0 && bucketOf(id) >= 80).head
+    val b1Ids = pickIds(3, id => id % 7 == 0 && bucketOf(id) < 80)
+    val b2Ids = pickIds(3,
+      id => id % 7 == 0 && bucketOf(id) < 80, from = b1Ids.max + 1)
+    val Seq(f1, dupS, p1) = b1Ids
+    val Seq(g1, dupOfF1, g2) = b2Ids
+    def stag(i: Int): String = s"s${('a' + i).toChar}"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val curated = mk(storeIds.zipWithIndex.map { case (id, i) =>
+      (id, text(stag(i))) })
+    val holdout = mk(Seq(teId -> text("holdout")))
+    val batch1 = Seq((f1, "en", "web", 1L, text("fone")),
+      (dupS, "en", "web", 1L, text(stag(0))),
+      (p1, "en", "web", 1L, text("pone")))
+    val batch2 = Seq((g1, "en", "web", 1L, text("gone")),
+      (dupOfF1, "en", "web", 1L, text("fone")),
+      (g2, "en", "web", 1L, text("gtwo")))
+
+    val allIds = storeIds ++ Seq(teId) ++ b1Ids ++ b2Ids
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(d => if (d == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+
+    def run(forceReplay: Boolean): (Set[Seq[Any]], Long) = {
+      val storeDir = Files.createTempDirectory("cur_store").toString
+      val ckpt = Files.createTempDirectory("cur_ckpt").toString
+      CurationStream.initStore(curated, storeDir)
+      val in = MemoryStream[(Long, String, String, Long, String)]
+      def start() = CurationStream.ingestStream(
+        in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+        emb, trained, holdout, storeDir, ckpt)
+      val q1 = start()
+      in.addData(batch1: _*)
+      q1.processAllAvailable()
+      stopAndWait(q1)
+      if (forceReplay) {
+        // crash window: the store append committed but the query died
+        // before recording the commit — the restart re-runs batch 0
+        // against a store that already holds its accepted docs
+        assert(Files.deleteIfExists(Paths.get(ckpt, "commits", "0")))
+        Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+      }
+      in.addData(batch2: _*)
+      val q2 = start()
+      q2.processAllAvailable()
+      stopAndWait(q2)
+      val store = CurationStream.readStore(spark, storeDir)
+      val view = CurationStream.manifestView(store)
+        .collect().map(_.toSeq).toSet
+      (view, store.count())
+    }
+
+    // sequential batch-API control: same deltas through ingestDelta
+    val r1 = Curation.ingestDelta(spark, curated, holdout,
+      mk(batch1.map(t => (t._1, t._5))), emb, trained)
+    val acc1 = r1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(acc1 === Set(f1, p1))
+    val store2 = curated.unionByName(
+      mk(batch1.map(t => (t._1, t._5))).filter($"doc_id".isin(acc1.toSeq: _*)))
+    val r2 = Curation.ingestDelta(spark, store2, holdout,
+      mk(batch2.map(t => (t._1, t._5))), emb, trained)
+    val acc2 = r2.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(acc2 === Set(g1, g2))
+    // expected view = batch-API manifests + the batch id column; the
+    // seed corpus contributes its own block as batch −1
+    val expectedDelta =
+      r1.withColumn("ingest_batch", lit(0L)).collect().map(_.toSeq).toSet ++
+        r2.withColumn("ingest_batch", lit(1L)).collect().map(_.toSeq).toSet
+
+    val (cleanView, cleanCount) = run(forceReplay = false)
+    assert(cleanView.filter(_.last != -1L) === expectedDelta,
+      "streamed manifest view must equal the sequential batch manifests")
+    assert(cleanCount === storeIds.size + acc1.size + acc2.size)
+
+    val (replayView, replayCount) = run(forceReplay = true)
+    assert(replayView === cleanView,
+      "a replayed batch must change nothing (dedup IS the idempotence)")
+    assert(replayCount === cleanCount,
+      "a replayed batch must not re-append its docs")
+  }
+}

@@ -129,6 +129,111 @@ class IncrementalCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rounds compose: two sequential ingests equal one combined ingest (chain-free)") {
+    import spark.implicits._
+    // explicit store-in/manifest-out form: the store fixture is clean
+    // (no dups, no contamination), so the store frame IS its cleaned
+    // corpus; ids ordered storeIds < d1Ids < d2Ids so pack offsets are
+    // comparable across the two shapes
+    val storeIds = pickIds(12, id => id % 7 != 0 && bucketOf(id) < 80)
+    val teId = pickIds(1, id => id % 7 != 0 && bucketOf(id) >= 80).head
+    val d1Ids = pickIds(4, id => id % 7 == 0 && bucketOf(id) < 80)
+    val d2Ids = pickIds(4,
+      id => id % 7 == 0 && bucketOf(id) < 80, from = d1Ids.max + 1)
+    val Seq(f1, dupS, p1a, p1b) = d1Ids
+    val Seq(g1, dupOfF1, dupOfP1a, g2) = d2Ids
+
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    def stag(i: Int): String = s"s${('a' + i).toChar}"
+    val store1 = mk(storeIds.zipWithIndex.map { case (id, i) =>
+      (id, text(stag(i))) })
+    val holdout = mk(Seq(teId -> text("holdout")))
+    val clD1 = mk(Seq(f1 -> text("fone"), dupS -> text(stag(0)),
+      p1a -> text("pone"), p1b -> text("pone")))
+    val clD2 = mk(Seq(g1 -> text("gone"), dupOfF1 -> text("fone"),
+      dupOfP1a -> text("pone"), g2 -> text("gtwo")))
+
+    val allIds = storeIds ++ Seq(teId) ++ d1Ids ++ d2Ids
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(d => if (d == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val r1 = Curation.ingestDelta(spark, store1, holdout, clD1, emb, trained)
+    val r1Rows = rows(r1)
+    val accepted1 = r1Rows.map(_.head.asInstanceOf[Long])
+    assert(accepted1 === Set(f1, p1a), "round 1: fresh + exact-twin winner")
+    val store2 = store1.unionByName(
+      clD1.filter($"doc_id".isin(accepted1.toSeq: _*)))
+    val r2Rows = rows(
+      Curation.ingestDelta(spark, store2, holdout, clD2, emb, trained))
+    assert(r2Rows.map(_.head) === Set[Any](g1, g2),
+      "round 2: dups of round-1 ACCEPTED docs must drop against store2")
+
+    val combined = rows(Curation.ingestDelta(spark, store1, holdout,
+      clD1.unionByName(clD2), emb, trained))
+    assert(combined === (r1Rows ++ r2Rows),
+      "sequential rounds must equal the combined ingest, offsets included")
+  }
+
+  test("cross-batch near-dup chains diverge BY DESIGN (anchor semantics)") {
+    import spark.implicits._
+    // a ~ b, b ~ c, a !~ c with a,b in round 1 and c in round 2:
+    // round 1 keeps a (drops b); c's only near-dup link (b) was never
+    // ingested, so the sequential form ACCEPTS c — the store, not the
+    // transitive closure over never-ingested docs, is the authority —
+    // while the combined batch's component {a,b,c} drops c
+    val storeIds = pickIds(12, id => id % 7 != 0 && bucketOf(id) < 80)
+    val teId = pickIds(1, id => id % 7 != 0 && bucketOf(id) >= 80).head
+    val d1Ids = pickIds(2, id => id % 7 == 0 && bucketOf(id) < 80)
+    val cId = pickIds(1,
+      id => id % 7 == 0 && bucketOf(id) < 80, from = d1Ids.max + 1).head
+    val Seq(aId, bId) = d1Ids
+    val extras = ('a' to 'h').map(ch => s"extraq$ch")
+    val aText = text("chain")
+    val bText = aText + " " + extras.take(4).mkString(" ")
+    val cText = bText + " " + extras.drop(4).mkString(" ")
+
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    def stag(i: Int): String = s"s${('a' + i).toChar}"
+    val store1 = mk(storeIds.zipWithIndex.map { case (id, i) =>
+      (id, text(stag(i))) })
+    val holdout = mk(Seq(teId -> text("holdout")))
+    val clD1 = mk(Seq(aId -> aText, bId -> bText))
+    val clD2 = mk(Seq(cId -> cText))
+
+    val allIds = storeIds ++ Seq(teId) ++ d1Ids ++ Seq(cId)
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(d => if (d == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val acc1 = ids(
+      Curation.ingestDelta(spark, store1, holdout, clD1, emb, trained))
+    assert(acc1 === Set(aId), "round 1 keeps the chain anchor only")
+    val store2 = store1.unionByName(clD1.filter($"doc_id" === aId))
+    val acc2 = ids(
+      Curation.ingestDelta(spark, store2, holdout, clD2, emb, trained))
+    assert(acc2 === Set(cId),
+      "sequential: c has no surviving near-dup link, so it is ingested")
+    val combined = ids(Curation.ingestDelta(spark, store1, holdout,
+      clD1.unionByName(clD2), emb, trained))
+    assert(combined === Set(aId),
+      "combined: the {a,b,c} component collapses to its min anchor")
+  }
+
   test("full-duplicate delta is a no-op (replay idempotence)") {
     import spark.implicits._
     val storeIds = pickIds(16, id => id % 7 != 0 && bucketOf(id) < 80)
