@@ -366,10 +366,18 @@ object Curation {
     val cont = Dedup.contaminationBloom(dTrain, holdout).select($"doc_id")
     val accepted = Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti"))
 
-    // stage 7: pack-append — offsets continue the store's token stream
+    // stage 7: pack-append — offsets continue the store's token stream.
+    // The base prefers a materialized n_tok column when the store
+    // carries one (the CurationStream store does, so redacted rows keep
+    // their FROZEN counts and every already-trained offset stays
+    // valid); the q122 batch store frame has no such column and takes
+    // the tokenize path — the gated plan is unchanged.
     val tokCount = coalesce(size(TextStats.tokens($"text")), lit(0))
       .cast("long").as("n_tok")
-    val base = store.select(tokCount).agg(
+    val baseCounts =
+      if (store.columns.contains("n_tok")) store.select($"n_tok")
+      else store.select(tokCount)
+    val base = baseCounts.agg(
       coalesce(sum($"n_tok"), lit(0L)).as("__base"))
     val packed = Packing.packPlanFromCounts(
       accepted.select($"doc_id", tokCount), SeqLen)

@@ -39,7 +39,15 @@ import graft.queries.Curation
 object CurationStream {
 
   val StoreSchema = "doc_id BIGINT, lang STRING, source STRING, " +
-    "n_chars BIGINT, text STRING, ingest_batch BIGINT"
+    "n_chars BIGINT, text STRING, n_tok BIGINT, ingest_batch BIGINT"
+
+  /** Token count materialized AT APPEND TIME. The manifest view reads
+    * this column, never the text — which is what makes [[redactStore]]
+    * possible: a compliance deletion nulls the content while the
+    * frozen token count keeps every already-trained offset valid.
+    */
+  private def tokCount = coalesce(size(TextStats.tokens(col("text"))),
+    lit(0)).cast("long").as("n_tok")
 
   /** The store as a frame — explicit schema, so a fresh (empty) store
     * directory reads as an empty corpus instead of failing inference.
@@ -53,7 +61,7 @@ object CurationStream {
   def initStore(curated: DataFrame, storeDir: String): Unit =
     curated
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"), lit(-1L).as("ingest_batch"))
+        col("text"), tokCount, lit(-1L).as("ingest_batch"))
       .write.mode("overwrite").parquet(storeDir)
 
   /** The pack manifest derived from the store: the global token stream
@@ -65,9 +73,7 @@ object CurationStream {
   def manifestView(store: DataFrame,
       seqLen: Long = Curation.SeqLen): DataFrame = {
     val counts = store.select(lit(0L).as("__k"), col("ingest_batch"),
-      col("doc_id"),
-      coalesce(size(TextStats.tokens(col("text"))), lit(0))
-        .cast("long").as("n_tok"))
+      col("doc_id"), col("n_tok"))
     val cum = graft.operators.PrefixSum
       .cumSumByKey(counts, "__k", Seq("ingest_batch", "doc_id"), "n_tok")
     Packing.withSeqFields(cum.filter(col("n_tok") > 0)
@@ -97,11 +103,48 @@ object CurationStream {
         val manifest = Curation.ingestDelta(s,
           store.drop("ingest_batch"), holdout, clB, emb, trained)
         clB.join(manifest.select(col("doc_id")), Seq("doc_id"))
-          .withColumn("ingest_batch", lit(batchId))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"), tokCount,
+            lit(batchId).as("ingest_batch"))
           .write.mode("append").parquet(storeDir)
         graft.ext.Dedup.clearSignatureCaches()
         ()
       }
       .start()
   }
+
+  /** Compact the append-only store: per-batch appends accumulate one
+    * file set per micro-batch, and at 100 TB the file COUNT, not the
+    * byte volume, is what degrades every downstream scan (driver-side
+    * listing, footer reads, task scheduling). Rewrites the store into
+    * `targetFiles` files — content-identical, so [[manifestView]] and
+    * every subsequent ingest are unchanged (spec-pinned). The read is
+    * materialized (eager localCheckpoint) before the overwrite because
+    * Spark cannot scan the directory it is replacing; production would
+    * hand this to the table format's compaction instead.
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+      targetFiles: Int = 4): Unit =
+    readStore(spark, storeDir).localCheckpoint(true)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** Compliance redaction (tombstones): null the CONTENT of the given
+    * docs while keeping their identity, attribution and frozen `n_tok`
+    * — every offset a trained model already consumed stays valid, and
+    * [[manifestView]] is bit-identical before and after (spec-pinned).
+    * Documented consequence: dedup protection for the redacted content
+    * is gone WITH the content (signatures derive from text), so a
+    * re-submission of the same content is accepted as new — which is
+    * the correct reading of a deletion request.
+    */
+  def redactStore(spark: SparkSession, storeDir: String,
+      ids: Seq[Long]): Unit =
+    readStore(spark, storeDir)
+      .withColumn("text",
+        when(col("doc_id").isin(ids: _*), lit(null)).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id").isin(ids: _*), lit(null)).otherwise(col("n_chars")))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(storeDir)
 }

@@ -140,4 +140,77 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(replayCount === cleanCount,
       "a replayed batch must not re-append its docs")
   }
+
+  test("store lifecycle: compaction and redaction leave the manifest invariant") {
+    import spark.implicits._
+    val storeIds = pickIds(10, id => id % 7 != 0 && bucketOf(id) < 80)
+    val teId = pickIds(1, id => id % 7 != 0 && bucketOf(id) >= 80).head
+    val dIds = pickIds(3, id => id % 7 == 0 && bucketOf(id) < 80)
+    val newId = pickIds(1,
+      id => id % 7 == 0 && bucketOf(id) < 80, from = dIds.max + 1).head
+    def stag(i: Int): String = s"s${('a' + i).toChar}"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val curated = mk(storeIds.zipWithIndex.map { case (id, i) =>
+      (id, text(stag(i))) })
+    val holdout = mk(Seq(teId -> text("holdout")))
+    val allIds = storeIds ++ Seq(teId) ++ dIds ++ Seq(newId)
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(d => if (d == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+
+    val storeDir = Files.createTempDirectory("cur_life").toString
+    CurationStream.initStore(curated, storeDir)
+    // three tiny appends (one per "micro-batch") to pile up files
+    dIds.zipWithIndex.foreach { case (id, i) =>
+      val clB = mk(Seq(id -> text(s"d${('a' + i).toChar}")))
+      val store = CurationStream.readStore(spark, storeDir)
+      val manifest = Curation.ingestDelta(spark,
+        store.drop("ingest_batch"), holdout, clB, emb, trained)
+      clB.join(manifest.select($"doc_id"), Seq("doc_id"))
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+          coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
+            .cast("long").as("n_tok"),
+          lit(i.toLong).as("ingest_batch"))
+        .write.mode("append").parquet(storeDir)
+    }
+    def view() = CurationStream
+      .manifestView(CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+    def dataFiles() = new java.io.File(storeDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = view()
+    assert(before.size === storeIds.size + dIds.size)
+
+    // compaction: fewer files, identical manifest
+    val filesBefore = dataFiles()
+    CurationStream.compactStore(spark, storeDir, targetFiles = 2)
+    assert(dataFiles() < filesBefore && dataFiles() <= 2,
+      s"compaction must shrink $filesBefore files to <=2")
+    assert(view() === before, "compaction must not move a single offset")
+
+    // redaction: content gone, offsets frozen
+    val victim = dIds.head
+    CurationStream.redactStore(spark, storeDir, Seq(victim))
+    assert(view() === before, "redaction must not move a single offset")
+    val victimRow = CurationStream.readStore(spark, storeDir)
+      .filter($"doc_id" === victim).collect().head
+    assert(victimRow.isNullAt(victimRow.fieldIndex("text")))
+    assert(victimRow.getLong(victimRow.fieldIndex("n_tok")) === 20L,
+      "the frozen token count must survive redaction")
+
+    // documented consequence: dedup protection left with the content —
+    // re-submitting the redacted text is accepted as a new doc
+    val resub = mk(Seq(newId -> text("da")))
+    val accepted = Curation.ingestDelta(spark,
+      CurationStream.readStore(spark, storeDir).drop("ingest_batch"),
+      holdout, resub, emb, trained)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(newId),
+      "post-redaction resubmission is NEW content by definition")
+  }
 }
