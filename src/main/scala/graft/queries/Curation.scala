@@ -723,7 +723,12 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "q117_curation_pipeline" -> q117Sql,
+    // materialized for the same reason as q122 — and it retires q117's
+    // sf1 cost-cap skip: the inlined replay blew past 300 s / OOM'd at
+    // 50k docs, the materialized one finishes in ~60 s (hash-equal)
+    "q117_curation_pipeline" -> materialize(q117Sql,
+      Seq("cl", "qt", "qs", "t", "sig", "bands", "as1", "b6",
+        "s3", "s4", "s5", "s6", "s8")),
     "q122_incremental_curation" -> materialize(q122Sql,
       Seq("cl", "qt", "qs", "t", "sig", "abands", "sbands", "dbands",
         "ibands", "a6", "b6", "te", "stok", "as1"))
