@@ -93,6 +93,34 @@ class LocalLookupSpec extends AnyFunSuite {
     assert(expected.exists(_.exists(_._1 == null)))
   }
 
+  test("local bm25 lookup is thread-safe under concurrent serving load") {
+    import spark.implicits._
+    // a serving tier takes parallel queries: hammer the shared caches
+    // (layout, footers, per-bucket df maps) from many threads on a COLD
+    // reader and require every answer to equal the single-threaded one
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_local_mt").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    graft.ext.Dedup.clearSignatureCaches()
+    LocalLookup.clearLayouts()
+
+    val queries = (0 until 40).map(i =>
+      Seq(vocab(i % vocab.size), vocab((i * 5 + 1) % vocab.size)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = queries.map(terms =>
+      Future(terms -> LocalLookup.bm25Single(out, terms, 7)))
+    val got = Await.result(Future.sequence(futures), 60.seconds).toMap
+    queries.distinct.foreach { terms =>
+      assert(got(terms) === LocalLookup.bm25Single(out, terms, 7),
+        s"concurrent result diverged for $terms")
+    }
+    assert(got.size === queries.distinct.size)
+    assert(got.values.forall(_.nonEmpty), "every vocab term matches docs")
+  }
+
   test("local bm25 over an empty-corpus export returns empty") {
     import spark.implicits._
     val idx = Retrieval.bm25Index(
