@@ -138,15 +138,29 @@ object Bench {
     // PAIRED CONTROL RUN (ON BY DEFAULT since round 10; opt out with
     // SPARK_GRAFT_CONTROL_COMMIT="" / "none" / "off"): automates the
     // BASELINE.md drift-adjudication recipe — check the control commit
-    // out into a worktree, bench the 5 slowest HEAD queries there
-    // minutes apart from the identical HEAD timings, and emit
-    // head/control ratio over the common subset. "auto" (the default)
-    // resolves the last driver round-snapshot commit. Promoted to
-    // default because round 9 showed the frozen in-band control alone
-    // can misestimate drift by ~2x — the paired same-session ratio is
-    // the authoritative signal when they disagree. Failures degrade to
-    // a control_error field — the main bench numbers never depend on it.
+    // out into a worktree, bench a subset of queries there minutes
+    // apart from the identical HEAD timings, and emit head/control
+    // ratio over the COMMON subset. "auto" (the default) resolves the
+    // last driver round-snapshot commit. Promoted to default because
+    // round 9 showed the frozen in-band control alone can misestimate
+    // drift by ~2x — the paired same-session ratio is the
+    // authoritative signal when they disagree. Failures degrade to a
+    // control_error field — the main bench numbers never depend on it.
+    //
+    // Subset choice (round 12): the 10 slowest HEAD queries PLUS a
+    // drift watchlist (SPARK_GRAFT_CONTROL_WATCH, default = the
+    // queries the round-11 small-query drift flagged). Round 11's
+    // control had n=1 because HEAD's 5 slowest were all new that round
+    // — pinning the set to slowest ∪ watchlist keeps the intersection
+    // with the snapshot ≥ the watchlist size, so drift claims on the
+    // STANDING surface stay falsifiable. Queries the control commit
+    // lacks simply drop out of its own filter; the ratio and the
+    // per-query control_detail line cover the intersection only.
     val controlSpec = sys.env.getOrElse("SPARK_GRAFT_CONTROL_COMMIT", "auto")
+    val controlWatch = sys.env.getOrElse("SPARK_GRAFT_CONTROL_WATCH",
+      "q88_temperature_sampling,q85_corpus_report,q86_rebalance_upsample," +
+        "q94_containment_dedup,q68_domain_mix")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val controlFields: String = Some(controlSpec)
       .filter(s => s.nonEmpty && s != "none" && s != "off").map { spec =>
       try {
@@ -162,7 +176,8 @@ object Bench {
         if (!new java.io.File(wt, "build.sbt").isFile)
           Process(Seq("git", "worktree", "add", "--detach", "--force",
             wt.getAbsolutePath, commit), repo).!!
-        val subset = results.toSeq.sortBy(-_._2).take(5).map(_._1)
+        val subset = (results.toSeq.sortBy(-_._2).take(10).map(_._1) ++
+          controlWatch.filter(results.contains)).distinct
         val out = new StringBuilder
         Process(Seq("sbt", "-batch", "runMain graft.Bench"), wt,
           "SPARK_GRAFT_SF_DIR" -> sfDir,
@@ -179,6 +194,13 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val common = subset.filter(ctrl.contains)
         require(common.nonEmpty, "no common queries with control commit")
+        // per-query [head, ctrl] pairs on their own line (humans /
+        // drift adjudication) — kept out of the final machine line,
+        // which the driver tails and must stay short
+        val pairs = common.sorted.map(q =>
+          "\"" + q + "\":[" + r3(results(q)) + "," + r3(ctrl(q)) + "]")
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"control_detail","commit":"${commit.take(12)}","pairs":$pairs}""")
         val headSum = common.map(results).sum
         val ctrlSum = common.map(ctrl).sum
         s""","control_commit":"${commit.take(12)}","control_n":${common.size},""" +

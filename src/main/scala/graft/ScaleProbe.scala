@@ -414,7 +414,149 @@ object ScaleProbe {
     aqeLegs(spark, sfDir)
   }
 
+  /** `--stream-curation` mode: the streaming-ingest SOAK the 2–3-batch
+    * CurationStreamSpec cannot see — N≥20 micro-batches through
+    * [[graft.streaming.CurationStream.ingestStream]] at 1–K× delta
+    * sizes, TWO legs per multiplier (plain append vs compaction every 5
+    * batches, the table-maintenance cadence), a mid-stream redaction,
+    * and a final manifest-parity assertion between the legs (compaction
+    * + redaction must not move one offset). Emits docs/s, the
+    * batch-time trend (median of the first vs last 5 batches — the
+    * plain leg's file pileup shows up here if it ever matters), and the
+    * final data-file/bucket counts.
+    *
+    * Maintenance runs BETWEEN micro-batches (the stream is idle after
+    * `processAllAvailable`) — the coordination a table format's
+    * compaction service provides in production.
+    */
+  private def streamCurationProbe(spark: SparkSession, sfDir: String,
+      mults: Seq[Int], nBatches: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    for (k <- mults) {
+      val dir = tempDir(s"soak_${k}x")
+      // digit-free namespace (the clean stage scrubs digits) + the
+      // structure-preserving embedding replication — the q117/q122
+      // probe corpus discipline
+      scaled(spark, sfDir, k, alphaNs = true).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      scaledEmbeddingsShifted(spark, sfDir, k).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val cl = graft.queries.Curation.clean(docs)
+      val bucket = pmod(pmod(col("doc_id"), lit(1000000000L)) * 2654435761L,
+        lit(100L))
+      // seed store = the cleaned non-delta corpus; frozen holdout = its
+      // q51 eval split (the q122 shapes, minus the stage-2–6 chain the
+      // soak does not re-measure)
+      val seed = cl.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
+        bucket < 80L)
+      val holdout = cl.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
+        bucket >= 80L)
+      val trained = graft.ext.Similarity
+        .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+      // delta slices: batch i = the i-th residue class of the delta ids
+      val delta = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      val slices = (0 until nBatches).map(i => delta
+        .filter(pmod(expr("doc_id DIV 7"), lit(nBatches.toLong)) === i.toLong)
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
+        .as[(Long, String, String, Long, String)].collect().toSeq)
+      val docsIn = slices.map(_.size).sum
+      val redactAfter = nBatches / 2
+
+      def dataFileCount(storeDir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else if (f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) 1
+          else 0
+        walk(new java.io.File(storeDir))
+      }
+
+      def leg(name: String, compactEvery: Int): (Set[Seq[Any]], String) = {
+        val storeDir = tempDir(s"soak_store_${k}x_$name")
+        val ckpt = tempDir(s"soak_ckpt_${k}x_$name")
+        graft.streaming.CurationStream.initStore(
+          seed.select($"doc_id", $"lang", $"source", $"n_chars", $"text"),
+          storeDir)
+        val in = MemoryStream[(Long, String, String, Long, String)]
+        val q = graft.streaming.CurationStream.ingestStream(
+          in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+          emb, trained, holdout, storeDir, ckpt)
+        val batchSec = Array.ofDim[Double](nBatches)
+        var redactIds: Seq[Long] = Seq.empty
+        val t0 = System.nanoTime()
+        (0 until nBatches).foreach { i =>
+          val b0 = System.nanoTime()
+          in.addData(slices(i): _*)
+          q.processAllAvailable()
+          batchSec(i) = (System.nanoTime() - b0) / 1e9
+          if (compactEvery > 0 && (i + 1) % compactEvery == 0)
+            graft.streaming.CurationStream.compactStore(spark, storeDir)
+          if (i + 1 == redactAfter) {
+            // mid-stream compliance request against batch 0's docs
+            redactIds = graft.streaming.CurationStream
+              .readStore(spark, storeDir)
+              .filter($"ingest_batch" === 0L).select($"doc_id")
+              .limit(3).collect().map(_.getLong(0)).toSeq
+            graft.streaming.CurationStream
+              .redactStore(spark, storeDir, redactIds)
+          }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop(); q.awaitTermination()
+        val store = graft.streaming.CurationStream.readStore(spark, storeDir)
+        val accepted = store.filter($"ingest_batch" >= 0L).count()
+        val view = graft.streaming.CurationStream.manifestView(store)
+          .collect().map(_.toSeq).toSet
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted; s(s.size / 2)
+        }
+        val row =
+          s""""leg":"$name","batches":$nBatches,"docs_in":$docsIn,""" +
+            s""""accepted":$accepted,"sec":${f"$sec%.3f"},""" +
+            s""""docs_per_sec":${f"${docsIn / sec}%.1f"},""" +
+            s""""batch_sec_first5":${f"${med(batchSec.take(5).toSeq)}%.3f"},""" +
+            s""""batch_sec_last5":${f"${med(batchSec.takeRight(5).toSeq)}%.3f"},""" +
+            s""""files_final":${dataFileCount(storeDir)},""" +
+            s""""buckets":${graft.streaming.CurationStream
+              .liveBuckets(storeDir).size},"redacted":${redactIds.size}"""
+        graft.ext.Dedup.clearSignatureCaches()
+        (view, row)
+      }
+
+      val (viewPlain, rowPlain) = leg("plain", compactEvery = 0)
+      val (viewCompact, rowCompact) = leg("compact", compactEvery = 5)
+      val parity = viewPlain == viewCompact
+      println(s"""{"probe":"stream_curation","mult":$k,$rowPlain,"parity":$parity}""")
+      println(s"""{"probe":"stream_curation","mult":$k,$rowCompact,"parity":$parity}""")
+      require(parity, "compaction/redaction changed the manifest view — " +
+        "the soak's parity contract is broken")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--stream-curation")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1, 10))
+      val nBatches = args.lift(3).map(_.toInt).getOrElse(24)
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try streamCurationProbe(spark, sfDir, mults, nBatches)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
     if (args.headOption.contains("--skew")) {
       val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
       val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)

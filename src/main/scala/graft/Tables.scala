@@ -38,4 +38,27 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Cheap driver-side corpus fingerprint: (name, length, mtime) of
+    * every data file under the named tables, hashed. The serving twins
+    * (q123–q125) key their prebuilt artifacts — index exports, the
+    * persisted curation store — on this, so a corpus whose CONTENT
+    * changes under the same path can never be served stale prebuilt
+    * bytes: a different fingerprint is a different artifact directory.
+    * Pure driver file-metadata reads; zero Spark jobs.
+    */
+  def fingerprint(sfDir: String, names: Seq[String]): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(files)
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    val sig = names
+      .flatMap(n => files(new java.io.File(sfDir, s"$n.parquet")))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Long.toHexString(org.apache.spark.sql.graft.GraftColumns
+      .xxhash64String(s"$sfDir|$sig"))
+  }
 }

@@ -86,10 +86,12 @@ object Packing {
     * so an appended manifest can never disagree with a from-scratch one
     * on how offsets map to sequences.
     */
-  private[graft] def withSeqFields(df: DataFrame, seqLen: Long): DataFrame =
-    df.select(col("doc_id"), col("n_tok"), col("start_tok"),
+  private[graft] def withSeqFields(df: DataFrame, seqLen: Long,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(Seq(col("doc_id"), col("n_tok"), col("start_tok"),
       expr(s"start_tok DIV $seqLen").as("start_seq"),
       pmod(col("start_tok"), lit(seqLen)).as("start_off"),
-      expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("end_seq"))
+      expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("end_seq")) ++
+      keep.map(col): _*)
       .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
 }

@@ -265,11 +265,14 @@ object Pq {
     * micro-batch with the same codebooks — Columns are immutable plan
     * fragments, safely shared across DataFrames.
     */
-  private val adcTableCache =
-    new java.util.concurrent.ConcurrentHashMap[Codebooks, Column]
+  // LRU-bounded: a long-lived serving process cycling codebook sets
+  // (each key is the full Codebooks value) must not leak one memoized
+  // Column per retired set forever — 8 live sets is generous for any
+  // real deployment (one per concurrently-served index family)
+  private val adcTableCache = new graft.jobs.Lru[Codebooks, Column](8)
 
   private def adcTableCol(cbs: Codebooks): Column =
-    adcTableCache.computeIfAbsent(cbs, { cbs2 =>
+    adcTableCache.get(cbs) { cbs2 =>
       array(cbs2.zipWithIndex.map { case (cb, j) =>
         array(cb.sortBy(_._1).map { case (_, cv) =>
           val raw = floor((col(s"__dss$j") -
@@ -279,7 +282,7 @@ object Pq {
             lit(KeyBound)).cast("long")
         }: _*)
       }: _*)
-    })
+    }
 
   /** Batch/streaming IVF-PQ serving: every query in `(query_id, qvec)`
     * ranked by ADC against a PREBUILT codes store `(vec_id, codes,

@@ -1,5 +1,9 @@
 package graft.jobs
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftColumns
@@ -23,12 +27,24 @@ import graft.ext.Retrieval.Bm25Index
   *    min/max statistics the sort makes tight;
   *  - the lookup client computes bucket ids DRIVER-side via
   *    [[GraftColumns.xxhash64String]] (bit-identical to the export's
-  *    `xxhash64` column — same expression evaluated eagerly), so
+  *    `xxhash64` column — same expression evaluated eagerly, so
   *    pruning costs zero Spark jobs;
   *  - corpus stats (n, sum_dl, n_buckets) ride a one-row meta file;
   *  - PQ codes are partitioned by IVF cell (the
   *    [[Similarity.ivfAppendStore]] layout, but storing CODES so the
   *    first-pass scan reads ~m bytes/vec, not the floats).
+  *
+  * Epoch versioning (what makes a RE-export safe under live traffic):
+  * every export writes a fresh immutable `epoch_<n>/` directory under
+  * the layout root and then atomically swaps the `_LATEST` pointer file
+  * onto it — the UpsertSink `_LATEST` discipline. Readers resolve the
+  * pointer once per lookup (a ~20-byte local read) and cache per EPOCH
+  * directory, so a lookup concurrent with a re-export serves either the
+  * old epoch or the new one in full — never a mixed or missing-file
+  * read (IndexExportSpec re-exports inside a measured lookup loop). The
+  * previous epoch is retained until the NEXT export prunes it
+  * ([[KeepEpochs]]), so in-flight readers on the outgoing epoch finish
+  * against intact files.
   *
   * Parity contract: [[bm25Lookup]] reconstructs a [[Bm25Index]] over
   * the pruned scans and serves through [[Retrieval.bm25TopKIndexed]]
@@ -48,6 +64,14 @@ object IndexExport {
 
   val DefaultBuckets = 64
 
+  /** Epochs retained after an export: the live one plus its
+    * predecessor, so one re-export never deletes files out from under
+    * a reader opened moments before the swap. Two re-exports inside a
+    * single in-flight lookup could — a serving process that re-exports
+    * faster than its slowest lookup needs a bigger window.
+    */
+  val KeepEpochs = 2
+
   def termBucketCol(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong))
 
@@ -56,9 +80,77 @@ object IndexExport {
     ((h % nBuckets) + nBuckets) % nBuckets
   }
 
-  /** Write the bm25 index as the bucketed/sorted serving layout:
-    * `<outDir>/postings/bucket=<b>/` (doc_id, dl, term, tf),
-    * `<outDir>/df/bucket=<b>/` (term, df), `<outDir>/meta` one row.
+  // ---- epoch pointer protocol -------------------------------------------
+
+  /** Resolve a layout root to its CURRENT epoch directory: the
+    * `_LATEST` pointer names the epoch subdirectory the last export
+    * swapped in. A root without a pointer resolves to itself, so a
+    * hand-built (or pre-versioning) flat layout still reads.
+    */
+  def resolveEpoch(outDir: String): String = {
+    val p = new File(outDir, "_LATEST")
+    if (!p.isFile) outDir
+    else {
+      val name = new String(Files.readAllBytes(p.toPath),
+        StandardCharsets.UTF_8).trim
+      new File(outDir, name).toString
+    }
+  }
+
+  private def epochNum(name: String): Option[Long] =
+    if (name.startsWith("epoch_")) name.stripPrefix("epoch_").toLongOption
+    else None
+
+  private def nextEpochDir(outDir: String): File = {
+    val root = new File(outDir)
+    root.mkdirs()
+    val existing = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => if (f.isDirectory) epochNum(f.getName) else None)
+    new File(root, s"epoch_${(if (existing.isEmpty) 0L else existing.max) + 1L}")
+  }
+
+  /** Atomically point `_LATEST` at `epochName`: write a temp sibling,
+    * then a same-directory atomic rename over the pointer. A reader
+    * racing the swap sees the old pointer or the new one, never a
+    * partial write.
+    */
+  private def swapPointer(outDir: String, epochName: String): Unit = {
+    val tmp = new File(outDir, "._LATEST.tmp")
+    Files.write(tmp.toPath, epochName.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(outDir, "_LATEST").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Drop epochs older than the newest [[KeepEpochs]], and invalidate
+    * any reader entries that pointed at them — the export invalidates
+    * its own stale state instead of relying on callers to remember a
+    * `clearReaders()`.
+    */
+  private def pruneEpochs(outDir: String): Unit = {
+    val root = new File(outDir)
+    val epochs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && epochNum(f.getName).isDefined)
+      .sortBy(f => epochNum(f.getName).get)
+    epochs.dropRight(KeepEpochs).foreach { dir =>
+      val path = dir.toString
+      bm25Readers.removeIf(_ == path)
+      codeReaders.removeIf(_ == path)
+      LocalLookup.invalidateEpoch(path)
+      deleteRecursively(dir)
+    }
+  }
+
+  /** Write the bm25 index as the bucketed/sorted serving layout, into a
+    * fresh epoch: `<outDir>/epoch_<n>/postings/bucket=<b>/` (doc_id,
+    * dl, term, tf), `…/df/bucket=<b>/` (term, df), `…/meta` one row —
+    * then swap `_LATEST` and prune epochs beyond [[KeepEpochs]].
     * repartition-by-bucket + sortWithinPartitions(bucket, …) means the
     * file writer sees rows already clustered by the partition column
     * and streams them out in term order — tight row-group stats, no
@@ -67,38 +159,45 @@ object IndexExport {
   def exportBm25(idx: Bm25Index, outDir: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val epoch = nextEpochDir(outDir)
     idx.postings
       .withColumn("bucket", termBucketCol(col("term"), nBuckets))
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$outDir/postings")
+      .parquet(s"$epoch/postings")
     idx.dfTable
       .withColumn("bucket", termBucketCol(col("term"), nBuckets))
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$outDir/df")
+      .parquet(s"$epoch/df")
     idx.stats.withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$outDir/meta")
+      .write.mode("overwrite").parquet(s"$epoch/meta")
+    swapPointer(outDir, epoch.getName)
+    pruneEpochs(outDir)
   }
 
-  /** Long-lived reader over one export: the resolved file listings
-    * (the planner's InMemoryFileIndex rides inside the DataFrames) and
-    * the meta row, opened ONCE per export directory. Point-lookup
-    * latency is the point of the tier; re-listing 2×nBuckets partition
-    * directories and re-reading the meta file on EVERY query would
-    * spend more time in the object store than in the index.
+  /** Long-lived reader over one EPOCH: the resolved file listings (the
+    * planner's InMemoryFileIndex rides inside the DataFrames) and the
+    * meta row, opened ONCE per epoch directory. Point-lookup latency is
+    * the point of the tier; re-listing 2×nBuckets partition directories
+    * and re-reading the meta file on EVERY query would spend more time
+    * in the object store than in the index. Epoch directories are
+    * immutable, so a cached reader can never serve a stale listing.
     */
   final case class Bm25Reader(postings: DataFrame, dfTable: DataFrame,
       n: Long, sumDl: Long, nBuckets: Int)
 
-  private val bm25Readers =
-    new java.util.concurrent.ConcurrentHashMap[String, Bm25Reader]
-  private val codeReaders =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  // LRU-bounded: a serving process cycling exports must not retain one
+  // reader per dead epoch forever (the export prunes its own epochs'
+  // entries eagerly; the bound covers many distinct layout roots)
+  private val bm25Readers = new Lru[String, Bm25Reader](32)
+  private val codeReaders = new Lru[String, DataFrame](32)
 
-  /** Drop cached readers (tests; or after re-exporting over a dir). */
+  /** Drop cached readers (tests). Exports invalidate their own pruned
+    * epochs; this remains for harness cleanup between corpora.
+    */
   def clearReaders(): Unit = { bm25Readers.clear(); codeReaders.clear() }
 
   // explicit layout schemas: no footer inference on the serving path,
@@ -110,7 +209,7 @@ object IndexExport {
   private val CodesSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
 
   def bm25Reader(spark: SparkSession, outDir: String): Bm25Reader =
-    bm25Readers.computeIfAbsent(outDir, { dir =>
+    bm25Readers.get(resolveEpoch(outDir)) { dir =>
       val meta = spark.read.parquet(s"$dir/meta").collect().head
       val sumDl = if (meta.isNullAt(meta.fieldIndex("sum_dl"))) 0L
         else meta.getAs[Long]("sum_dl")
@@ -118,7 +217,7 @@ object IndexExport {
         spark.read.schema(PostingsSchema).parquet(s"$dir/postings"),
         spark.read.schema(DfSchema).parquet(s"$dir/df"),
         meta.getAs[Long]("n"), sumDl, meta.getAs[Int]("n_buckets"))
-    })
+    }
 
   /** Serve queries `(query_id, terms)` through the exported layout:
     * prune to the terms' buckets (computed driver-side), push the term
@@ -160,21 +259,25 @@ object IndexExport {
       pruned(r.dfTable, Seq("term", "df")), r.n, r.sumDl, k)
   }
 
-  /** Write PQ codes partitioned by IVF cell: `<outDir>/codes/cell=<c>/`
-    * (vec_id, codes array<long>), sorted by vec_id within files. The
-    * cell assignment and the encode ride ONE select over the embedding
-    * scan — the floats are read once at export time and never again at
-    * lookup time.
+  /** Write PQ codes partitioned by IVF cell into a fresh epoch:
+    * `<outDir>/epoch_<n>/codes/cell=<c>/` (vec_id, codes array<long>),
+    * sorted by vec_id within files, then the same pointer swap + prune
+    * as [[exportBm25]]. The cell assignment and the encode ride ONE
+    * select over the embedding scan — the floats are read once at
+    * export time and never again at lookup time.
     */
   def exportPqCells(embeddings: DataFrame,
       centroids: Seq[(Long, Seq[Float])], cbs: Pq.Codebooks,
       outDir: String): Unit = {
+    val epoch = nextEpochDir(outDir)
     Similarity.ivfAssign(embeddings, centroids)
       .select(col("cell"), col("vec_id"), Pq.codesCol(cbs).as("codes"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$outDir/codes")
+      .parquet(s"$epoch/codes")
+    swapPointer(outDir, epoch.getName)
+    pruneEpochs(outDir)
   }
 
   /** Single-query IVF-PQ lookup over the exported codes: probe cells
@@ -188,7 +291,7 @@ object IndexExport {
       centroids: Seq[(Long, Seq[Float])], nprobe: Int = 2): DataFrame = {
     val probes = Similarity.probeCells(centroids.sortBy(_._1), qvec, nprobe)
     val codes = codeReaders
-      .computeIfAbsent(outDir,
+      .get(resolveEpoch(outDir))(
         dir => spark.read.schema(CodesSchema).parquet(s"$dir/codes"))
       .filter(col("cell").isin(probes: _*))
       .select(col("vec_id"), col("codes"))

@@ -60,9 +60,11 @@ object LocalLookup {
       // query only opens its postings buckets
       dfCache: ConcurrentHashMap[Long, java.util.HashMap[String, Long]])
 
-  private val bm25Layouts = new ConcurrentHashMap[String, Bm25Layout]
-  private val codeFiles =
-    new ConcurrentHashMap[(String, Long), Seq[Path]]
+  // keyed by resolved EPOCH directory (immutable once written — see
+  // IndexExport's pointer protocol), LRU-bounded so a process cycling
+  // exports does not retain one layout per dead epoch forever
+  private val bm25Layouts = new Lru[String, Bm25Layout](32)
+  private val codeFiles = new Lru[(String, Long), Seq[Path]](4096)
   private val conf = {
     val c = new Configuration()
     // serving reads: skip the checksum-wrapper filesystem for local
@@ -74,12 +76,25 @@ object LocalLookup {
 
   // parquet footers, resolved once per file (a serving process keeps
   // them resident — re-parsing the thrift footer dominated the cold
-  // per-open cost)
-  private val footers = new ConcurrentHashMap[Path, ParquetMetadata]
+  // per-open cost); LRU-bounded across epochs/layouts
+  private val footers = new Lru[Path, ParquetMetadata](4096)
 
-  /** Drop cached layouts (tests; or after re-exporting over a dir). */
+  /** Drop cached layouts (tests). Re-exports invalidate their own
+    * pruned epochs via [[invalidateEpoch]]; this remains for harness
+    * cleanup between corpora.
+    */
   def clearLayouts(): Unit =
     { bm25Layouts.clear(); codeFiles.clear(); footers.clear() }
+
+  /** Invalidate every cached artifact under a pruned epoch directory —
+    * called by [[IndexExport]] when an export deletes old epochs, so a
+    * stale layout can never serve a missing-file read.
+    */
+  private[jobs] def invalidateEpoch(epochDir: String): Unit = {
+    bm25Layouts.removeIf(_ == epochDir)
+    codeFiles.removeIf(_._1 == epochDir)
+    footers.removeIf(_.toString.startsWith(epochDir))
+  }
 
   /** Data files under `dir`, excluding `_SUCCESS`/hidden/checksum
     * siblings; empty when the directory does not exist (an empty
@@ -104,7 +119,7 @@ object LocalLookup {
     */
   private def readGroups[T](file: Path, pred: Option[FilterPredicate])
       (row: Group => T): Seq[T] = {
-    val footer = footers.computeIfAbsent(file, f =>
+    val footer = footers.get(file)(f =>
       ParquetFileReader.readFooter(HadoopInputFile.fromPath(f, conf),
         ParquetMetadataConverter.NO_FILTER))
     val opts = pred match {
@@ -140,7 +155,7 @@ object LocalLookup {
       Binary.fromString(t)): FilterPredicate).reduce(FilterApi.or)
 
   private def bm25Layout(outDir: String): Bm25Layout =
-    bm25Layouts.computeIfAbsent(outDir, { dir =>
+    bm25Layouts.get(IndexExport.resolveEpoch(outDir)) { dir =>
       val fs = new Path(dir).getFileSystem(conf)
       val metaFiles = dataFiles(fs, new Path(dir, "meta"))
       require(metaFiles.nonEmpty, s"no meta file under $dir/meta")
@@ -153,7 +168,7 @@ object LocalLookup {
       }).head
       Bm25Layout(fs, dir, meta._1, meta._2, meta._3,
         new ConcurrentHashMap, new ConcurrentHashMap)
-    })
+    }
 
   private def bucketFiles(l: Bm25Layout, table: String,
       bucket: Long): Seq[Path] =
@@ -214,11 +229,12 @@ object LocalLookup {
       nprobe: Int = 2): Seq[(Long, Long)] = {
     val tables = Pq.adcTables(qvec, cbs)
     val probes = Similarity.probeCells(centroids.sortBy(_._1), qvec, nprobe)
-    val fs = new Path(outDir).getFileSystem(conf)
+    val epoch = IndexExport.resolveEpoch(outDir)
+    val fs = new Path(epoch).getFileSystem(conf)
     val scored = ArrayBuffer.empty[(Long, Long)]
     probes.foreach { cell =>
-      val files = codeFiles.computeIfAbsent((outDir, cell),
-        _ => dataFiles(fs, new Path(outDir, s"codes/cell=$cell")))
+      val files = codeFiles.get((epoch, cell))(
+        _ => dataFiles(fs, new Path(epoch, s"codes/cell=$cell")))
       files.foreach { f =>
         readGroups(f, None) { g =>
           val vecId = g.getLong("vec_id", 0)

@@ -314,8 +314,16 @@ object Curation {
       trained: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
 
+    // id guard at the ingest boundary: the store is the doc_id
+    // authority like it is the dedup authority — a delta doc reusing an
+    // existing store id (even with DIFFERENT text) is rejected, because
+    // duplicate ids would fan out every manifest/attribution join
+    // downstream. Text-level dedup alone (stage 3) cannot see this
+    // case. No-op on id-disjoint deltas (the gated q122/q125 split).
+    val clD0 = clDelta.join(store.select($"doc_id"), Seq("doc_id"), "left_anti")
+
     // delta stages 1–2
-    val d2 = qualityFiltered(clDelta)
+    val d2 = qualityFiltered(clD0)
 
     // stage 3: exact vs store survivor texts, then keep-min within delta
     val d3a = d2.join(store.select($"text"), Seq("text"), "left_anti")
@@ -391,6 +399,61 @@ object Curation {
   }
 
 
+  /** q125: the q122 ingest against a PERSISTED store read from disk —
+    * the production steady state [[incrementalIngest]]'s own scaladoc
+    * names. q122 rebuilds the whole store inside the timed query (a
+    * recorded setup-cost row the bench keeps on purpose); this twin
+    * reads store / frozen holdout / trained centroids from a
+    * fingerprint-keyed artifact directory (built once per corpus
+    * CONTENT — changed data rebuilds instead of serving stale bytes)
+    * and pays ONLY the delta chain + pack-append. Gated against the
+    * SAME q122 oracle string: the persisted round-trip must be
+    * invisible to the answer.
+    */
+  def persistedIngest(s: SparkSession, d: String): DataFrame = {
+    val deltaPred = pmod(col("doc_id"), lit(7L)) === 0L
+    val root = storeArtifacts(s, d, deltaPred)
+    val store = s.read.parquet(s"$root/store")
+    val holdout = s.read.parquet(s"$root/holdout")
+    val trained = s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val clD = clean(Tables.documents(s, d).filter(deltaPred))
+    ingestDelta(s, store, holdout, clD, Tables.embeddings(s, d), trained)
+  }
+
+  /** Build (once per corpus content) the persisted artifacts a
+    * steady-state ingest maintains out-of-band: the curated store (the
+    * q117 stage-2–6 core over the non-delta corpus), the frozen eval
+    * holdout, and the trained semantic index. The `_READY` marker is
+    * written LAST, so a crashed build re-runs instead of serving a
+    * partial store; float centroids round-trip parquet bit-exactly.
+    */
+  private def storeArtifacts(s: SparkSession, d: String,
+      deltaPred: Column): String = synchronized {
+    import s.implicits._
+    val fp = Tables.fingerprint(d, Seq("documents", "embeddings"))
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_curation_store_$fp").toString
+    if (!new java.io.File(root, "_READY").isFile) {
+      val cl = Dedup.cached(clean(Tables.documents(s, d)))
+      val clS = cl.filter(!deltaPred)
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
+        roundTo = 4)
+      curatedSurvivors(s, clS, emb, Some(trained))
+        .write.mode("overwrite").parquet(s"$root/store")
+      clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
+        .write.mode("overwrite").parquet(s"$root/holdout")
+      trained.toDF("cell_id", "centroid")
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      Dedup.clearSignatureCaches()
+      java.nio.file.Files.write(
+        new java.io.File(root, "_READY").toPath, Array.empty[Byte])
+      ()
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_curation_pipeline" -> ((s, d) =>
       pipeline(s, Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -398,7 +461,8 @@ object Curation {
       import org.apache.spark.sql.functions.col
       incrementalIngest(s, Tables.documents(s, d), Tables.embeddings(s, d),
         pmod(col("doc_id"), lit(7L)) === 0L)
-    })
+    }),
+    "q125_incremental_served" -> ((s, d) => persistedIngest(s, d))
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -722,6 +786,10 @@ object Curation {
       FROM dc9 JOIN cl USING (doc_id) WHERE n_tok > 0"""
   }
 
+  private lazy val q122Oracle: String = materialize(q122Sql,
+    Seq("cl", "qt", "qs", "t", "sig", "abands", "sbands", "dbands",
+      "ibands", "a6", "b6", "te", "stok", "as1"))
+
   val oracleSql: Map[String, String] = Map(
     // materialized for the same reason as q122 — and it retires q117's
     // sf1 cost-cap skip: the inlined replay blew past 300 s / OOM'd at
@@ -729,8 +797,9 @@ object Curation {
     "q117_curation_pipeline" -> materialize(q117Sql,
       Seq("cl", "qt", "qs", "t", "sig", "bands", "as1", "b6",
         "s3", "s4", "s5", "s6", "s8")),
-    "q122_incremental_curation" -> materialize(q122Sql,
-      Seq("cl", "qt", "qs", "t", "sig", "abands", "sbands", "dbands",
-        "ibands", "a6", "b6", "te", "stok", "as1"))
+    "q122_incremental_curation" -> q122Oracle,
+    // the persisted-store twin must land on the q122 answer exactly —
+    // ONE oracle string, two consumers
+    "q125_incremental_served" -> q122Oracle
   )
 }

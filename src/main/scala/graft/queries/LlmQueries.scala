@@ -912,12 +912,31 @@ object LlmQueries {
     "q121_bm25_lookup_single" -> ((s, d) =>
       graft.jobs.IndexExport.bm25LookupSingle(s, bm25ExportDir(s, d),
         Bm25Terms, 20)),
+
+    // the SERVE twins: identical lookup chains to q120/q121 but against
+    // a PRE-BUILT export (fingerprint-keyed, built once per corpus
+    // content) — the production serving shape, where index maintenance
+    // is the batch path's job and a lookup pays only the lookup.
+    // q120/q121 keep the build inside the timed query (the recorded
+    // setup-cost rows); the bench reads q123/q124 for serving drift.
+    // Gated against the SAME oracle strings — the prebuilt round-trip
+    // must be invisible to the answer.
+    "q123_bm25_lookup_served" -> ((s, d) => {
+      val out = bm25ExportDirServed(s, d)
+      Bm25BatchQueries.map { case (qid, terms) =>
+        graft.jobs.IndexExport.bm25Lookup(s, out, Seq(qid -> terms), 10)
+      }.reduce(_ unionByName _)
+    }),
+    "q124_bm25_single_served" -> ((s, d) =>
+      graft.jobs.IndexExport.bm25LookupSingle(s, bm25ExportDirServed(s, d),
+        Bm25Terms, 20)),
   )
 
   /** Build + export the bm25 index for `d` into a FIXED per-corpus temp
-    * dir (mode overwrite — re-runs reuse the path instead of strewing
-    * /tmp with full postings copies), dropping the long-lived readers
-    * whose file listings the re-export just invalidated.
+    * dir — every invocation re-exports (a fresh epoch under the same
+    * root; IndexExport's `_LATEST` swap + prune keep the directory from
+    * accumulating full postings copies). This is the SETUP-INCLUDED
+    * path q120/q121 time on purpose.
     */
   private def bm25ExportDir(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
@@ -926,8 +945,27 @@ object LlmQueries {
       s"graft_bm25_export_${math.abs(d.hashCode)}").toString
     val idx = graft.ext.Retrieval.bm25Index(Tables.documents(s, d))
     graft.jobs.IndexExport.exportBm25(idx, out)
-    graft.jobs.IndexExport.clearReaders()
     graft.ext.Dedup.clearSignatureCaches()
+    out
+  }
+
+  /** The PRE-BUILT export the serve twins read: keyed by the corpus
+    * CONTENT fingerprint (so changed data under the same path rebuilds
+    * instead of serving stale bytes), built only when its `_LATEST`
+    * pointer is absent. Bench passes after the first therefore time
+    * pure serving — the split the bench needs to stay sensitive to
+    * serving regressions instead of re-measuring the exporter.
+    */
+  private def bm25ExportDirServed(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val fp = Tables.fingerprint(d, Seq("documents"))
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_serve_$fp").toString
+    if (!new java.io.File(out, "_LATEST").isFile) {
+      val idx = graft.ext.Retrieval.bm25Index(Tables.documents(s, d))
+      graft.jobs.IndexExport.exportBm25(idx, out)
+      graft.ext.Dedup.clearSignatureCaches()
+    }
     out
   }
 
@@ -1643,6 +1681,8 @@ object LlmQueries {
     "q118_bm25_sql" -> Bm25Oracle,
     // the point-lookup fast path lands on the q102 answer too
     "q121_bm25_lookup_single" -> Bm25Oracle,
+    // …and so must its pre-built-export serve twin
+    "q124_bm25_single_served" -> Bm25Oracle,
     "q105_bm25_batch" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
@@ -1657,6 +1697,11 @@ object LlmQueries {
     // the disk-export point-lookup path must also land on the batch
     // answer — same shared chain
     "q120_bm25_lookup" ->
+      s"""$bm25BatchRkCtes
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+          FROM rk WHERE rank <= 10""",
+    // …and its pre-built-export serve twin
+    "q123_bm25_lookup_served" ->
       s"""$bm25BatchRkCtes
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
           FROM rk WHERE rank <= 10""",

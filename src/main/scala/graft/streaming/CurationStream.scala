@@ -1,5 +1,9 @@
 package graft.streaming
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -29,17 +33,47 @@ import graft.queries.Curation
   *    [[Curation.ingestDelta]] returned when it ran. One durable
   *    artifact means no cross-file crash-consistency window at all.
   *
+  * Store layout — partitioned by `batch_bucket = floor(ingest_batch /
+  * `[[BatchesPerBucket]]`)` with `ingest_batch` kept as a data column,
+  * which is what makes the maintenance ops O(touched), not O(store):
+  *
+  *  - [[compactStore]] rewrites only the partitions whose data-file
+  *    count exceeds the target (recent hot buckets; sealed old buckets
+  *    are never reopened);
+  *  - [[redactStore]] rewrites only the partitions that HOLD the
+  *    tombstoned ids;
+  *  - every rewrite goes through a staged sibling write + journaled
+  *    atomic swap ([[recoverStore]]): the replacement partition is
+  *    fully written under `_staging/` before a marker commits the
+  *    intent, the old partition moves to `_trash/` only then, and a
+  *    crash anywhere in the window rolls FORWARD on recovery — the
+  *    store is never the target of an in-place overwrite, and no
+  *    moment exists at which the only copy of a partition is a
+  *    half-written directory.
+  *
   * At 100 TB: the store directory is the persisted curated table
-  * (production would give it a table format with compaction); `emb`,
-  * `holdout` and `trained` are the maintained side artifacts the batch
-  * rounds already own (the embedding table, the frozen eval split, the
-  * production ANN index). Per-batch work is delta-sized by the q122
-  * scale argument — the stream never re-pairs the store with itself.
+  * (production would give it a table format whose compaction this
+  * layout mirrors); `emb`, `holdout` and `trained` are the maintained
+  * side artifacts the batch rounds already own (the embedding table,
+  * the frozen eval split, the production ANN index). Per-batch work is
+  * delta-sized by the q122 scale argument — the stream never re-pairs
+  * the store with itself — and maintenance work is proportional to the
+  * partitions touched, never to the store.
   */
 object CurationStream {
 
   val StoreSchema = "doc_id BIGINT, lang STRING, source STRING, " +
     "n_chars BIGINT, text STRING, n_tok BIGINT, ingest_batch BIGINT"
+  private val StoreReadSchema = StoreSchema + ", batch_bucket BIGINT"
+
+  /** Ingest batches per partition directory. Small enough that a
+    * compaction or redaction touches a bounded slice of the store;
+    * large enough that the directory count stays ~batches/16.
+    */
+  val BatchesPerBucket = 16L
+
+  private def batchBucket =
+    floor(col("ingest_batch") / lit(BatchesPerBucket.toDouble)).cast("long")
 
   /** Token count materialized AT APPEND TIME. The manifest view reads
     * this column, never the text — which is what makes [[redactStore]]
@@ -49,26 +83,41 @@ object CurationStream {
   private def tokCount = coalesce(size(TextStats.tokens(col("text"))),
     lit(0)).cast("long").as("n_tok")
 
-  /** The store as a frame — explicit schema, so a fresh (empty) store
-    * directory reads as an empty corpus instead of failing inference.
+  /** The store as a frame — explicit schema (partition column
+    * included, then dropped), so a fresh (empty) store directory reads
+    * as an empty corpus instead of failing inference.
     */
   def readStore(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(StoreSchema).parquet(storeDir)
+    spark.read.schema(StoreReadSchema).parquet(storeDir)
+      .drop("batch_bucket")
+
+  /** Append store rows (the [[StoreSchema]] shape, `ingest_batch`
+    * populated) into their batch-bucket partitions. The ONE writer
+    * every ingest surface shares, so the partition layout can never
+    * drift between the seed, the stream and a test harness.
+    */
+  def appendStore(rows: DataFrame, storeDir: String,
+      mode: String = "append"): Unit =
+    rows.withColumn("batch_bucket", batchBucket)
+      .write.mode(mode).partitionBy("batch_bucket").parquet(storeDir)
 
   /** Seed the store from an initial batch-curated corpus (e.g. the
     * q117 stage-6 survivors), as ingest batch −1.
     */
   def initStore(curated: DataFrame, storeDir: String): Unit =
-    curated
+    appendStore(curated
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"), tokCount, lit(-1L).as("ingest_batch"))
-      .write.mode("overwrite").parquet(storeDir)
+        col("text"), tokCount, lit(-1L).as("ingest_batch")),
+      storeDir, mode = "overwrite")
 
   /** The pack manifest derived from the store: the global token stream
     * in (ingest_batch, doc_id) order — exactly the order the appends
     * happened — through the shared prefix scan and sequence-field
     * expressions. Output adds `ingest_batch` to the q122 manifest
-    * shape.
+    * shape. Attribution joins back on (doc_id, ingest_batch) — the
+    * full identity of a store row — so even a store whose appends
+    * bypassed [[Curation.ingestDelta]]'s id guard cannot fan the
+    * manifest out.
     */
   def manifestView(store: DataFrame,
       seqLen: Long = Curation.SeqLen): DataFrame = {
@@ -78,9 +127,10 @@ object CurationStream {
       .cumSumByKey(counts, "__k", Seq("ingest_batch", "doc_id"), "n_tok")
     Packing.withSeqFields(cum.filter(col("n_tok") > 0)
         .select(col("doc_id"), col("n_tok"),
-          (col("cum") - col("n_tok")).as("start_tok")), seqLen)
+          (col("cum") - col("n_tok")).as("start_tok"), col("ingest_batch")),
+        seqLen, keep = Seq("ingest_batch"))
       .join(store.select(col("doc_id"), col("lang"), col("source"),
-        col("ingest_batch")), Seq("doc_id"))
+        col("ingest_batch")), Seq("doc_id", "ingest_batch"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
         col("start_tok"), col("start_seq"), col("start_off"),
         col("end_seq"), col("n_seqs"), col("ingest_batch"))
@@ -93,7 +143,7 @@ object CurationStream {
   def ingestStream(deltaStream: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame,
       storeDir: String, checkpointDir: String): StreamingQuery = {
-    new java.io.File(storeDir).mkdirs() // empty store = empty corpus
+    new File(storeDir).mkdirs() // empty store = empty corpus
     deltaStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -102,49 +152,173 @@ object CurationStream {
         val clB = Curation.clean(batch)
         val manifest = Curation.ingestDelta(s,
           store.drop("ingest_batch"), holdout, clB, emb, trained)
-        clB.join(manifest.select(col("doc_id")), Seq("doc_id"))
+        appendStore(clB.join(manifest.select(col("doc_id")), Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("source"),
             col("n_chars"), col("text"), tokCount,
-            lit(batchId).as("ingest_batch"))
-          .write.mode("append").parquet(storeDir)
+            lit(batchId).as("ingest_batch")), storeDir)
         graft.ext.Dedup.clearSignatureCaches()
         ()
       }
       .start()
   }
 
-  /** Compact the append-only store: per-batch appends accumulate one
-    * file set per micro-batch, and at 100 TB the file COUNT, not the
-    * byte volume, is what degrades every downstream scan (driver-side
-    * listing, footer reads, task scheduling). Rewrites the store into
-    * `targetFiles` files — content-identical, so [[manifestView]] and
-    * every subsequent ingest are unchanged (spec-pinned). The read is
-    * materialized (eager localCheckpoint) before the overwrite because
-    * Spark cannot scan the directory it is replacing; production would
-    * hand this to the table format's compaction instead.
+  // ---- maintenance: staged per-partition rewrites, journaled swaps ----
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  private def dataFilesIn(dir: File): Seq[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  /** The live bucket partition values on disk, oldest first. */
+  def liveBuckets(storeDir: String): Seq[Long] =
+    Option(new File(storeDir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_bucket="))
+      .map(_.getName.stripPrefix("batch_bucket=").toLong).sorted
+
+  /** Rewrite ONE bucket partition through the staged protocol: read the
+    * live partition, transform, write the replacement fully under
+    * `_staging/`, then [[swapBucket]]. The live partition is intact on
+    * disk until the instant of the atomic rename.
+    */
+  private def rewriteBucket(spark: SparkSession, storeDir: String,
+      bucket: Long, transform: DataFrame => DataFrame,
+      targetFiles: Option[Int]): Unit = {
+    val staging = new File(storeDir, s"_staging/batch_bucket=$bucket")
+    if (staging.exists) deleteRecursively(staging)
+    val src = spark.read.schema(StoreSchema)
+      .parquet(s"$storeDir/batch_bucket=$bucket")
+    val out = transform(src)
+    targetFiles.fold(out)(n => out.repartition(n))
+      .write.mode("overwrite").parquet(staging.toString)
+    swapBucket(storeDir, bucket)
+  }
+
+  /** The journaled atomic swap. Commit point = the `_swap_<bucket>`
+    * marker, written only AFTER the staging write fully succeeded and
+    * deleted only after cleanup; between those instants a crash leaves
+    * a state [[recoverStore]] rolls FORWARD (the staging copy is
+    * complete by the marker contract). Both renames are same-filesystem
+    * atomic moves; the old partition survives in `_trash/` until the
+    * new one is live.
+    */
+  private def swapBucket(storeDir: String, bucket: Long): Unit = {
+    val root = new File(storeDir)
+    val live = new File(root, s"batch_bucket=$bucket")
+    val staging = new File(root, s"_staging/batch_bucket=$bucket")
+    val trash = new File(root, s"_trash/batch_bucket=$bucket")
+    val marker = new File(root, s"_swap_$bucket")
+    require(staging.isDirectory, s"staging missing for bucket $bucket")
+    new File(root, "_trash").mkdirs()
+    if (trash.exists) deleteRecursively(trash)
+    Files.write(marker.toPath,
+      bucket.toString.getBytes(StandardCharsets.UTF_8))
+    if (live.exists)
+      Files.move(live.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+    Files.deleteIfExists(marker.toPath)
+    ()
+  }
+
+  /** Crash recovery for interrupted maintenance: every `_swap_<b>`
+    * marker is rolled forward (marker ⇒ its staging dir was complete),
+    * then marker-less `_staging`/`_trash` leftovers — writes that died
+    * BEFORE their commit point — are discarded. Idempotent; called at
+    * the head of every maintenance op and safe to call at job start.
+    * File-level only — a session that already listed the store must
+    * `refreshByPath` afterwards (the maintenance ops below do; their
+    * staged renames happen behind Spark's FileStatusCache, unlike a
+    * DataFrameWriter overwrite which refreshes implicitly).
+    */
+  def recoverStore(storeDir: String): Unit = {
+    val root = new File(storeDir)
+    if (!root.isDirectory) return
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_swap_"))
+      .foreach { marker =>
+        val b = marker.getName.stripPrefix("_swap_")
+        val live = new File(root, s"batch_bucket=$b")
+        val staging = new File(root, s"_staging/batch_bucket=$b")
+        val trash = new File(root, s"_trash/batch_bucket=$b")
+        if (staging.isDirectory) {
+          if (live.exists) {
+            if (trash.exists) deleteRecursively(trash)
+            trash.getParentFile.mkdirs()
+            Files.move(live.toPath, trash.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+          Files.move(staging.toPath, live.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        if (trash.exists) deleteRecursively(trash)
+        Files.deleteIfExists(marker.toPath)
+        ()
+      }
+    Seq("_staging", "_trash").foreach { d =>
+      val f = new File(root, d)
+      if (f.exists) deleteRecursively(f)
+    }
+  }
+
+  /** Compact the append-only store: per-micro-batch appends pile up one
+    * file set per batch, and at 100 TB the file COUNT, not the byte
+    * volume, is what degrades every downstream scan (driver-side
+    * listing, footer reads, task scheduling). O(touched): only bucket
+    * partitions holding more than `targetFiles` data files are
+    * rewritten (to `targetFiles` files each); sealed buckets already at
+    * the target are not opened, let alone rewritten — their files stay
+    * byte-identical (spec-pinned). Content is untouched, so
+    * [[manifestView]] and every subsequent ingest are unchanged.
     */
   def compactStore(spark: SparkSession, storeDir: String,
-      targetFiles: Int = 4): Unit =
-    readStore(spark, storeDir).localCheckpoint(true)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(storeDir)
+      targetFiles: Int = 4): Unit = {
+    recoverStore(storeDir)
+    liveBuckets(storeDir).foreach { b =>
+      if (dataFilesIn(new File(storeDir, s"batch_bucket=$b"))
+          .size > targetFiles)
+        rewriteBucket(spark, storeDir, b, identity, Some(targetFiles))
+    }
+    // the swaps renamed directories behind Spark's FileStatusCache —
+    // without this, a later read can serve the pre-swap file listing
+    // and die on the deleted files
+    spark.catalog.refreshByPath(storeDir)
+  }
 
   /** Compliance redaction (tombstones): null the CONTENT of the given
     * docs while keeping their identity, attribution and frozen `n_tok`
     * — every offset a trained model already consumed stays valid, and
     * [[manifestView]] is bit-identical before and after (spec-pinned).
+    * O(touched): a column-pruned doc_id scan finds the partitions
+    * holding the tombstoned ids, and ONLY those are rewritten — every
+    * other partition's files stay byte-identical (spec-pinned).
     * Documented consequence: dedup protection for the redacted content
     * is gone WITH the content (signatures derive from text), so a
     * re-submission of the same content is accepted as new — which is
     * the correct reading of a deletion request.
     */
   def redactStore(spark: SparkSession, storeDir: String,
-      ids: Seq[Long]): Unit =
-    readStore(spark, storeDir)
-      .withColumn("text",
-        when(col("doc_id").isin(ids: _*), lit(null)).otherwise(col("text")))
-      .withColumn("n_chars",
-        when(col("doc_id").isin(ids: _*), lit(null)).otherwise(col("n_chars")))
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(storeDir)
+      ids: Seq[Long]): Unit = {
+    recoverStore(storeDir)
+    if (ids.isEmpty) return
+    val touched = spark.read.schema(StoreReadSchema).parquet(storeDir)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("batch_bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val isVictim = col("doc_id").isin(ids: _*)
+    touched.foreach { b =>
+      rewriteBucket(spark, storeDir, b, df => df
+        .withColumn("text", when(isVictim, lit(null)).otherwise(col("text")))
+        .withColumn("n_chars",
+          when(isVictim, lit(null)).otherwise(col("n_chars"))),
+        targetFiles = None)
+    }
+    spark.catalog.refreshByPath(storeDir) // see compactStore
+  }
 }

@@ -165,37 +165,67 @@ class CurationStreamSpec extends AnyFunSuite {
 
     val storeDir = Files.createTempDirectory("cur_life").toString
     CurationStream.initStore(curated, storeDir)
-    // three tiny appends (one per "micro-batch") to pile up files
+    // three tiny appends (one per "micro-batch") to pile up files —
+    // through the shared store writer, so they land in their
+    // batch-bucket partitions like the stream's appends do
     dIds.zipWithIndex.foreach { case (id, i) =>
       val clB = mk(Seq(id -> text(s"d${('a' + i).toChar}")))
       val store = CurationStream.readStore(spark, storeDir)
       val manifest = Curation.ingestDelta(spark,
         store.drop("ingest_batch"), holdout, clB, emb, trained)
-      clB.join(manifest.select($"doc_id"), Seq("doc_id"))
-        .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
-          coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
-            .cast("long").as("n_tok"),
-          lit(i.toLong).as("ingest_batch"))
-        .write.mode("append").parquet(storeDir)
+      CurationStream.appendStore(
+        clB.join(manifest.select($"doc_id"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+            coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
+              .cast("long").as("n_tok"),
+            lit(i.toLong).as("ingest_batch")), storeDir)
     }
     def view() = CurationStream
       .manifestView(CurationStream.readStore(spark, storeDir))
       .collect().map(_.toSeq).toSet
-    def dataFiles() = new java.io.File(storeDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // every data file under the store, recursively: path -> (len, mtime)
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) Seq(f)
+        else Seq.empty
+      walk(new java.io.File(storeDir))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+    def dataFiles() = fileState().size
     val before = view()
     assert(before.size === storeIds.size + dIds.size)
+    // the seed (batch −1) and the appends (batches 0–2) land in
+    // different bucket partitions — the untouched-partition pins below
+    // need both to exist
+    assert(CurationStream.liveBuckets(storeDir) === Seq(-1L, 0L))
 
-    // compaction: fewer files, identical manifest
+    // compaction: fewer files, identical manifest, one file per bucket
     val filesBefore = dataFiles()
-    CurationStream.compactStore(spark, storeDir, targetFiles = 2)
+    CurationStream.compactStore(spark, storeDir, targetFiles = 1)
     assert(dataFiles() < filesBefore && dataFiles() <= 2,
-      s"compaction must shrink $filesBefore files to <=2")
+      s"compaction must shrink $filesBefore files to <=1 per bucket")
     assert(view() === before, "compaction must not move a single offset")
+    // O(touched): a second compaction finds every bucket at target and
+    // must not rewrite a single byte
+    val compacted = fileState()
+    CurationStream.compactStore(spark, storeDir, targetFiles = 1)
+    assert(fileState() === compacted,
+      "an already-compact store must not be rewritten")
 
-    // redaction: content gone, offsets frozen
+    // redaction: content gone, offsets frozen — and O(touched): the
+    // victim lives in bucket 0, so bucket −1's files stay byte-identical
     val victim = dIds.head
+    val initPartBefore = compacted.filter(_._1.contains("batch_bucket=-1"))
     CurationStream.redactStore(spark, storeDir, Seq(victim))
+    assert(fileState().filter(_._1.contains("batch_bucket=-1"))
+      === initPartBefore,
+      "redaction must not rewrite partitions without tombstoned ids")
+    assert(fileState().filter(_._1.contains("batch_bucket=0"))
+      !== compacted.filter(_._1.contains("batch_bucket=0")),
+      "the victim's partition must actually have been rewritten")
     assert(view() === before, "redaction must not move a single offset")
     val victimRow = CurationStream.readStore(spark, storeDir)
       .filter($"doc_id" === victim).collect().head
@@ -212,5 +242,92 @@ class CurationStreamSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(accepted === Set(newId),
       "post-redaction resubmission is NEW content by definition")
+  }
+
+  test("an interrupted maintenance swap rolls forward on recovery") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val curated = mk((1L to 6L).map(id => id -> text(s"r${('a' + id.toInt).toChar}")))
+    val storeDir = Files.createTempDirectory("cur_recover").toString
+    CurationStream.initStore(curated, storeDir)
+    def view() = CurationStream
+      .manifestView(CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+    val before = view()
+    val root = new java.io.File(storeDir)
+    val liveDir = new java.io.File(root, "batch_bucket=-1")
+    def liveFiles() = liveDir.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+    // CRASH STATE S0: staging fully written + marker committed, live
+    // untouched (the process died between the marker write and the
+    // first rename). recoverStore must roll FORWARD to the staged copy.
+    val staging = new java.io.File(root, "_staging/batch_bucket=-1")
+    spark.read.schema(CurationStream.StoreSchema)
+      .parquet(liveDir.toString).repartition(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    Files.write(Paths.get(storeDir, "_swap_-1"), "-1".getBytes)
+    CurationStream.recoverStore(storeDir)
+    // recovery is file-level; this session listed the store already
+    spark.catalog.refreshByPath(storeDir)
+    assert(view() === before, "roll-forward must preserve the manifest")
+    assert(liveFiles() === 1, "the staged (compacted) copy must be live")
+    assert(!staging.exists && !new java.io.File(root, "_swap_-1").exists &&
+      !new java.io.File(root, "_trash/batch_bucket=-1").exists)
+
+    // CRASH STATE S1: live already moved to trash, staging present (the
+    // process died between the two renames — the one window in which no
+    // live partition exists; the data is intact in staging AND trash).
+    spark.read.schema(CurationStream.StoreSchema)
+      .parquet(liveDir.toString).repartition(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    Files.write(Paths.get(storeDir, "_swap_-1"), "-1".getBytes)
+    val trash = new java.io.File(root, "_trash/batch_bucket=-1")
+    trash.getParentFile.mkdirs()
+    Files.move(liveDir.toPath, trash.toPath)
+    CurationStream.recoverStore(storeDir)
+    spark.catalog.refreshByPath(storeDir)
+    assert(view() === before, "S1 roll-forward must preserve the manifest")
+    assert(!staging.exists && !trash.exists)
+
+    // a marker-less staging leftover (crash BEFORE the commit point) is
+    // garbage and must be discarded, the live partition untouched
+    spark.read.schema(CurationStream.StoreSchema)
+      .parquet(liveDir.toString).limit(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    CurationStream.recoverStore(storeDir)
+    spark.catalog.refreshByPath(storeDir)
+    assert(!new java.io.File(root, "_staging").exists)
+    assert(view() === before)
+  }
+
+  test("the ingest boundary rejects a delta doc reusing a store doc_id") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    // store ids chosen in the train bucket so nothing else drops them
+    val sIds = pickIds(4, id => bucketOf(id) < 80)
+    val freshId = pickIds(1, id => bucketOf(id) < 80, from = sIds.max + 1).head
+    val store = mk(sIds.zipWithIndex.map { case (id, i) =>
+      (id, text(s"s${('a' + i).toChar}")) })
+    val holdout = mk(Seq.empty)
+    val allIds = sIds :+ freshId
+    val emb = allIds.zipWithIndex.map { case (id, i) =>
+      (id, (0 until 64).map(d => if (d == i % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 4, iters = 1, roundTo = 4)
+    // the delta REUSES a store id under brand-new text, plus one honest doc
+    val delta = mk(Seq(sIds.head -> text("im"), freshId -> text("ok")))
+    val accepted = Curation.ingestDelta(spark, store, holdout,
+      delta, emb, trained)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(freshId),
+      "an id collision must be rejected at the ingest boundary — " +
+        "duplicate doc_ids would fan out every manifest join")
   }
 }

@@ -113,6 +113,51 @@ class IndexExportSpec extends AnyFunSuite {
     }
   }
 
+  test("re-export during a lookup loop never yields a mixed-epoch or missing-file read") {
+    import spark.implicits._
+    val docsA = docsFixture
+    // corpus B: different content under the same terms, so the answers
+    // are distinguishable (every doc gains an extra "spark hash" tail
+    // and ids shift) — a mixed-epoch read could not equal either answer
+    val docsB = docsFixture.select(($"doc_id" + 1000L).as("doc_id"),
+      concat($"text", lit(" spark hash")).as("text"))
+    val idxA = Retrieval.bm25Index(docsA)
+    val idxB = Retrieval.bm25Index(docsB)
+    val terms = Seq("spark", "hash")
+    def answer(dir: String): Set[Seq[Any]] =
+      IndexExport.bm25LookupSingle(spark, dir, terms, 5)
+        .collect().map(_.toSeq).toSet
+
+    // expected answers from two INDEPENDENT layouts
+    val refA = Files.createTempDirectory("bm25_epoch_refA").toString
+    val refB = Files.createTempDirectory("bm25_epoch_refB").toString
+    IndexExport.exportBm25(idxA, refA, nBuckets = 16)
+    IndexExport.exportBm25(idxB, refB, nBuckets = 16)
+    val expectA = answer(refA)
+    val expectB = answer(refB)
+    assert(expectA !== expectB)
+
+    // the measured loop: re-export B over the SAME root mid-loop, with
+    // NO clearReaders() anywhere — the epoch pointer + retained
+    // previous epoch must make every read a consistent full answer
+    val out = Files.createTempDirectory("bm25_epoch_swap").toString
+    IndexExport.exportBm25(idxA, out, nBuckets = 16)
+    var seenB = false
+    (0 until 8).foreach { i =>
+      if (i == 4) IndexExport.exportBm25(idxB, out, nBuckets = 16)
+      val r = answer(out)
+      assert(r === expectA || r === expectB,
+        s"mixed-epoch or partial read at lookup $i")
+      if (r === expectB) seenB = true
+    }
+    assert(seenB, "the re-export never became visible through the pointer")
+    // pruning kept the root bounded: at most KeepEpochs epoch dirs
+    val epochs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch_"))
+    assert(epochs.length <= IndexExport.KeepEpochs)
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("pq lookup over exported cells equals ivfAdcTopK on the live table") {
     import spark.implicits._
     val dims = 0 until 32

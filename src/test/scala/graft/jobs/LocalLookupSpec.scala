@@ -121,6 +121,51 @@ class LocalLookupSpec extends AnyFunSuite {
     assert(got.values.forall(_.nonEmpty), "every vocab term matches docs")
   }
 
+  test("concurrent re-export never yields a mixed-epoch read in the local tier") {
+    import spark.implicits._
+    val docsA = docsFixture
+    val docsB = docsFixture.filter($"text".isNotNull && $"doc_id".isNotNull)
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        concat($"text", lit(" spark hash")).as("text"))
+    val idxA = Retrieval.bm25Index(docsA)
+    val idxB = Retrieval.bm25Index(docsB)
+    val terms = Seq("spark", "hash")
+
+    val refB = Files.createTempDirectory("bm25_local_refB").toString
+    IndexExport.exportBm25(idxB, refB, nBuckets = 16)
+    val out = Files.createTempDirectory("bm25_local_swap").toString
+    IndexExport.exportBm25(idxA, out, nBuckets = 16)
+    graft.ext.Dedup.clearSignatureCaches()
+    LocalLookup.clearLayouts()
+    val expectA = LocalLookup.bm25Single(out, terms, 5)
+    val expectB = LocalLookup.bm25Single(refB, terms, 5)
+    assert(expectA !== expectB)
+
+    // lookup loop on one thread, the re-export racing it from this one;
+    // KeepEpochs retention + per-epoch caches mean every answer is a
+    // full epoch-A or epoch-B answer, never a mix or a missing file
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val loop = Future {
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(java.lang.Long, Long, Double)]]
+      while (!stop) seen += LocalLookup.bm25Single(out, terms, 5)
+      seen.toSeq
+    }
+    IndexExport.exportBm25(idxB, out, nBuckets = 16)
+    Thread.sleep(200)
+    stop = true
+    val seen = Await.result(loop, 60.seconds)
+    assert(seen.nonEmpty)
+    seen.zipWithIndex.foreach { case (r, i) =>
+      assert(r === expectA || r === expectB, s"mixed-epoch read at $i")
+    }
+    assert(LocalLookup.bm25Single(out, terms, 5) === expectB,
+      "a fresh lookup after the swap must serve the new epoch")
+  }
+
   test("local bm25 over an empty-corpus export returns empty") {
     import spark.implicits._
     val idx = Retrieval.bm25Index(

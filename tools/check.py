@@ -44,32 +44,47 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
-    con = duckdb.connect()
     import os
-    for t in TABLES:
-        # Spark-written tables (e.g. BuildScaled's scaled corpus) are
-        # DIRECTORIES of part files; driver testdata is single files
-        path = f"{sf}/{t}.parquet"
-        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            # Spark-written tables (e.g. BuildScaled's scaled corpus) are
+            # DIRECTORIES of part files; driver testdata is single files
+            path = f"{sf}/{t}.parquet"
+            pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     npass = nfail = nskip = 0
 
     def run_oracle(sql):
+        # A single DuckDB connection must never be used from two threads
+        # at once: if an interrupted oracle worker does not stop within
+        # the grace period, ABANDON that connection (the daemon thread
+        # keeps its own reference) and hand the main loop a fresh one —
+        # running the next oracle on the shared handle would be
+        # undefined behavior and could corrupt the remaining gates.
+        nonlocal con
         if timeout is None:
             return con.execute(sql).fetchall(), [d[0] for d in con.description]
         import threading
+        mycon = con
         res, err = [], []
         def work():
             try:
-                res.append((con.execute(sql).fetchall(),
-                            [d[0] for d in con.description]))
+                res.append((mycon.execute(sql).fetchall(),
+                            [d[0] for d in mycon.description]))
             except Exception as e:
                 err.append(e)
         t = threading.Thread(target=work, daemon=True)
         t.start(); t.join(timeout)
         if t.is_alive():
-            con.interrupt(); t.join(30)
+            mycon.interrupt(); t.join(30)
+            if t.is_alive():
+                con = fresh_con()
             raise TimeoutError(f"oracle exceeded {timeout}s")
         if err: raise err[0]
         return res[0]
