@@ -55,6 +55,28 @@ object PlanShape {
     Counts(scans, ex, cart, cg)
   }
 
+  /** All shuffle exchanges under `root`, AQE wrappers, frozen query
+    * stages and cached relations descended — for contracts on the
+    * shuffle KEYS themselves (e.g. the exact-dedup stages must lead
+    * their text partitioning with the 8-byte hash).
+    */
+  def shuffles(root: SparkPlan): Seq[ShuffleExchangeLike] = {
+    val out = scala.collection.mutable.ArrayBuffer[ShuffleExchangeLike]()
+    val seenCaches = scala.collection.mutable.Set[Int]()
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case e: ShuffleExchangeLike => out += e
+      case m: InMemoryTableScanExec =>
+        if (seenCaches.add(System.identityHashCode(m.relation.cacheBuilder)))
+          walk(m.relation.cachedPlan)
+      case _ => ()
+    }
+    walk(root)
+    out.toSeq
+  }
+
   /** All FileSourceScanExec nodes under `root`, AQE wrappers and cached
     * relations descended — for contracts on the scans themselves
     * (partition filters, pushed filters, selected-partition counts).

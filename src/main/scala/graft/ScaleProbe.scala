@@ -159,11 +159,20 @@ object ScaleProbe {
     */
   private[graft] def scaled(spark: SparkSession, sfDir: String, k: Int,
       alphaNs: Boolean = false): DataFrame = {
-    require(!alphaNs || k <= 26, s"alpha namespace supports <=26 replicas, got $k")
+    require(!alphaNs || k <= 676,
+      s"alpha namespace supports <=676 replicas, got $k")
     val docs = Tables.documents(spark, sfDir)
     val n = lit(1000000L) // id stride safely above any sf0.1 doc_id
     (0 until k).map { rep =>
-      val ns = if (alphaNs) s"r${('a' + rep).toChar}_" else s"r${rep}_"
+      // ≤26 replicas keep the single-letter namespace so every
+      // previously recorded probe corpus stays byte-reproducible; a
+      // bigger sweep (the q122 knee hunt) switches the WHOLE corpus to
+      // two letters — uniform within a corpus, so replicas stay
+      // mutually shingle-disjoint
+      val ns =
+        if (!alphaNs) s"r${rep}_"
+        else if (k <= 26) s"r${('a' + rep).toChar}_"
+        else s"r${('a' + rep / 26).toChar}${('a' + rep % 26).toChar}_"
       docs.select(
         (col("doc_id") + n * rep).as("doc_id"),
         col("lang"),
@@ -211,12 +220,23 @@ object ScaleProbe {
     val n = lit(1000000L)
     val dim = 64
     (0 until k).map { rep =>
-      val rot = if (rep % dim == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), rep % dim + 1, dim - rep % dim),
-          slice(col("embedding"), 1, rep % dim))
+      // replica `rep` gets the coordinate permutation i ↦ (a·i + b) mod
+      // dim with a odd (invertible mod 64): orthogonal, so intra-replica
+      // cosines — and each replica's near-dup structure — are preserved
+      // exactly, while inter-replica cosines scramble. For rep < 64
+      // this is the original cyclic rotation (a = 1), byte-compatible
+      // with every recorded probe corpus; a > 1 extends replica
+      // independence past 64 replicas (the knee hunt), where plain
+      // rotations would repeat and replica r would be a cos=1 twin of
+      // r−64.
+      val a = 2 * (rep / dim) + 1
+      val b = rep % dim
+      val perm =
+        if (a == 1 && b == 0) col("embedding")
+        else array((0 until dim).map(i =>
+          col("embedding")((a * i + b) % dim)): _*)
       vecs.select((col("vec_id") + n * rep).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        perm.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
   }
 
@@ -311,6 +331,14 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    // the production operator aggregates ABOVE the join (count per
+    // doc_id), which imposes a distribution requirement on the join
+    // output — OptimizeSkewedJoin then declines by default even when
+    // the plan re-exchanges for the aggregate anyway (keyed on doc_id,
+    // not the join's code). The force flag is the documented deployment
+    // setting for exactly this shape: the "extra" shuffle it fears is
+    // one the plan already pays.
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     // skew splitting works at MAPPER granularity: a hot reduce
     // partition fed by a single map task cannot be subdivided, and the
     // probe corpus is one small parquet file (one scan partition ->
@@ -371,6 +399,7 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       Dedup.clearSignatureCaches()
     }
   }
@@ -539,15 +568,82 @@ object ScaleProbe {
     }
   }
 
+  /** `--longdoc` mode: measure what the hash-led exact-dedup shuffle
+    * key buys on LONG documents. The adversarial-but-realistic corpus:
+    * docs share a ~96k-char boilerplate PREFIX (the shape of template-
+    * heavy scrapes) and differ only in a short tail, with each distinct
+    * text duplicated ~dupFactor×. A raw-text sort comparator walks the
+    * whole shared prefix on EVERY comparison; the (xxhash64, text) key
+    * compares 8 bytes unless the row is a true duplicate. Two timed
+    * variants over the identical corpus:
+    *   raw  — window partitioned by text alone (the pre-round-12 plan)
+    *   hash — [[graft.queries.Curation.exactKeepMin]] (the production
+    *          stage-3 operator, hash-led)
+    * Equal survivor counts are asserted — the discipline is a pure
+    * plan change.
+    */
+  private def longDocProbe(spark: SparkSession, nDocs: Int,
+      prefixTokens: Int, dupFactor: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nDistinct = math.max(1, nDocs / dupFactor)
+    val dir = tempDir("longdoc")
+    spark.range(nDocs.toLong).select(
+      $"id".as("doc_id"),
+      concat(
+        array_join(array_repeat(lit("boilerplate"), prefixTokens), " "),
+        lit(" tail"), ($"id" % nDistinct).cast("string")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val len = docs.select(max(length($"text"))).head().getInt(0)
+    def timed(variant: String)(df: org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"probe":"longdoc","variant":"$variant","n_docs":$nDocs,""" +
+        s""""doc_chars":$len,"dup_factor":$dupFactor,""" +
+        s""""sec":${f"$sec%.3f"},"rows":$n}""")
+      n
+    }
+    val rawW = Window.partitionBy($"text").orderBy($"doc_id")
+    val raw = timed("raw_text_key")(docs
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(rawW))
+      .filter($"rn" === 1).drop("rn"))
+    val hash = timed("hash_led_key")(
+      graft.queries.Curation.exactKeepMin(docs))
+    require(raw == hash, s"variants disagree: raw=$raw hash=$hash")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--longdoc")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(20000)
+      val prefixTokens = args.lift(2).map(_.toInt).getOrElse(8000)
+      val dupFactor = args.lift(3).map(_.toInt).getOrElse(3)
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try longDocProbe(spark, nDocs, prefixTokens, dupFactor)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
     if (args.headOption.contains("--stream-curation")) {
       val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
       val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(Seq(1, 10))
-      val nBatches = args.lift(3).map(_.toInt).getOrElse(24)
+      val nBatches = args.lift(3).map(_.toInt).getOrElse(20)
+      // 8 shuffle partitions, not the usual 32: a soak of small
+      // micro-batches measures per-batch mechanics, and a ~15-stage
+      // ingest × 32 near-empty tasks per stage is pure scheduling floor
+      // that would swamp the signal (the first run at 32 spent ~2.5 min
+      // per 3-doc batch)
       val spark = SparkSession.builder()
         .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

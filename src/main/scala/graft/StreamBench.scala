@@ -471,7 +471,9 @@ object StreamBench {
       .createTempDirectory(s"serve_ann_store_$provName").toString
     val store = if (pq) {
       graft.jobs.IndexExport.exportPqCells(all, cents, cbs.get, dir)
-      spark.read.parquet(s"$dir/codes").cache()
+      spark.read
+        .parquet(s"${graft.jobs.IndexExport.resolveEpoch(dir)}/codes")
+        .cache()
     } else {
       graft.ext.Similarity.ivfAppendStore(all, cents, dir)
       spark.read.parquet(dir).cache()

@@ -365,10 +365,32 @@ object Dedup {
     val teCodes = shingleSets(test)
       .select(explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull).distinct()
-    trCodes.join(teCodes, Seq("code"))
+    trCodes.join(skewJoinReady(teCodes), Seq("code"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Make a distinct-code side SKEW-SPLITTABLE as a join input.
+    * OptimizeSkewedJoin only matches a sort-merge join whose children
+    * are bare sort(shuffle) stages with ENSURE_REQUIREMENTS shuffles:
+    * a plain `.distinct()` leaves its aggregate between its exchange
+    * and the join (rule declines — SCALE.md's round-11 negative
+    * result), and `.repartition(code)` carries the REPARTITION_BY_COL
+    * origin the rule refuses to touch. Re-keying the distinct on
+    * (code, code % 64) and projecting the salt away invalidates the
+    * aggregate's output partitioning for the consumer, so
+    * EnsureRequirements inserts a FRESH exchange with the one origin
+    * the rule splits around. Values identical to `.distinct()` (the
+    * salt is functionally determined by the code); cost = one extra
+    * shuffle of the dictionary-sized code set. With this shape — plus
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin` for the aggregate
+    * sitting above the join — AQE splits a hot-code train partition at
+    * runtime whenever the holdout is too large to broadcast
+    * (`ScaleProbe --skew` measures it).
+    */
+  private def skewJoinReady(codes: DataFrame): DataFrame =
+    codes.select(col("code"), pmod(col("code"), lit(64L)).as("__s"))
+      .distinct().select(col("code"))
 
   /** [[contamination]] with a Bloom-filter pre-prune — the 100 TB form.
     * The holdout's distinct shingle codes build a Bloom filter
@@ -406,7 +428,11 @@ object Dedup {
       trCodesRaw.filter(org.apache.spark.sql.graft.GraftColumns
         .bloomMightContain(bytes, col("code")))
     }
-    trCodes.join(teCodes, Seq("code"))
+    // [[skewJoinReady]] above the cached distinct: the planner-inserted
+    // exchange sits ABOVE the cache, so the join is skew-splittable
+    // even with canChangeCachedPlanOutputPartitioning at its false
+    // default
+    trCodes.join(skewJoinReady(teCodes), Seq("code"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -427,9 +453,17 @@ object Dedup {
 
   /** Exact-duplicate groups keyed on raw text: (kept doc_id = min,
     * duplicate count). SURVEY R12-adjacent; one shuffle.
+    *
+    * The grouping key is (xxhash64(text), text), not raw text: the
+    * leading 8-byte hash makes every shuffle-side key comparison —
+    * hash-table probes, and the sort comparator if the aggregate ever
+    * spills to sort-based — independent of document LENGTH (full text
+    * compares only on hash-equal rows, i.e. true duplicates), while
+    * keeping text in the key keeps the semantics EXACT: no
+    * hash-collision risk, identical groups, identical output.
     */
   def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(xxhash64(col(textCol)), col(textCol))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
 

@@ -98,6 +98,57 @@ object Curation {
       cleaned($"text").as("text"))
   }
 
+  /** Stage-3 exact dedup: keep the min doc_id per text. ONE definition
+    * for the batch pipeline and the delta ingest, and the place the
+    * shuffle discipline lives: the window partitions on
+    * (xxhash64(text), text), so at 100 TB the shuffle-side SORT
+    * compares 8-byte hashes instead of document bodies (full text
+    * compares only on hash-equal rows — true duplicates), while
+    * grouping by the (hash, text) superset keeps semantics EXACT: zero
+    * collision risk, identical survivors. PlanSpec pins the exchange
+    * key.
+    */
+  private[graft] def exactKeepMin(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64($"text"), $"text").orderBy($"doc_id")
+    df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+  }
+
+  /** Env-gated stage clock (`SPARK_GRAFT_STAGE_TIMING`): forces the
+    * given stage frame and prints its wall-clock + row count, so
+    * ScaleProbe's multiplier sweeps can attribute the data term of the
+    * composed ingest to the OWNING stage. Off (the default, and in
+    * every gated run) this is the identity — the plan is untouched.
+    * Forcing a `Dedup.cached` frame here is what makes the attribution
+    * honest: later stages reuse the materialized cache, so each print
+    * is that stage's own cost.
+    */
+  private def clocked(name: String)(df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"$name%s","rows":$n%d,"sec":$sec%.3f}""")
+    }
+    df
+  }
+
+  /** Drop `left` rows whose text appears in `store` — the store-first
+    * half of the delta's exact dedup, hash-led like [[exactKeepMin]]:
+    * the anti-join runs on (xxhash64(text), text) so its shuffle-side
+    * sort compares hashes, not bodies. NULL-text rows survive like a
+    * bare text anti-join (null never equi-matches). PlanSpec pins the
+    * join keys.
+    */
+  private[graft] def textAntiJoin(left: DataFrame, store: DataFrame): DataFrame =
+    left.withColumn("__h", xxhash64(col("text")))
+      .join(store.select(xxhash64(col("text")).as("__h"), col("text")),
+        Seq("__h", "text"), "left_anti")
+      .drop("__h")
+
   /** Stage 2: quality + repetition filter on cleaned text. The ratio
     * denominators are nullif'd (q67's form) so a zero-token doc fails
     * the filter by NULL on both engines regardless of conjunct order;
@@ -133,12 +184,9 @@ object Curation {
 
     val s2 = qualityFiltered(cl)
 
-    // stage 3: exact dedup on cleaned text — keep min doc_id per text
-    val w3 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"text").orderBy($"doc_id")
-    val s3 = Dedup.cached(s2
-      .withColumn("rn", row_number().over(w3))
-      .filter($"rn" === 1).drop("rn"))
+    // stage 3: exact dedup on cleaned text — the shared hash-led
+    // keep-min ([[exactKeepMin]]'s shuffle discipline)
+    val s3 = Dedup.cached(exactKeepMin(s2))
 
     // stage 4: MinHash-LSH near-dup drop list among survivors (q21's
     // pair generator on the survivor frame, q73's keep-min-id policy)
@@ -284,8 +332,8 @@ object Curation {
     // multiplicatively (observed: a >2 GB plan string before Spark even
     // scheduled). Production reads the store from a persisted table;
     // the checkpoint IS that boundary.
-    val store = curatedSurvivors(s, clS, emb, Some(trained))
-      .localCheckpoint(true)
+    val store = clocked("store_build")(
+      curatedSurvivors(s, clS, emb, Some(trained)).localCheckpoint(true))
     val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
 
     ingestDelta(s, store, holdout, clD, emb, trained)
@@ -325,26 +373,26 @@ object Curation {
     // delta stages 1–2
     val d2 = qualityFiltered(clD0)
 
-    // stage 3: exact vs store survivor texts, then keep-min within delta
-    val d3a = d2.join(store.select($"text"), Seq("text"), "left_anti")
-    val w3 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"text").orderBy($"doc_id")
-    val d3 = Dedup.cached(d3a
-      .withColumn("rn", row_number().over(w3))
-      .filter($"rn" === 1).drop("rn")
-      .select($"doc_id", $"lang", $"source", $"n_chars", $"text"))
+    // stage 3: exact vs store survivor texts, then keep-min within
+    // delta — both through the shared hash-led helpers
+    // ([[textAntiJoin]] / [[exactKeepMin]])
+    val d3a = textAntiJoin(d2, store)
+    val d3 = clocked("d3_exact")(Dedup.cached(exactKeepMin(d3a)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text")))
 
     // stage 4: near-dup vs store (q76's asymmetric band join), then
     // components over the remaining delta's internal pairs
     val dropVs4 = Dedup.minhashPairsAgainst(store, d3, MinJaccard)
       .select($"in_doc".as("doc_id")).distinct()
-    val d4a = Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti"))
+    val d4a = clocked("d4a_minhash_vs_store")(
+      Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti")))
     val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
       .select($"doc1".as("src"), $"doc2".as("dst"))
     val drop4 = graft.operators.Graph.connectedComponents(s, pairsD)
       .filter($"node" =!= $"component")
       .select($"node".as("doc_id"))
-    val d4 = Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti"))
+    val d4 = clocked("d4_minhash_within")(
+      Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti")))
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min
@@ -357,7 +405,8 @@ object Curation {
         $"embedding".as("e2")), Seq("cell"))
       .filter(rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
       .select($"vec2".as("doc_id")).distinct()
-    val d5a = Dedup.cached(d4.join(dropVs5, Seq("doc_id"), "left_anti"))
+    val d5a = clocked("d5a_semantic_vs_store")(
+      Dedup.cached(d4.join(dropVs5, Seq("doc_id"), "left_anti")))
     val aD5 = aD.join(d5a.select($"doc_id".as("vec_id")), Seq("vec_id"))
     val dropIn5 = aD5.select($"cell", $"vec_id".as("vec1"),
         $"embedding".as("e1"))
@@ -366,13 +415,15 @@ object Curation {
       .filter($"vec1" < $"vec2" &&
         rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
       .select($"vec2".as("doc_id")).distinct()
-    val d5 = d5a.join(dropIn5, Seq("doc_id"), "left_anti")
+    val d5 = clocked("d5_semantic_within")(
+      d5a.join(dropIn5, Seq("doc_id"), "left_anti"))
 
     // stage 6: decontaminate against the STORE corpus' frozen holdout;
     // eval-bucket delta docs are eval data, never ingested
     val dTrain = Dedup.cached(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationBloom(dTrain, holdout).select($"doc_id")
-    val accepted = Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti"))
+    val accepted = clocked("d6_decontaminate")(
+      Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti")))
 
     // stage 7: pack-append — offsets continue the store's token stream.
     // The base prefers a materialized n_tok column when the store

@@ -578,7 +578,8 @@ abstract class StreamOpsBehaviors(stateStoreProvider: Option[String])
     val dir = Files.createTempDirectory("pq_serve_store").toString
     graft.jobs.IndexExport.exportPqCells(all, cents, cbs, dir)
     graft.jobs.IndexExport.clearReaders()
-    val store = spark.read.parquet(s"$dir/codes")
+    val store = spark.read
+      .parquet(s"${graft.jobs.IndexExport.resolveEpoch(dir)}/codes")
     val in = MemoryStream[(Long, Seq[Float], Timestamp)]
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
     val ckpt = Files.createTempDirectory("pq_serve_ckpt").toString

@@ -339,6 +339,49 @@ class PlanSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("exact-dedup stages shuffle on the text HASH, never on raw text alone") {
+    // at 100 TB the shuffle key of the exact-dedup stages is the
+    // document body unless the plan leads with a hash: every exchange
+    // that partitions on text must carry xxhash64(text) alongside it,
+    // so the shuffle-side sort/compare cost is 8 bytes per comparison,
+    // not the document length (text stays in the key for exactness)
+    def pinTextShuffles(tag: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      df.count()
+      val shuffles = graft.PlanShape.shuffles(physical(df))
+      val onText = shuffles.map(_.outputPartitioning.toString)
+        .filter(p => p.contains("text#"))
+      assert(onText.nonEmpty, s"$tag lost its text-keyed exchange entirely")
+      // the hash rides the key as a pre-projected alias: an aggregate
+      // names it _groupingexpression#L, a window _w0#L, the anti-join
+      // __h#L — either way the text column never partitions an exchange
+      // alone, and the computed expression must actually BE the
+      // xxhash64 (checked on the plan string below)
+      onText.foreach(p => assert(
+        p.contains("xxhash64") || p.contains("_groupingexpression") ||
+          p.contains("_w0#") || p.contains("__h#"),
+        s"$tag shuffles raw text without the leading hash: $p"))
+      assert(physical(df).toString.contains("xxhash64"),
+        s"$tag's plan computes no xxhash64 — the hash key is gone")
+      graft.ext.Dedup.clearSignatureCaches()
+    }
+    // q20's aggregate path
+    pinTextShuffles("q20_dedup_exact",
+      graft.SparkEntry.queries("q20_dedup_exact")(spark, sf))
+    // the curation stage-3 window and the delta's store anti-join are
+    // pinned on the SHARED helpers both q117 and q122 call — the
+    // composed pipelines truncate lineage behind RDD/cache boundaries,
+    // so the stage plan is only visible here
+    val docs = graft.queries.Curation.clean(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    pinTextShuffles("exactKeepMin",
+      graft.queries.Curation.exactKeepMin(docs))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try pinTextShuffles("textAntiJoin",
+      graft.queries.Curation.textAntiJoin(docs, docs.limit(50)))
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q105 batch BM25: every small side broadcasts, none shuffles the corpus") {
     // the batch-retrieval contract: term set, df, corpus stats, and the
     // query fan-out are all broadcast joins — a SortMergeJoin anywhere
