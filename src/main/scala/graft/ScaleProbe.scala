@@ -524,6 +524,10 @@ object ScaleProbe {
           in.addData(slices(i): _*)
           q.processAllAvailable()
           batchSec(i) = (System.nanoTime() - b0) / 1e9
+          if ((i + 1) % 5 == 0)
+            println(s"""{"probe":"stream_curation_progress","mult":$k,""" +
+              s""""leg":"$name","batch":${i + 1},""" +
+              s""""cum_sec":${f"${batchSec.take(i + 1).sum}%.1f"}}""")
           if (compactEvery > 0 && (i + 1) % compactEvery == 0)
             graft.streaming.CurationStream.compactStore(spark, storeDir)
           if (i + 1 == redactAfter) {

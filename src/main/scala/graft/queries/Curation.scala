@@ -126,14 +126,20 @@ object Curation {
     * honest: later stages reuse the materialized cache, so each print
     * is that stage's own cost.
     */
-  private def clocked(name: String)(df: DataFrame): DataFrame = {
-    if (sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) {
+  private def clocked(name: String)(dfThunk: => DataFrame): DataFrame = {
+    if (!sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) dfThunk
+    else {
+      // by-name so eager work in the stage expression (the store
+      // chain's localCheckpoint) lands INSIDE the timer — a strict
+      // parameter ran it during argument evaluation and attributed the
+      // dominant store-build cost to nothing
       val t0 = System.nanoTime()
+      val df = dfThunk
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"stage":"$name%s","rows":$n%d,"sec":$sec%.3f}""")
+      df
     }
-    df
   }
 
   /** Drop `left` rows whose text appears in `store` — the store-first
