@@ -618,7 +618,78 @@ object ScaleProbe {
     require(raw == hash, s"variants disagree: raw=$raw hash=$hash")
   }
 
+  /** `--redact-bytes` mode: the O(touched) claim in BYTES. Builds a
+    * curation store of 480 ingest batches (30 batch-bucket partitions)
+    * at each multiplier via the shared [[graft.streaming.CurationStream
+    * .appendStore]] writer, redacts 3 docs from batch 0, and reports
+    * bytes REWRITTEN (files whose (path, length, mtime) changed) vs
+    * total store bytes — the number a per-compliance-request bill is
+    * made of. The round-11 implementation rewrote 100% of the store
+    * per request; the bucketed layout rewrites one partition.
+    */
+  private def redactBytesProbe(spark: SparkSession, sfDir: String,
+      mults: Seq[Int]): Unit = {
+    import spark.implicits._
+    for (k <- mults) {
+      val dir = tempDir(s"redactb_${k}x")
+      scaled(spark, sfDir, k).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val docs = Tables.documents(spark, dir)
+      val storeDir = tempDir(s"redactb_store_${k}x")
+      graft.streaming.CurationStream.appendStore(
+        docs.select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+          coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
+            .cast("long").as("n_tok"),
+          pmod($"doc_id", lit(480L)).as("ingest_batch")),
+        storeDir, mode = "overwrite")
+      def fileState(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else if (f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) Seq(f)
+          else Seq.empty
+        walk(new java.io.File(storeDir))
+          .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      }
+      val before = fileState()
+      val totalBytes = before.values.map(_._1).sum
+      val victims = docs.filter(pmod($"doc_id", lit(480L)) === 0L)
+        .select($"doc_id").limit(3).collect().map(_.getLong(0)).toSeq
+      val t0 = System.nanoTime()
+      graft.streaming.CurationStream.redactStore(spark, storeDir, victims)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = fileState()
+      // rewritten = new/changed files' bytes (the swapped partition)
+      val rewritten = after
+        .filterNot { case (p, st) => before.get(p).contains(st) }
+        .values.map(_._1).sum
+      val buckets = graft.streaming.CurationStream.liveBuckets(storeDir).size
+      println(s"""{"probe":"redact_bytes","mult":$k,""" +
+        s""""store_bytes":$totalBytes,"rewritten_bytes":$rewritten,""" +
+        s""""rewritten_pct":${f"${rewritten * 100.0 / totalBytes}%.1f"},""" +
+        s""""buckets":$buckets,"redacted":${victims.size},""" +
+        s""""sec":${f"$sec%.3f"}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--redact-bytes")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1, 10))
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try redactBytesProbe(spark, sfDir, mults)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
     if (args.headOption.contains("--longdoc")) {
       val nDocs = args.lift(1).map(_.toInt).getOrElse(20000)
       val prefixTokens = args.lift(2).map(_.toInt).getOrElse(8000)
