@@ -157,9 +157,15 @@ object Bench {
     // lacks simply drop out of its own filter; the ratio and the
     // per-query control_detail line cover the intersection only.
     val controlSpec = sys.env.getOrElse("SPARK_GRAFT_CONTROL_COMMIT", "auto")
+    // SELF-UPDATING watchlist (round-13 protocol): default = the
+    // PREVIOUS round's top raw movers on the small common set (refresh
+    // each round from the VERDICT/driver diff) ∪ the heavy common
+    // queries (q117/q122 — their raw numbers dominate the total, so
+    // they must always be pair-adjudicable). The r11-era static list
+    // retired; override via SPARK_GRAFT_CONTROL_WATCH.
     val controlWatch = sys.env.getOrElse("SPARK_GRAFT_CONTROL_WATCH",
-      "q88_temperature_sampling,q85_corpus_report,q86_rebalance_upsample," +
-        "q94_containment_dedup,q68_domain_mix")
+      "q97_exact_k_sample,q89_lang_heavy_hitters,q79_inverted_index," +
+        "q63_sequence_packing,q117_curation_pipeline,q122_incremental_curation")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val controlFields: String = Some(controlSpec)
       .filter(s => s.nonEmpty && s != "none" && s != "off").map { spec =>
@@ -194,9 +200,12 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val common = subset.filter(ctrl.contains)
         require(common.nonEmpty, "no common queries with control commit")
-        // per-query [head, ctrl] pairs on their own line (humans /
-        // drift adjudication) — kept out of the final machine line,
-        // which the driver tails and must stay short
+        // per-query [head, ctrl] pairs: on their own line (humans) AND
+        // inside the final machine line — the driver tails stdout and
+        // parses the LAST line only, and round 12 showed the pairs are
+        // what makes per-query drift claims adjudicable from
+        // BENCH_r{N}.json alone. ~45 bytes/pair × ≤16 pairs fits the
+        // driver's ~2 KB tail with room to spare.
         val pairs = common.sorted.map(q =>
           "\"" + q + "\":[" + r3(results(q)) + "," + r3(ctrl(q)) + "]")
           .mkString("{", ",", "}")
@@ -205,7 +214,8 @@ object Bench {
         val ctrlSum = common.map(ctrl).sum
         s""","control_commit":"${commit.take(12)}","control_n":${common.size},""" +
           s""""control_head_sec":${r3(headSum)},"control_ctrl_sec":${r3(ctrlSum)},""" +
-          s""""control_ratio":${r3(headSum / ctrlSum)}"""
+          s""""control_ratio":${r3(headSum / ctrlSum)},""" +
+          s""""control_detail":$pairs"""
       } catch { case e: Throwable =>
         // full JSON-string escape: a backslash or control char in the
         // exception message must not corrupt the machine line the

@@ -532,10 +532,14 @@ object ScaleProbe {
             graft.streaming.CurationStream.compactStore(spark, storeDir)
           if (i + 1 == redactAfter) {
             // mid-stream compliance request against batch 0's docs
+            // deterministic victim choice: an unordered limit(3) could
+            // pick different doc_ids per leg (different file layouts),
+            // and redaction removes dedup protection for the redacted
+            // text — divergent victims could break the parity gate
             redactIds = graft.streaming.CurationStream
               .readStore(spark, storeDir)
               .filter($"ingest_batch" === 0L).select($"doc_id")
-              .limit(3).collect().map(_.getLong(0)).toSeq
+              .orderBy($"doc_id").limit(3).collect().map(_.getLong(0)).toSeq
             graft.streaming.CurationStream
               .redactStore(spark, storeDir, redactIds)
           }

@@ -81,6 +81,11 @@ object StreamBench {
       val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
       val nLookups = args.lift(2).map(_.toInt).getOrElse(50)
       lookupLatency(spark, nDocs, nLookups)
+    } else if (args.headOption.contains("--lookup-mt")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      val threads = args.lift(2).map(_.toInt).getOrElse(8)
+      val perThread = args.lift(3).map(_.toInt).getOrElse(300)
+      lookupConcurrency(spark, nDocs, threads, perThread)
     } else if (args.headOption.contains("--sweep")) {
       // the round-9 knee: windowed counts saturate at ~50k rows/s while
       // dedup holds; the documented fix is state-store parallelism. This
@@ -373,6 +378,103 @@ object StreamBench {
     }
     pctRow("ivf_pq_lookup_local", pqDursL,
       s""""n_vecs":20000,"result_rows":$pqRowsL,"parity":true""")
+  }
+
+  /** CONCURRENT point-lookup latency over the no-Spark local reader —
+    * the probe the round-12 single-threaded p50s could not be: N
+    * threads hammer [[graft.jobs.LocalLookup.bm25Single]] while a
+    * re-export thread swaps the epoch pointer mid-run, so the
+    * measurement covers (a) contention on the footer/layout caches
+    * (lock-free hits + per-key computes after the Lru rewrite; the
+    * round-12 global monitor serialized even hits, invisible at one
+    * thread) and (b) the epoch pin protocol under live swaps. Every
+    * result is parity-asserted against a single-threaded pre-run of
+    * the same fixed query set — the latency rows can never describe a
+    * different answer. Emits a single-thread baseline row and the
+    * concurrent row (p50/p99 + the cross-thread ratio).
+    */
+  private def lookupConcurrency(spark: SparkSession, nDocs: Int,
+      threads: Int, perThread: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val docs = (0L until nDocs.toLong).map { i =>
+      (i, Seq.fill(40 + rnd.nextInt(80))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    val out = java.nio.file.Files.createTempDirectory("lookup_mt").toString
+    graft.jobs.IndexExport.exportBm25(idx, out)
+    graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    graft.jobs.LocalLookup.clearLayouts()
+
+    // the fixed query set: 64 term-triples; expected answers computed
+    // single-threaded up front (the corpus never changes, so every
+    // epoch serves the identical answer — parity is exact)
+    val qrnd = new scala.util.Random(11)
+    val queries = Vector.fill(64)(Seq.fill(3)(vocab(qrnd.nextInt(vocab.size))))
+    val expected = queries.map(q =>
+      q -> graft.jobs.LocalLookup.bm25Single(out, q, 10)).toMap
+
+    def pct(d: Seq[Double], p: Double): Double = {
+      val s = d.sorted
+      s(math.round(p * (s.length - 1)).toInt)
+    }
+
+    // single-thread baseline over the same stream length
+    val baseDurs = (0 until perThread).map { i =>
+      val q = queries(i % queries.size)
+      val t0 = System.nanoTime()
+      val r = graft.jobs.LocalLookup.bm25Single(out, q, 10)
+      require(r == expected(q), "baseline parity violation")
+      (System.nanoTime() - t0) / 1e6
+    }
+    println(s"""{"probe":"point_lookup_mt","op":"bm25_local_1thread",""" +
+      s""""n_docs":$nDocs,"lookups":$perThread,""" +
+      s""""p50_ms":${f"${pct(baseDurs, 0.5)}%.2f"},""" +
+      s""""p99_ms":${f"${pct(baseDurs, 0.99)}%.2f"},""" +
+      s""""max_ms":${f"${baseDurs.max}%.2f"},"parity":true}""")
+
+    // concurrent run racing a re-exporter
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var stopExports = false
+    val exports = new AtomicLong
+    val exporter = pool.submit[Unit] { () =>
+      gate.await()
+      while (!stopExports) {
+        graft.jobs.IndexExport.exportBm25(idx, out)
+        exports.incrementAndGet()
+        Thread.sleep(200)
+      }
+    }
+    val workers = (0 until threads).map { t =>
+      pool.submit[Seq[Double]] { () =>
+        gate.await()
+        (0 until perThread).map { i =>
+          val q = queries((i * (t + 3) + t) % queries.size)
+          val t0 = System.nanoTime()
+          val r = graft.jobs.LocalLookup.bm25Single(out, q, 10)
+          require(r == expected(q),
+            s"concurrent parity violation on thread $t lookup $i")
+          (System.nanoTime() - t0) / 1e6
+        }
+      }
+    }
+    gate.countDown()
+    val durs = workers.flatMap(_.get())
+    stopExports = true
+    exporter.get()
+    pool.shutdown()
+    graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    println(s"""{"probe":"point_lookup_mt","op":"bm25_local_mt",""" +
+      s""""n_docs":$nDocs,"threads":$threads,"lookups":${durs.size},""" +
+      s""""reexports_during_run":${exports.get()},""" +
+      s""""p50_ms":${f"${pct(durs, 0.5)}%.2f"},""" +
+      s""""p99_ms":${f"${pct(durs, 0.99)}%.2f"},""" +
+      s""""max_ms":${f"${durs.max}%.2f"},""" +
+      s""""p50_vs_1thread":${f"${pct(durs, 0.5) / pct(baseDurs, 0.5)}%.2f"},""" +
+      s""""parity":true}""")
   }
 
   private def serveLatency(spark: SparkSession, qps: Int, seconds: Int,

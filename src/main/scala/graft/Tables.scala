@@ -39,13 +39,28 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** Cheap driver-side corpus fingerprint: (name, length, mtime) of
-    * every data file under the named tables, hashed. The serving twins
-    * (q123–q125) key their prebuilt artifacts — index exports, the
-    * persisted curation store — on this, so a corpus whose CONTENT
-    * changes under the same path can never be served stale prebuilt
-    * bytes: a different fingerprint is a different artifact directory.
-    * Pure driver file-metadata reads; zero Spark jobs.
+  /** Version token folded into every [[fingerprint]]. Bump when the
+    * FORMAT of any fingerprint-keyed artifact changes (the IndexExport
+    * layout, the persisted curation store, the centroid encoding): a
+    * new token is a new artifact directory, so a code change can never
+    * serve bytes a previous layout wrote — the stale-artifact failure
+    * mode would otherwise surface as a confusing oracle-gate mismatch
+    * instead of a rebuild.
+    */
+  val LayoutVersion = 2
+
+  /** Driver-side corpus fingerprint: (name, length, mtime, tail
+    * checksum) of every data file under the named tables, hashed
+    * together with [[LayoutVersion]]. The serving twins (q123–q125) key
+    * their prebuilt artifacts — index exports, the persisted curation
+    * store — on this, so a corpus whose CONTENT changes under the same
+    * path can never be served stale prebuilt bytes: a different
+    * fingerprint is a different artifact directory. The tail checksum
+    * (MD5 over the last 64 KiB — where a parquet file's footer and
+    * page-index metadata live) closes the (length, mtime)-preserving
+    * in-place rewrite hole: same-size same-mtime content swaps now
+    * change the fingerprint too. Pure driver reads, bounded at 64 KiB
+    * per file; zero Spark jobs.
     */
   def fingerprint(sfDir: String, names: Seq[String]): String = {
     def files(f: java.io.File): Seq[java.io.File] =
@@ -54,11 +69,22 @@ object Tables {
           .sortBy(_.getName).flatMap(files)
       else if (f.isFile) Seq(f)
       else Seq.empty
+    def tailSum(f: java.io.File): String = {
+      val n = math.min(f.length, 65536L).toInt
+      if (n <= 0) "empty"
+      else {
+        val buf = new Array[Byte](n)
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try { raf.seek(f.length - n); raf.readFully(buf) } finally raf.close()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(buf).map(b => f"$b%02x").mkString
+      }
+    }
     val sig = names
       .flatMap(n => files(new java.io.File(sfDir, s"$n.parquet")))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${tailSum(f)}")
       .mkString("|")
     java.lang.Long.toHexString(org.apache.spark.sql.graft.GraftColumns
-      .xxhash64String(s"$sfDir|$sig"))
+      .xxhash64String(s"v$LayoutVersion|$sfDir|$sig"))
   }
 }

@@ -66,11 +66,64 @@ object IndexExport {
 
   /** Epochs retained after an export: the live one plus its
     * predecessor, so one re-export never deletes files out from under
-    * a reader opened moments before the swap. Two re-exports inside a
-    * single in-flight lookup could — a serving process that re-exports
-    * faster than its slowest lookup needs a bigger window.
+    * a reader opened moments before the swap. Epochs OLDER than the
+    * window survive while (a) an in-JVM reader holds them pinned
+    * ([[withPinnedEpoch]] — the LocalLookup tier pins for the duration
+    * of every lookup, so N re-exports inside one in-flight lookup can
+    * no longer delete the epoch it is reading), or (b) they are younger
+    * than [[PruneGraceMs]] (protection for EXTERNAL readers this JVM
+    * cannot refcount). The next export re-attempts the prune, so a
+    * protected epoch is deleted as soon as its pins drop and its grace
+    * expires.
     */
   val KeepEpochs = 2
+
+  /** Minimum age (ms since last modification) before an out-of-window
+    * epoch may be pruned — the external-reader grace. Default 0 (prune
+    * eagerly; in-JVM readers are covered by pins); a deployment whose
+    * readers live in other processes sets it to its slowest-lookup
+    * bound, e.g. via `SPARK_GRAFT_EPOCH_GRACE_MS`.
+    */
+  @volatile var PruneGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_EPOCH_GRACE_MS").map(_.toLong).getOrElse(0L)
+
+  // per-epoch in-flight reader counts; entries are swept once the
+  // epoch directory is gone and the count is zero
+  private val epochPins =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
+
+  @annotation.tailrec
+  private def acquirePin(dir: String): java.util.concurrent.atomic.AtomicInteger = {
+    val c = epochPins.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicInteger)
+    c.incrementAndGet()
+    // the sweep may have removed a zero-count entry between our
+    // computeIfAbsent and increment — a pin on an unmapped counter is
+    // invisible to pruneEpochs, so re-check and retry
+    if (epochPins.get(dir) eq c) c
+    else { c.decrementAndGet(); acquirePin(dir) }
+  }
+
+  /** Run `f` against the CURRENT epoch directory with the epoch PINNED:
+    * [[pruneEpochs]] will not delete a pinned epoch, so a reader that
+    * straddles any number of re-exports finishes against intact files.
+    * The local point-lookup tier wraps every lookup in this; long-lived
+    * external readers use the [[PruneGraceMs]] window instead. If the
+    * resolved epoch loses the race with a concurrent prune before the
+    * pin lands (microseconds), the pin is retried against the fresh
+    * pointer.
+    */
+  def withPinnedEpoch[T](outDir: String)(f: String => T): T = {
+    var dir = resolveEpoch(outDir)
+    var c = acquirePin(dir)
+    while (!new File(dir).exists()) {
+      c.decrementAndGet()
+      dir = resolveEpoch(outDir)
+      c = acquirePin(dir)
+    }
+    try f(dir) finally { c.decrementAndGet(); () }
+  }
 
   def termBucketCol(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong))
@@ -128,23 +181,35 @@ object IndexExport {
     ()
   }
 
-  /** Drop epochs older than the newest [[KeepEpochs]], and invalidate
-    * any reader entries that pointed at them — the export invalidates
-    * its own stale state instead of relying on callers to remember a
-    * `clearReaders()`.
+  /** Drop epochs older than the newest [[KeepEpochs]] — except those
+    * pinned by an in-flight reader or younger than [[PruneGraceMs]] —
+    * and invalidate any reader entries that pointed at them: the export
+    * invalidates its own stale state instead of relying on callers to
+    * remember a `clearReaders()`. Protected epochs are simply skipped;
+    * the NEXT export's prune collects them once unpinned and aged.
     */
   private def pruneEpochs(outDir: String): Unit = {
     val root = new File(outDir)
+    val now = System.currentTimeMillis()
     val epochs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && epochNum(f.getName).isDefined)
       .sortBy(f => epochNum(f.getName).get)
     epochs.dropRight(KeepEpochs).foreach { dir =>
       val path = dir.toString
-      bm25Readers.removeIf(_ == path)
-      codeReaders.removeIf(_ == path)
-      LocalLookup.invalidateEpoch(path)
-      deleteRecursively(dir)
+      val pinned = Option(epochPins.get(path)).exists(_.get() > 0)
+      val inGrace = now - dir.lastModified() < PruneGraceMs
+      if (!pinned && !inGrace) {
+        bm25Readers.removeIf(_ == path)
+        codeReaders.removeIf(_ == path)
+        LocalLookup.invalidateEpoch(path)
+        deleteRecursively(dir)
+      }
     }
+    // sweep pin entries for epochs that no longer exist (zero-count
+    // only; acquirePin re-checks mapping, so this cannot hide a pin)
+    epochPins.entrySet().removeIf(e =>
+      e.getValue.get() == 0 && !new File(e.getKey).exists())
+    ()
   }
 
   /** Write the bm25 index as the bucketed/sorted serving layout, into a

@@ -93,7 +93,9 @@ object LocalLookup {
   private[jobs] def invalidateEpoch(epochDir: String): Unit = {
     bm25Layouts.removeIf(_ == epochDir)
     codeFiles.removeIf(_._1 == epochDir)
-    footers.removeIf(_.toString.startsWith(epochDir))
+    // directory-boundary match: a bare prefix would also evict epoch_10's
+    // footers when epoch_1 is pruned (spurious re-parses on the live epoch)
+    footers.removeIf(_.toString.startsWith(epochDir + java.io.File.separator))
   }
 
   /** Data files under `dir`, excluding `_SUCCESS`/hidden/checksum
@@ -154,8 +156,8 @@ object LocalLookup {
     terms.map(t => FilterApi.eq(FilterApi.binaryColumn("term"),
       Binary.fromString(t)): FilterPredicate).reduce(FilterApi.or)
 
-  private def bm25Layout(outDir: String): Bm25Layout =
-    bm25Layouts.get(IndexExport.resolveEpoch(outDir)) { dir =>
+  private def bm25Layout(epochDir: String): Bm25Layout =
+    bm25Layouts.get(epochDir) { dir =>
       val fs = new Path(dir).getFileSystem(conf)
       val metaFiles = dataFiles(fs, new Path(dir, "meta"))
       require(metaFiles.nonEmpty, s"no meta file under $dir/meta")
@@ -181,10 +183,13 @@ object LocalLookup {
     * bm25 path; q121's shared-oracle chain). Pays no Spark job.
     */
   def bm25Single(outDir: String, terms: Seq[String],
-      k: Int): Seq[(java.lang.Long, Long, Double)] = {
-    val l = bm25Layout(outDir)
+      k: Int): Seq[(java.lang.Long, Long, Double)] =
+    // epoch PINNED for the whole lookup: any number of re-exports may
+    // land mid-read without pruning the files under us
+    IndexExport.withPinnedEpoch(outDir) { epoch =>
+    val l = bm25Layout(epoch)
     val ts = terms.filter(_ != null).distinct
-    if (ts.isEmpty || l.n == 0) return Seq.empty
+    if (ts.isEmpty || l.n == 0) Seq.empty else {
     val byBucket = ts.groupBy(IndexExport.termBucket(_, l.nBuckets))
     // df from the resident per-bucket maps, postings from the bucket's
     // sorted files: a term's rows live in exactly one bucket directory
@@ -214,7 +219,7 @@ object LocalLookup {
       }
     }
     Retrieval.scoreSingleLocal(postings, l.n, l.sumDl, k)
-  }
+  }}
 
   /** Single-query IVF-PQ point lookup over an
     * [[IndexExport.exportPqCells]] layout — rows (vec_id, pq_dist_s6)
@@ -226,10 +231,10 @@ object LocalLookup {
     */
   def pqSingle(outDir: String, qvec: Seq[Float], queryVecId: Long, k: Int,
       cbs: Pq.Codebooks, centroids: Seq[(Long, Seq[Float])],
-      nprobe: Int = 2): Seq[(Long, Long)] = {
+      nprobe: Int = 2): Seq[(Long, Long)] =
+    IndexExport.withPinnedEpoch(outDir) { epoch =>
     val tables = Pq.adcTables(qvec, cbs)
     val probes = Similarity.probeCells(centroids.sortBy(_._1), qvec, nprobe)
-    val epoch = IndexExport.resolveEpoch(outDir)
     val fs = new Path(epoch).getFileSystem(conf)
     val scored = ArrayBuffer.empty[(Long, Long)]
     probes.foreach { cell =>
@@ -255,3 +260,4 @@ object LocalLookup {
     scored.sortBy { case (vecId, dist) => (dist, vecId) }.take(k).toSeq
   }
 }
+

@@ -176,6 +176,25 @@ object CurationStream {
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
 
+  /** Maintenance-op precondition: the store must be the bucketed layout
+    * this object writes. A pre-bucketing FLAT store (parquet files at
+    * the root, no `batch_bucket=` directories) would otherwise fail
+    * confusingly — [[redactStore]]'s partition discovery reads
+    * `batch_bucket` as null (NPE on getLong), and [[compactStore]]
+    * silently no-ops because [[liveBuckets]] is empty. Fail explicitly
+    * with the migration recipe instead: read the flat files with
+    * [[StoreSchema]] and re-append through [[appendStore]].
+    */
+  private def requireBucketedLayout(storeDir: String): Unit = {
+    val flat = dataFilesIn(new File(storeDir))
+    if (flat.nonEmpty)
+      throw new IllegalStateException(
+        s"legacy flat store layout at $storeDir: ${flat.size} parquet " +
+          "file(s) at the store root with no batch_bucket= partitions. " +
+          "Migrate once: read the flat files with CurationStream." +
+          "StoreSchema and re-write through appendStore, then delete them.")
+  }
+
   /** The live bucket partition values on disk, oldest first. */
   def liveBuckets(storeDir: String): Seq[Long] =
     Option(new File(storeDir).listFiles()).getOrElse(Array.empty).toSeq
@@ -280,6 +299,7 @@ object CurationStream {
   def compactStore(spark: SparkSession, storeDir: String,
       targetFiles: Int = 4): Unit = {
     recoverStore(storeDir)
+    requireBucketedLayout(storeDir)
     liveBuckets(storeDir).foreach { b =>
       if (dataFilesIn(new File(storeDir, s"batch_bucket=$b"))
           .size > targetFiles)
@@ -305,18 +325,40 @@ object CurationStream {
     */
   def redactStore(spark: SparkSession, storeDir: String,
       ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) { recoverStore(storeDir); return }
+    import spark.implicits._
+    redactStore(spark, storeDir, ids.toDF("doc_id"))
+  }
+
+  /** Tombstone-TABLE redaction — the production form: a compliance
+    * batch is a table of ids, not a driver list, and a million-id `In`
+    * literal is a plan-size/codegen hazard. Victim-partition discovery
+    * is a column-pruned semi-join (only (doc_id, batch_bucket) are
+    * read); the per-partition rewrite predicate is a LEFT JOIN against
+    * the tombstone table (broadcast when small — Spark's size
+    * estimation decides), never an inlined literal. Row count is
+    * preserved by construction: the join key is distinct()'d first, so
+    * a duplicate-laden compliance feed cannot fan out store rows.
+    */
+  def redactStore(spark: SparkSession, storeDir: String,
+      ids: DataFrame): Unit = {
     recoverStore(storeDir)
-    if (ids.isEmpty) return
+    requireBucketedLayout(storeDir)
+    val tomb = ids.select(col("doc_id")).distinct()
     val touched = spark.read.schema(StoreReadSchema).parquet(storeDir)
-      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("batch_bucket"))
+      .join(tomb, Seq("doc_id"), "left_semi")
       .select(col("batch_bucket")).distinct()
       .collect().map(_.getLong(0))
-    val isVictim = col("doc_id").isin(ids: _*)
+    val marked = tomb.withColumn("__victim", lit(true))
     touched.foreach { b =>
       rewriteBucket(spark, storeDir, b, df => df
-        .withColumn("text", when(isVictim, lit(null)).otherwise(col("text")))
+        .join(marked, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("__victim"), lit(null)).otherwise(col("text")))
         .withColumn("n_chars",
-          when(isVictim, lit(null)).otherwise(col("n_chars"))),
+          when(col("__victim"), lit(null)).otherwise(col("n_chars")))
+        .drop("__victim"),
         targetFiles = None)
     }
     spark.catalog.refreshByPath(storeDir) // see compactStore

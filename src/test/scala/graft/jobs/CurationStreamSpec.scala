@@ -304,6 +304,58 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(view() === before)
   }
 
+  test("tombstone-TABLE redaction: join predicate, duplicate-proof, count-preserving") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val ids = (1L to 40L)
+    val storeDir = Files.createTempDirectory("cur_tomb").toString
+    CurationStream.initStore(
+      mk(ids.map(id => id -> text(s"t${('a' + (id % 26).toInt).toChar}$id")
+        .replaceAll("[0-9]", "x"))), storeDir)
+    def view() = CurationStream
+      .manifestView(CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+    val before = view()
+    val victims = Set(3L, 17L, 29L)
+    // the compliance feed is a TABLE, deliberately duplicate-laden —
+    // the distinct() inside redactStore must keep row counts exact
+    val tomb = (victims.toSeq ++ victims.toSeq).toDF("doc_id")
+    CurationStream.redactStore(spark, storeDir, tomb)
+    val after = CurationStream.readStore(spark, storeDir).collect()
+    assert(after.length === ids.size,
+      "a duplicate-laden tombstone table must not fan out store rows")
+    after.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      if (victims(id)) {
+        assert(r.isNullAt(r.fieldIndex("text")), s"doc $id not redacted")
+        assert(r.isNullAt(r.fieldIndex("n_chars")))
+      } else assert(!r.isNullAt(r.fieldIndex("text")),
+        s"non-victim $id must keep its content")
+    }
+    assert(view() === before,
+      "table-form redaction must not move a single offset")
+  }
+
+  test("maintenance on a legacy FLAT store fails explicitly, never NPEs") {
+    import spark.implicits._
+    val flatDir = Files.createTempDirectory("cur_flat").toString
+    // a pre-bucketing store: parquet files at the root, no partitions
+    Seq((1L, "en", "web", 3L, "abc", 1L, 0L))
+      .toDF("doc_id", "lang", "source", "n_chars", "text", "n_tok",
+        "ingest_batch")
+      .write.mode("overwrite").parquet(flatDir)
+    val eRedact = intercept[IllegalStateException] {
+      CurationStream.redactStore(spark, flatDir, Seq(1L))
+    }
+    assert(eRedact.getMessage.contains("legacy flat store layout"))
+    val eCompact = intercept[IllegalStateException] {
+      CurationStream.compactStore(spark, flatDir)
+    }
+    assert(eCompact.getMessage.contains("legacy flat store layout"))
+  }
+
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) =

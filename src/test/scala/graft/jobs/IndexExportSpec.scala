@@ -158,6 +158,30 @@ class IndexExportSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("a pinned epoch survives any number of re-exports, then prunes on release") {
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_epoch_pin").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    val pinnedDir = IndexExport.withPinnedEpoch(out) { dir =>
+      // the artificially slow lookup: THREE full export+prune cycles
+      // land while the epoch is held — without the pin, KeepEpochs=2
+      // deletes `dir` on the second one (the round-12 retention hole)
+      (0 until 3).foreach(_ => IndexExport.exportBm25(idx, out, nBuckets = 16))
+      assert(new java.io.File(dir).isDirectory, "pinned epoch was pruned")
+      // and its FILES are intact: the in-flight reader finishes its
+      // lookup against exactly this epoch
+      val viaLocal = LocalLookup.bm25Single(dir, Seq("spark", "hash"), 5)
+      assert(viaLocal.nonEmpty)
+      dir
+    }
+    // pin released: the next export's prune collects the old epoch
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    assert(!new java.io.File(pinnedDir).exists,
+      "released out-of-window epoch must be pruned by the next export")
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
   test("pq lookup over exported cells equals ivfAdcTopK on the live table") {
     import spark.implicits._
     val dims = 0 until 32
