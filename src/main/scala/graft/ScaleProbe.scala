@@ -331,14 +331,12 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-    // the production operator aggregates ABOVE the join (count per
-    // doc_id), which imposes a distribution requirement on the join
-    // output — OptimizeSkewedJoin then declines by default even when
-    // the plan re-exchanges for the aggregate anyway (keyed on doc_id,
-    // not the join's code). The force flag is the documented deployment
-    // setting for exactly this shape: the "extra" shuffle it fears is
-    // one the plan already pays.
-    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // forceOptimizeSkewedJoin is NOT set here: GraftExtensions.install
+    // injects it as a session default since round 13, and this probe's
+    // `aqe_skew_split: true` row is the evidence that a deployment gets
+    // the split without hand configuration. The byte thresholds above
+    // remain probe-scale emulation (they make a toy corpus register as
+    // "skewed"); production uses Spark's 256 MB defaults.
     // skew splitting works at MAPPER granularity: a hot reduce
     // partition fed by a single map task cannot be subdivided, and the
     // probe corpus is one small parquet file (one scan partition ->
@@ -399,7 +397,6 @@ object ScaleProbe {
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
-      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       Dedup.clearSignatureCaches()
     }
   }
@@ -506,6 +503,18 @@ object ScaleProbe {
         walk(new java.io.File(storeDir))
       }
 
+      // Spark jobs per micro-batch — the job FLOOR the round-12 soak
+      // identified as the product's batch latency. Listener events are
+      // async; the median over N batches absorbs the boundary slop.
+      val jobCount = new java.util.concurrent.atomic.AtomicLong
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(jobListener)
+
       def leg(name: String, compactEvery: Int): (Set[Seq[Any]], String) = {
         val storeDir = tempDir(s"soak_store_${k}x_$name")
         val ckpt = tempDir(s"soak_ckpt_${k}x_$name")
@@ -517,13 +526,16 @@ object ScaleProbe {
           in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
           emb, trained, holdout, storeDir, ckpt)
         val batchSec = Array.ofDim[Double](nBatches)
+        val batchJobs = Array.ofDim[Long](nBatches)
         var redactIds: Seq[Long] = Seq.empty
         val t0 = System.nanoTime()
         (0 until nBatches).foreach { i =>
           val b0 = System.nanoTime()
+          val j0 = jobCount.get()
           in.addData(slices(i): _*)
           q.processAllAvailable()
           batchSec(i) = (System.nanoTime() - b0) / 1e9
+          batchJobs(i) = jobCount.get() - j0
           if ((i + 1) % 5 == 0)
             println(s"""{"probe":"stream_curation_progress","mult":$k,""" +
               s""""leg":"$name","batch":${i + 1},""" +
@@ -559,6 +571,8 @@ object ScaleProbe {
             s""""docs_per_sec":${f"${docsIn / sec}%.1f"},""" +
             s""""batch_sec_first5":${f"${med(batchSec.take(5).toSeq)}%.3f"},""" +
             s""""batch_sec_last5":${f"${med(batchSec.takeRight(5).toSeq)}%.3f"},""" +
+            s""""batch_sec_med":${f"${med(batchSec.toSeq)}%.3f"},""" +
+            s""""jobs_per_batch_med":${med(batchJobs.map(_.toDouble).toSeq).toLong},""" +
             s""""files_final":${dataFileCount(storeDir)},""" +
             s""""buckets":${graft.streaming.CurationStream
               .liveBuckets(storeDir).size},"redacted":${redactIds.size}"""
@@ -568,6 +582,7 @@ object ScaleProbe {
 
       val (viewPlain, rowPlain) = leg("plain", compactEvery = 0)
       val (viewCompact, rowCompact) = leg("compact", compactEvery = 5)
+      spark.sparkContext.removeSparkListener(jobListener)
       val parity = viewPlain == viewCompact
       println(s"""{"probe":"stream_curation","mult":$k,$rowPlain,"parity":$parity}""")
       println(s"""{"probe":"stream_curation","mult":$k,$rowCompact,"parity":$parity}""")
@@ -677,7 +692,57 @@ object ScaleProbe {
     }
   }
 
+  /** `--redact-mass` mode: a compliance-scale redaction — `nIds`
+    * tombstones (a TABLE, not a driver list) against a synthetic
+    * multi-bucket store. The round-12 `isin`-literal form would have
+    * planned a 100k-term In expression (plan-size/codegen hazard);
+    * the join form must finish with a flat plan regardless of the
+    * tombstone count. Emits victims-confirmed + wall-clock.
+    */
+  private def redactMassProbe(spark: SparkSession, nDocs: Int,
+      nIds: Int): Unit = {
+    import spark.implicits._
+    val dir = tempDir("redact_mass_store")
+    val rows = spark.range(nDocs.toLong).select(
+      $"id".as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      lit(64L).as("n_chars"),
+      concat(lit("alpha beta gamma delta body "),
+        ($"id" % 97L).cast("string")).as("text"),
+      lit(8L).as("n_tok"),
+      pmod($"id", lit(128L)).as("ingest_batch"))
+    graft.streaming.CurationStream.appendStore(rows, dir, mode = "overwrite")
+    val buckets = graft.streaming.CurationStream.liveBuckets(dir).size
+    // every other doc, as a DataFrame — no driver-side id list exists
+    val tomb = spark.range(nIds.toLong).select(($"id" * 2L).as("doc_id"))
+    val t0 = System.nanoTime()
+    graft.streaming.CurationStream.redactStore(spark, dir, tomb)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val redacted = graft.streaming.CurationStream.readStore(spark, dir)
+      .filter($"text".isNull).count()
+    val expected = math.min(nIds.toLong, (nDocs.toLong + 1) / 2)
+    println(s"""{"probe":"redact_mass","docs":$nDocs,"tombstones":$nIds,""" +
+      s""""redacted":$redacted,"buckets":$buckets,""" +
+      s""""sec":${f"$sec%.3f"}}""")
+    require(redacted == expected,
+      s"mass redaction nulled $redacted rows, expected $expected")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--redact-mass")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(200000)
+      val nIds = args.lift(2).map(_.toInt).getOrElse(100000)
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try redactMassProbe(spark, nDocs, nIds)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
     if (args.headOption.contains("--redact-bytes")) {
       val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
       val mults = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)

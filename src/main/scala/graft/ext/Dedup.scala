@@ -406,33 +406,58 @@ object Dedup {
     * so it is cached (released by [[clearSignatureCaches]]).
     */
   def contaminationBloom(train: DataFrame, test: DataFrame,
-      fpp: Double = 0.03): DataFrame = {
-    val teCodes = registerSigCache(shingleSets(test)
+      fpp: Double = 0.03): DataFrame =
+    contaminationAgainst(train, prepareHoldout(test, fpp))
+
+  /** The holdout side of decontamination, derived ONCE: the cached
+    * distinct shingle-code set, its count, and the serialized Bloom
+    * filter. The batch path builds it per call inside
+    * [[contaminationBloom]]; a long-lived ingest surface (the streaming
+    * store) builds it once per FROZEN holdout and reuses it across
+    * every micro-batch — re-deriving a corpus-sized artifact per
+    * 3-doc delta was a dominant term of the per-batch job floor.
+    * `register = false` opts out of the [[clearSignatureCaches]]
+    * registry: the caller owns the cache lifecycle (unpersist
+    * `codes` itself).
+    */
+  final case class HoldoutCodes(codes: DataFrame, n: Long,
+      bloomBytes: Option[Array[Byte]])
+
+  def prepareHoldout(test: DataFrame, fpp: Double = 0.03,
+      register: Boolean = true): HoldoutCodes = {
+    val cached0 = shingleSets(test)
       .select(explode_outer(col("tset")).as("code"))
       .filter(col("code").isNotNull).distinct()
-      .cache())
+      .cache()
+    val teCodes = if (register) registerSigCache(cached0) else cached0
     val n = teCodes.count()
-    val trCodesRaw = shingleSets(train)
-      .select(col("doc_id"), explode_outer(col("tset")).as("code"))
-      .filter(col("code").isNotNull)
     // a shingle-less holdout means no contamination is possible; skip
     // the filter build (stat.bloomFilter NPEs aggregating zero rows)
     // and let the exact join return empty
-    val trCodes = if (n == 0) trCodesRaw else {
+    val bytes = if (n == 0) None else Some {
       val bloom = teCodes.stat.bloomFilter("code", n, fpp)
-      val bytes = {
-        val b = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(b)
-        b.toByteArray
-      }
-      trCodesRaw.filter(org.apache.spark.sql.graft.GraftColumns
-        .bloomMightContain(bytes, col("code")))
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
     }
+    HoldoutCodes(teCodes, n, bytes)
+  }
+
+  /** [[contaminationBloom]] against a prepared holdout artifact —
+    * bit-identical rows (the Bloom prune only drops join misses).
+    */
+  def contaminationAgainst(train: DataFrame, h: HoldoutCodes): DataFrame = {
+    val trCodesRaw = shingleSets(train)
+      .select(col("doc_id"), explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull)
+    val trCodes = h.bloomBytes.fold(trCodesRaw)(bytes =>
+      trCodesRaw.filter(org.apache.spark.sql.graft.GraftColumns
+        .bloomMightContain(bytes, col("code"))))
     // [[skewJoinReady]] above the cached distinct: the planner-inserted
     // exchange sits ABOVE the cache, so the join is skew-splittable
     // even with canChangeCachedPlanOutputPartitioning at its false
     // default
-    trCodes.join(skewJoinReady(teCodes), Seq("code"))
+    trCodes.join(skewJoinReady(h.codes), Seq("code"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -474,12 +499,20 @@ object Dedup {
     * divides 0/0) can never drift between generators. Registered for
     * release via [[clearSignatureCaches]].
     */
-  private def sigTable(docs: DataFrame): DataFrame = registerSigCache(docs
+  private def sigTable(docs: DataFrame): DataFrame =
+    registerSigCache(signatureFrame(docs).cache())
+
+  /** The RAW (doc_id, tset, bands) signature frame — uncached,
+    * unregistered: a long-lived ingest surface derives it once per
+    * store snapshot, owns the cache, and passes it back through
+    * [[minhashPairsAgainstSigs]]; the small per-batch tail (recent
+    * appends) rides it uncached.
+    */
+  def signatureFrame(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
       signatureUdf(coalesce(col("text"), lit(""))).as("s"))
     .select(col("doc_id"), col("s._1").as("tset"), col("s._2").as("bands"))
     .filter(size(col("tset")) > 0)
-    .cache())
 
   /** Drop rows whose (band-)key bucket exceeds `maxBucket` members. A
     * bucket of size m emits m^2/2 candidate pairs, so one boilerplate
@@ -592,11 +625,19 @@ object Dedup {
     * [[minhashPairs]]' job at store-build time.
     */
   def minhashPairsAgainst(store: DataFrame, incoming: DataFrame,
+      minJaccard: Double, maxBucket: Int = 1000): DataFrame =
+    minhashPairsAgainstSigs(sigTable(store), incoming, minJaccard, maxBucket)
+
+  /** [[minhashPairsAgainst]] over a PRE-DERIVED store signature table
+    * (the [[signatureFrame]] shape) — the store side of the streaming
+    * ingest is append-only between maintenance, so its signatures are
+    * derived once per store version instead of once per micro-batch.
+    */
+  def minhashPairsAgainstSigs(sSig: DataFrame, incoming: DataFrame,
       minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
     def explodeBands(sigs: DataFrame) = dropHotBuckets(sigs.select(
       col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
       Seq("band", "key"), maxBucket)
-    val sSig = sigTable(store)
     val iSig = sigTable(incoming)
     val candidates = explodeBands(iSig)
       .select(col("band"), col("key"), col("doc_id").as("in_doc"))

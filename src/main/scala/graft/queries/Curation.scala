@@ -363,7 +363,43 @@ object Curation {
     * q76 established: the store, not the transitive closure over
     * never-ingested docs, is the dedup authority.
     */
-  def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,
+  /** Store-side artifacts the delta stages consume — ids (the id-guard
+    * authority), hashed survivor texts (stage 3), the minhash
+    * signature table (stage 4), IVF cell assignments (stage 5), and
+    * the prepared holdout (stage 6). The batch entry points build it
+    * transiently per call ([[ingestDelta]] — caches registered in
+    * Dedup's registry exactly as before); the STREAMING ingest builds
+    * it once per store version and reuses it across micro-batches:
+    * re-deriving five corpus-sized tables for every few-doc delta was
+    * the dominant share of the per-batch job floor the round-12 soak
+    * measured.
+    */
+  final case class StoreSide(ids: DataFrame, texts: DataFrame,
+      sigs: DataFrame, cells: DataFrame, holdout: Dedup.HoldoutCodes)
+
+  /** The transient per-call [[StoreSide]] (batch paths). */
+  private def storeSideOf(s: SparkSession, store: DataFrame,
+      holdout: DataFrame, emb: DataFrame,
+      trained: Seq[(Long, Seq[Float])]): StoreSide = {
+    import s.implicits._
+    StoreSide(
+      ids = store.select($"doc_id"),
+      texts = store.select(xxhash64($"text").as("__h"), $"text"),
+      sigs = Dedup.cached(Dedup.signatureFrame(store)),
+      cells = Dedup.cached(Similarity.ivfAssign(
+        emb.join(store.select($"doc_id".as("vec_id")), Seq("vec_id")),
+        trained)),
+      holdout = Dedup.prepareHoldout(holdout))
+  }
+
+  /** Delta stages guard–6 against a prepared [[StoreSide]]: returns the
+    * ACCEPTED delta docs (doc_id, lang, source, n_chars, text) — the
+    * rows an ingest appends to the store. [[ingestDelta]] adds the
+    * pack-append manifest on top; the streaming ingest stops here (its
+    * manifest is a VIEW over the store, so the per-batch prefix scan
+    * and store-wide token sum are never paid on the hot path).
+    */
+  private[graft] def acceptDelta(s: SparkSession, side: StoreSide,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
@@ -374,21 +410,22 @@ object Curation {
     // duplicate ids would fan out every manifest/attribution join
     // downstream. Text-level dedup alone (stage 3) cannot see this
     // case. No-op on id-disjoint deltas (the gated q122/q125 split).
-    val clD0 = clDelta.join(store.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val clD0 = clDelta.join(side.ids, Seq("doc_id"), "left_anti")
 
     // delta stages 1–2
     val d2 = qualityFiltered(clD0)
 
     // stage 3: exact vs store survivor texts, then keep-min within
-    // delta — both through the shared hash-led helpers
-    // ([[textAntiJoin]] / [[exactKeepMin]])
-    val d3a = textAntiJoin(d2, store)
+    // delta — the [[textAntiJoin]] / [[exactKeepMin]] hash-led shapes
+    val d3a = d2.withColumn("__h", xxhash64($"text"))
+      .join(side.texts, Seq("__h", "text"), "left_anti")
+      .drop("__h")
     val d3 = clocked("d3_exact")(Dedup.cached(exactKeepMin(d3a)
       .select($"doc_id", $"lang", $"source", $"n_chars", $"text")))
 
     // stage 4: near-dup vs store (q76's asymmetric band join), then
     // components over the remaining delta's internal pairs
-    val dropVs4 = Dedup.minhashPairsAgainst(store, d3, MinJaccard)
+    val dropVs4 = Dedup.minhashPairsAgainstSigs(side.sigs, d3, MinJaccard)
       .select($"in_doc".as("doc_id")).distinct()
     val d4a = clocked("d4a_minhash_vs_store")(
       Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti")))
@@ -402,11 +439,9 @@ object Curation {
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min
-    def assigned(ids: DataFrame) = Similarity.ivfAssign(
-      emb.join(ids.select($"doc_id".as("vec_id")), Seq("vec_id")), trained)
-    val aS = Dedup.cached(assigned(store))
-    val aD = Dedup.cached(assigned(d4))
-    val dropVs5 = aS.select($"cell", $"embedding".as("e1"))
+    val aD = Dedup.cached(Similarity.ivfAssign(
+      emb.join(d4.select($"doc_id".as("vec_id")), Seq("vec_id")), trained))
+    val dropVs5 = side.cells.select($"cell", $"embedding".as("e1"))
       .join(aD.select($"cell", $"vec_id".as("vec2"),
         $"embedding".as("e2")), Seq("cell"))
       .filter(rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
@@ -427,9 +462,20 @@ object Curation {
     // stage 6: decontaminate against the STORE corpus' frozen holdout;
     // eval-bucket delta docs are eval data, never ingested
     val dTrain = Dedup.cached(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
-    val cont = Dedup.contaminationBloom(dTrain, holdout).select($"doc_id")
-    val accepted = clocked("d6_decontaminate")(
+    val cont = Dedup.contaminationAgainst(dTrain, side.holdout)
+      .select($"doc_id")
+    clocked("d6_decontaminate")(
       Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti")))
+  }
+
+  def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,
+      clDelta: DataFrame, emb: DataFrame,
+      trained: Seq[(Long, Seq[Float])]): DataFrame = {
+    import s.implicits._
+
+    // stages guard–6 against the transient store side
+    val accepted = acceptDelta(s,
+      storeSideOf(s, store, holdout, emb, trained), clDelta, emb, trained)
 
     // stage 7: pack-append — offsets continue the store's token stream.
     // The base prefers a materialized n_tok column when the store

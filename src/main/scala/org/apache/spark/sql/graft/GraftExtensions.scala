@@ -312,6 +312,22 @@ object GraftExtensions {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
     }
+    // graft-required AQE setting, injected so a deployment gets the
+    // measured skew-join split without hand configuration: the
+    // decontamination operator aggregates ABOVE its join (count per
+    // doc_id), which imposes a distribution requirement on the join
+    // output, and OptimizeSkewedJoin then declines by default even
+    // though the "extra" shuffle it fears is one the plan pays anyway
+    // (the aggregate re-exchanges on doc_id regardless). With Spark's
+    // default skew thresholds (256 MB partitions) this is inert at
+    // test scale — it only engages on partitions that are genuinely
+    // skewed at cluster scale, exactly when the split is wanted.
+    // Respect an explicit builder/config-file setting (RuntimeConfig
+    // cannot distinguish "unset" from "at default", so the launch conf
+    // is the explicit-intent signal).
+    val skewKey = "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    if (!spark.sparkContext.conf.contains(skewKey))
+      spark.conf.set(skewKey, "true")
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)

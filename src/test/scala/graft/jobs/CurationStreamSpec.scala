@@ -141,6 +141,62 @@ class CurationStreamSpec extends AnyFunSuite {
       "a replayed batch must not re-append its docs")
   }
 
+  test("one query instance: cross-batch dedup rides the in-memory side increment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the round-13 stream derives its store-side tables ONCE and
+    // appends to them in memory between rebuilds — a doc accepted in
+    // batch N must protect against batch N+1's duplicates WITHOUT a
+    // restart (the restart path re-reads the store and is covered by
+    // the replay test; this pins the increment path: ids, texts, cells)
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val sIds = pickIds(4, id => bucketOf(id) < 80)
+    val dIds = pickIds(5, id => bucketOf(id) < 80, from = sIds.max + 1)
+    val Seq(a, b, c, d, f) = dIds
+    val curated = mk(sIds.zipWithIndex.map { case (id, i) =>
+      (id, text(s"s${('a' + i).toChar}")) })
+    val allIds = sIds ++ dIds
+    // one-hot embeddings on distinct dims — EXCEPT c, which clones a's
+    // vector so the semantic stage must drop it via the cells increment
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      val dim = if (id == c) dims(a) % 64 else dims(id) % 64
+      (id, (0 until 64).map(x => if (x == dim) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+    val holdout = mk(Seq.empty)
+    val storeDir = Files.createTempDirectory("cur_incr_side").toString
+    val ckpt = Files.createTempDirectory("cur_incr_side_ckpt").toString
+    CurationStream.initStore(curated, storeDir)
+    val in = MemoryStream[(Long, String, String, Long, String)]
+    val q = CurationStream.ingestStream(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+      emb, trained, holdout, storeDir, ckpt)
+    try {
+      def push(rows: Seq[(Long, String)]): Unit = {
+        in.addData(rows.map { case (id, t) =>
+          (id, "en", "web", t.length.toLong, t) }: _*)
+        q.processAllAvailable()
+      }
+      push(Seq(a -> text("aone")))                      // accepted
+      push(Seq(b -> text("aone"),                       // exact dup of a (texts)
+        c -> text("cone"),                              // semantic dup of a (cells)
+        d -> text("done")))                             // accepted
+      push(Seq(a -> text("eone"),                       // reuses a's id (ids)
+        f -> text("fone")))                             // accepted
+      val accepted = CurationStream.readStore(spark, storeDir)
+        .filter($"ingest_batch" >= 0L)
+        .select($"doc_id", $"ingest_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(accepted === Set((a, 0L), (d, 1L), (f, 2L)),
+        "cross-batch dups must drop against the in-memory increment, " +
+          s"got $accepted")
+    } finally stopAndWait(q)
+  }
+
   test("store lifecycle: compaction and redaction leave the manifest invariant") {
     import spark.implicits._
     val storeIds = pickIds(10, id => id % 7 != 0 && bucketOf(id) < 80)
