@@ -591,6 +591,182 @@ object ScaleProbe {
     }
   }
 
+  /** `--store-evolve` mode: MAINTENANCE-HEAVY multi-round store
+    * evolution — the lifecycle the 20-batch soak cannot see. `nBatches`
+    * micro-batches (default 100) through one `ingestStream` instance
+    * with compaction every 5 batches and redactions at n/4, n/2, 3n/4
+    * (3 deterministic victims each), every maintenance op's wall-clock
+    * and rewritten bytes recorded as a series. Two parity gates at the
+    * end:
+    *
+    *  1. a PLAIN leg (same redactions — they change dedup semantics —
+    *     but zero compactions) must produce a row-identical manifest
+    *     view: 20+ compactions across the horizon moved no offset;
+    *  2. a FROM-SCRATCH REPLAY of the surviving inputs (seed + exactly
+    *     the accepted delta rows, appended batch-by-batch into a fresh
+    *     store) must reproduce the manifest view bit-for-bit: after
+    *     ~100 rounds of churn the durable state is still precisely the
+    *     deterministic function of what survived — no maintenance
+    *     residue, no offset drift, no attribution loss.
+    */
+  private def storeEvolveProbe(spark: SparkSession, sfDir: String,
+      nBatches: Int, mult: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = tempDir("evolve_corpus")
+    scaled(spark, sfDir, mult, alphaNs = true).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    scaledEmbeddingsShifted(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val cl = graft.queries.Curation.clean(docs)
+    val bucket = pmod(pmod(col("doc_id"), lit(1000000000L)) * 2654435761L,
+      lit(100L))
+    val seed = cl.filter(pmod(col("doc_id"), lit(7L)) =!= 0L && bucket < 80L)
+    val holdout = cl.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
+      bucket >= 80L)
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+    val slices = (0 until nBatches).map(i => delta
+      .filter(pmod(expr("doc_id DIV 7"), lit(nBatches.toLong)) === i.toLong)
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
+      .as[(Long, String, String, Long, String)].collect().toSeq)
+    val redactAt = Set(nBatches / 4, nBatches / 2, 3 * nBatches / 4)
+
+    def fileState(storeDir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) Seq(f)
+        else Seq.empty
+      walk(new java.io.File(storeDir))
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+    }
+
+    // victims per redaction point, chosen ONCE (oldest live ingest
+    // batch, min doc_ids) and shared across legs — divergent victim
+    // sets would legitimately diverge the manifests
+    val victimsAt = scala.collection.mutable.Map.empty[Int, Seq[Long]]
+
+    def leg(name: String, compactEvery: Int): (Set[Seq[Any]], String, String) = {
+      val storeDir = tempDir(s"evolve_store_$name")
+      val ckpt = tempDir(s"evolve_ckpt_$name")
+      graft.streaming.CurationStream.initStore(
+        seed.select($"doc_id", $"lang", $"source", $"n_chars", $"text"),
+        storeDir)
+      val in = MemoryStream[(Long, String, String, Long, String)]
+      val q = graft.streaming.CurationStream.ingestStream(
+        in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+        emb, trained, holdout, storeDir, ckpt)
+      val batchSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { i =>
+        val b0 = System.nanoTime()
+        in.addData(slices(i): _*)
+        q.processAllAvailable()
+        batchSec += (System.nanoTime() - b0) / 1e9
+        def maint(op: String)(body: => Unit): Unit = {
+          val before = fileState(storeDir)
+          val m0 = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - m0) / 1e9
+          val after = fileState(storeDir)
+          val rewritten = after
+            .filterNot { case (p, st) => before.get(p).contains(st) }
+            .values.map(_._1).sum
+          println(s"""{"probe":"store_evolve_maint","leg":"$name",""" +
+            s""""batch":${i + 1},"op":"$op","sec":${f"$sec%.3f"},""" +
+            s""""rewritten_bytes":$rewritten,""" +
+            s""""store_bytes":${after.values.map(_._1).sum}}""")
+        }
+        if (compactEvery > 0 && (i + 1) % compactEvery == 0)
+          maint("compact")(graft.streaming.CurationStream
+            .compactStore(spark, storeDir))
+        if (redactAt(i + 1)) {
+          val ids = victimsAt.getOrElseUpdate(i + 1, {
+            val oldest = graft.streaming.CurationStream
+              .readStore(spark, storeDir)
+              .filter($"ingest_batch" >= 0L && $"text".isNotNull)
+              .select($"ingest_batch").agg(min($"ingest_batch"))
+              .head().getLong(0)
+            graft.streaming.CurationStream.readStore(spark, storeDir)
+              .filter($"ingest_batch" === oldest && $"text".isNotNull)
+              .select($"doc_id").orderBy($"doc_id").limit(3)
+              .collect().map(_.getLong(0)).toSeq
+          })
+          maint("redact")(graft.streaming.CurationStream
+            .redactStore(spark, storeDir, ids))
+        }
+        if ((i + 1) % 10 == 0)
+          println(s"""{"probe":"store_evolve_progress","leg":"$name",""" +
+            s""""batch":${i + 1},"cum_sec":${f"${batchSec.sum}%.1f"}}""")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop(); q.awaitTermination()
+      val store = graft.streaming.CurationStream.readStore(spark, storeDir)
+      val accepted = store.filter($"ingest_batch" >= 0L).count()
+      val view = graft.streaming.CurationStream.manifestView(store)
+        .collect().map(_.toSeq).toSet
+      def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      val row = s""""leg":"$name","batches":$nBatches,""" +
+        s""""accepted":$accepted,"sec":${f"$sec%.1f"},""" +
+        s""""batch_sec_med":${f"${med(batchSec.toSeq)}%.3f"},""" +
+        s""""files_final":${fileState(storeDir).size},""" +
+        s""""buckets":${graft.streaming.CurationStream
+          .liveBuckets(storeDir).size}"""
+      graft.ext.Dedup.clearSignatureCaches()
+      (view, row, storeDir)
+    }
+
+    val (viewMaint, rowMaint, maintStore) = leg("maintained", compactEvery = 5)
+    val (viewPlain, rowPlain, _) = leg("plain", compactEvery = 0)
+    val maintParity = viewMaint == viewPlain
+
+    // from-scratch replay of the surviving inputs: seed + exactly the
+    // accepted rows, appended with their original batch ids — the
+    // manifest view is a pure function of these rows, so it must
+    // reproduce bit-for-bit (redacted rows' text differs, but the view
+    // never reads text)
+    val survivors = graft.streaming.CurationStream
+      .readStore(spark, maintStore)
+      .filter($"ingest_batch" >= 0L)
+      .select($"doc_id", $"ingest_batch").as[(Long, Long)]
+      .collect().toMap
+    val replayDir = tempDir("evolve_store_replay")
+    graft.streaming.CurationStream.initStore(
+      seed.select($"doc_id", $"lang", $"source", $"n_chars", $"text"),
+      replayDir)
+    (0 until nBatches).foreach { i =>
+      val rows = slices(i).filter(r => survivors.get(r._1).contains(i.toLong))
+      if (rows.nonEmpty)
+        graft.streaming.CurationStream.appendStore(
+          graft.queries.Curation.clean(
+            rows.toDF("doc_id", "lang", "source", "n_chars", "text"))
+            .select($"doc_id", $"lang", $"source", $"n_chars", $"text",
+              coalesce(size(graft.ext.TextStats.tokens($"text")), lit(0))
+                .cast("long").as("n_tok"), lit(i.toLong).as("ingest_batch")),
+          replayDir)
+    }
+    val viewReplay = graft.streaming.CurationStream.manifestView(
+      graft.streaming.CurationStream.readStore(spark, replayDir))
+      .collect().map(_.toSeq).toSet
+    val replayParity = viewMaint == viewReplay
+
+    println(s"""{"probe":"store_evolve","mult":$mult,$rowMaint,""" +
+      s""""maint_parity":$maintParity,"replay_parity":$replayParity}""")
+    println(s"""{"probe":"store_evolve","mult":$mult,$rowPlain,""" +
+      s""""maint_parity":$maintParity}""")
+    require(maintParity,
+      "maintenance-heavy evolution diverged from the plain leg")
+    require(replayParity,
+      "the evolved store's manifest does not equal a replay of its survivors")
+  }
+
   /** `--longdoc` mode: measure what the hash-led exact-dedup shuffle
     * key buys on LONG documents. The adversarial-but-realistic corpus:
     * docs share a ~96k-char boilerplate PREFIX (the shape of template-
@@ -772,6 +948,25 @@ object ScaleProbe {
       spark.sparkContext.setLogLevel("WARN")
       org.apache.spark.sql.graft.GraftExtensions.install(spark)
       try longDocProbe(spark, nDocs, prefixTokens, dupFactor)
+      finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
+      return
+    }
+    if (args.headOption.contains("--store-evolve")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val nBatches = args.lift(2).map(_.toInt).getOrElse(100)
+      val mult = args.lift(3).map(_.toInt).getOrElse(1)
+      // 8 shuffle partitions for the same reason as the soak: a
+      // lifecycle probe of tiny micro-batches measures mechanics, and
+      // 32 near-empty tasks/stage is pure scheduling floor
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      try storeEvolveProbe(spark, sfDir, nBatches, mult)
       finally { spark.stop(); tempDirs.foreach(deleteRecursively) }
       return
     }

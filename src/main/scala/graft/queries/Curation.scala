@@ -429,13 +429,21 @@ object Curation {
       .select($"in_doc".as("doc_id")).distinct()
     val d4a = clocked("d4a_minhash_vs_store")(
       Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti")))
-    val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
-      .select($"doc1".as("src"), $"doc2".as("dst"))
-    val drop4 = graft.operators.Graph.connectedComponents(s, pairsD)
-      .filter($"node" =!= $"component")
-      .select($"node".as("doc_id"))
+    val pairsD = Dedup.cached(Dedup.minhashPairs(d4a, MinJaccard)
+      .select($"doc1".as("src"), $"doc2".as("dst")))
+    // a delta with no internal near-dup pairs (the common micro-batch
+    // case) skips the component fixpoint AND drops the anti-join stage
+    // from the plan — equivalent by construction (empty pairs ⇒ empty
+    // drop list ⇒ no-op anti-join), and the emptiness probe is one
+    // delta-sized job
     val d4 = clocked("d4_minhash_within")(
-      Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti")))
+      if (pairsD.isEmpty) d4a
+      else {
+        val drop4 = graft.operators.Graph.connectedComponents(s, pairsD)
+          .filter($"node" =!= $"component")
+          .select($"node".as("doc_id"))
+        Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti"))
+      })
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min

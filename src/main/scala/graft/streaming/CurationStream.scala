@@ -138,9 +138,10 @@ object CurationStream {
 
   /** Micro-batches between full store-side rebuilds: bounds both the
     * `recent` union chain's plan size and the staleness of the cached
-    * corpus-sized tables. One bucket's worth of batches by default.
+    * corpus-sized tables. The soak measured ~1 s/batch of added plan
+    * cost per outstanding recent entry, so the window is kept short.
     */
-  val RebuildEvery: Int = BatchesPerBucket.toInt
+  val RebuildEvery: Int = 8
 
   // ---- store content versions (maintenance invalidation) --------------
   // The stream caches store-derived tables in memory; a maintenance op
@@ -181,7 +182,6 @@ object CurationStream {
   private final class IngestState(storeDir: String, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame) {
     private var side: Curation.StoreSide = null
-    private var owned: Seq[DataFrame] = Nil
     private var recent: List[DataFrame] = Nil
     private var builtAtVersion = -1L
     private var batchesSince = 0
@@ -194,24 +194,48 @@ object CurationStream {
       else batchesSince += 1
     }
 
+    /** The side tables are EAGER localCheckpoints, not `.cache()`s —
+      * a measured driver-floor decision, not a style one. A cached
+      * side frame keeps its FULL analyzed plan (store scan + the
+      * k×dim centroid expression tree) registered in the session
+      * CacheManager, and then EVERY per-batch cache/uncache/write
+      * walks those trees: the parquet append's refreshByPath and the
+      * delta-cache release each canonicalized every entry, measured
+      * at 7–9 s and 15–19 s per few-doc batch — 70% of the whole
+      * micro-batch. A localCheckpoint is a LogicalRDD LEAF: same
+      * block-manager residency, but no cache entry to scan, no path
+      * reference for the append to refresh, and a one-node plan under
+      * every downstream analysis. Old checkpoints are reclaimed by the
+      * ContextCleaner when the rebuild drops the references.
+      */
     private def rebuild(s: SparkSession, v: Long): Unit = {
-      owned.foreach { df => df.unpersist(); () }
       recent = Nil
-      // the stream owns its holdout cache (NOT Dedup's registry — the
-      // per-batch clearSignatureCaches must not evict it)
-      if (holdoutPrepared == null)
-        holdoutPrepared = Dedup.prepareHoldout(holdout, register = false)
+      // the stream owns its holdout artifact; checkpoint-backed for
+      // the same plan-leaf reason
+      if (holdoutPrepared == null) {
+        val codes = Dedup.shingleSets(holdout)
+          .select(explode_outer(col("tset")).as("code"))
+          .filter(col("code").isNotNull).distinct()
+          .localCheckpoint(true)
+        val n = codes.count()
+        val bytes = if (n == 0) None else Some {
+          val bloom = codes.stat.bloomFilter("code", n, 0.03)
+          val b = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(b)
+          b.toByteArray
+        }
+        holdoutPrepared = Dedup.HoldoutCodes(codes, n, bytes)
+      }
       val store = readStore(s, storeDir)
       side = Curation.StoreSide(
-        ids = store.select(col("doc_id")).cache(),
+        ids = store.select(col("doc_id")).localCheckpoint(true),
         texts = store.select(xxhash64(col("text")).as("__h"),
-          col("text")).cache(),
-        sigs = Dedup.signatureFrame(store).cache(),
+          col("text")).localCheckpoint(true),
+        sigs = Dedup.signatureFrame(store).localCheckpoint(true),
         cells = Similarity.ivfAssign(
           emb.join(store.select(col("doc_id").as("vec_id")),
-            Seq("vec_id")), trained).cache(),
+            Seq("vec_id")), trained).localCheckpoint(true),
         holdout = holdoutPrepared)
-      owned = Seq(side.ids, side.texts, side.sigs, side.cells)
       builtAtVersion = v
       batchesSince = 0
     }
@@ -256,24 +280,37 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        state.ensureFresh(s)
+        // NOTE on AQE: leaving adaptive execution ON is deliberate and
+        // measured — a soak leg with adaptive disabled ran ~60% SLOWER
+        // (271 vs 65 jobs/batch: without AQE the planner stops
+        // broadcasting the delta-sized sides of the drop joins, and
+        // every anti-join becomes a full sort-merge over the store).
+        val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+        def ph[T](name: String)(f: => T): T =
+          if (!dbg) f else {
+            val t0 = System.nanoTime()
+            val r = f
+            println(f"  stream-phase $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
+        ph("ensureFresh")(state.ensureFresh(s))
         val clB = Curation.clean(batch)
-        val accepted = Curation.acceptDelta(s, state.effectiveSide,
-          clB, emb, trained)
+        val accepted = ph("acceptDelta construct")(
+          Curation.acceptDelta(s, state.effectiveSide, clB, emb, trained))
         // materialize ONCE with truncated lineage: the appended rows
         // feed both the store write and the in-memory side increment,
         // and a lazy frame would chain every batch's delta plan into
         // the next batch's side
-        val rows = accepted
+        val rows = ph("localCheckpoint")(accepted
           .select(col("doc_id"), col("lang"), col("source"),
             col("n_chars"), col("text"), tokCount,
             lit(batchId).as("ingest_batch"))
-          .localCheckpoint(true)
-        if (!rows.isEmpty) {
-          appendStore(rows, storeDir)
+          .localCheckpoint(true))
+        if (!ph("isEmpty")(rows.isEmpty)) {
+          ph("appendStore")(appendStore(rows, storeDir))
           state.addRecent(rows)
         }
-        Dedup.clearSignatureCaches() // delta-side caches only
+        ph("clearSigCaches")(Dedup.clearSignatureCaches())
         ()
       }
       .start()
