@@ -117,7 +117,12 @@ object IndexExport {
   def withPinnedEpoch[T](outDir: String)(f: String => T): T = {
     var dir = resolveEpoch(outDir)
     var c = acquirePin(dir)
-    while (!new File(dir).exists()) {
+    // re-resolve only while the pointer names a pruned epoch (the
+    // microsecond race with a concurrent prune). A root WITHOUT a
+    // pointer resolves to itself — never retried, so a missing or
+    // flat layout falls through and fails in the reader with the
+    // layout error, not an infinite loop here.
+    while (dir != outDir && !new File(dir).exists()) {
       c.decrementAndGet()
       dir = resolveEpoch(outDir)
       c = acquirePin(dir)

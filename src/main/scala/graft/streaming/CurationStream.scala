@@ -275,6 +275,11 @@ object CurationStream {
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame,
       storeDir: String, checkpointDir: String): StreamingQuery = {
     new File(storeDir).mkdirs() // empty store = empty corpus
+    // heal any maintenance op the previous process died inside of —
+    // without this, a restart between a crash and the next compaction
+    // would ingest against a store whose live partition still sits in
+    // _trash (crash state S1), silently losing its dedup protection
+    recoverStore(storeDir)
     val state = new IngestState(storeDir, emb, trained, holdout)
     deltaStream.writeStream
       .option("checkpointLocation", checkpointDir)

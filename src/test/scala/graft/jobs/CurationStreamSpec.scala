@@ -412,6 +412,56 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(eCompact.getMessage.contains("legacy flat store layout"))
   }
 
+  test("ingestStream heals an interrupted maintenance swap at start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val storeDir = Files.createTempDirectory("cur_heal").toString
+    CurationStream.initStore(
+      mk((1L to 5L).map(id => id -> text(s"h${('a' + id.toInt).toChar}"))),
+      storeDir)
+    def view() = CurationStream
+      .manifestView(CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+    val before = view()
+    // manufacture crash state S1: live partition moved to trash,
+    // complete staging copy + commit marker present — the one window
+    // where NO live partition exists. A restart that reads the store
+    // without recovery would silently ingest against an empty corpus.
+    val root = new java.io.File(storeDir)
+    val live = new java.io.File(root, "batch_bucket=-1")
+    val staging = new java.io.File(root, "_staging/batch_bucket=-1")
+    spark.read.schema(CurationStream.StoreSchema).parquet(live.toString)
+      .repartition(1).write.mode("overwrite").parquet(staging.toString)
+    Files.write(Paths.get(storeDir, "_swap_-1"), "-1".getBytes)
+    val trash = new java.io.File(root, "_trash/batch_bucket=-1")
+    trash.getParentFile.mkdirs()
+    Files.move(live.toPath, trash.toPath)
+
+    // starting the stream must roll the swap FORWARD before the first
+    // batch can read the store
+    val emb = (1L to 5L).map(id =>
+      (id, (0 until 64).map(d => if (d == id % 64) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 4, iters = 1, roundTo = 4)
+    val in = MemoryStream[(Long, String, String, Long, String)]
+    val q = CurationStream.ingestStream(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+      emb, trained, mk(Seq.empty), storeDir,
+      Files.createTempDirectory("cur_heal_ckpt").toString)
+    try {
+      spark.catalog.refreshByPath(storeDir)
+      assert(!new java.io.File(root, "_swap_-1").exists &&
+        !staging.exists && !trash.exists,
+        "stream start must run crash recovery")
+      assert(view() === before,
+        "the healed store must carry the full pre-crash manifest")
+    } finally stopAndWait(q)
+  }
+
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) =

@@ -182,6 +182,16 @@ class IndexExportSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
   }
 
+  test("a lookup against a missing layout fails fast, never spins on the pin") {
+    val dir = new java.io.File(
+      Files.createTempDirectory("bm25_missing").toFile, "never_exported")
+    val e = intercept[IllegalArgumentException] {
+      LocalLookup.bm25Single(dir.toString, Seq("spark"), 5)
+    }
+    assert(e.getMessage.contains("no meta file"),
+      s"missing layout must surface the reader's error, got: ${e.getMessage}")
+  }
+
   test("pq lookup over exported cells equals ivfAdcTopK on the live table") {
     import spark.implicits._
     val dims = 0 until 32
