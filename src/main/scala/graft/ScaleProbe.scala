@@ -878,29 +878,99 @@ object ScaleProbe {
   private def redactMassProbe(spark: SparkSession, nDocs: Int,
       nIds: Int): Unit = {
     import spark.implicits._
-    val dir = tempDir("redact_mass_store")
-    val rows = spark.range(nDocs.toLong).select(
-      $"id".as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
-      lit(64L).as("n_chars"),
-      concat(lit("alpha beta gamma delta body "),
-        ($"id" % 97L).cast("string")).as("text"),
-      lit(8L).as("n_tok"),
-      pmod($"id", lit(128L)).as("ingest_batch"))
-    graft.streaming.CurationStream.appendStore(rows, dir, mode = "overwrite")
-    val buckets = graft.streaming.CurationStream.liveBuckets(dir).size
-    // every other doc, as a DataFrame — no driver-side id list exists
-    val tomb = spark.range(nIds.toLong).select(($"id" * 2L).as("doc_id"))
-    val t0 = System.nanoTime()
-    graft.streaming.CurationStream.redactStore(spark, dir, tomb)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val redacted = graft.streaming.CurationStream.readStore(spark, dir)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val byteListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    def measured[T](f: => T): (T, Long, Double) = {
+      spark.sparkContext.addSparkListener(byteListener)
+      bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async (private bus, no public flush):
+      // settle briefly before reading the counter
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(byteListener)
+      (r, bytesRead.get(), sec)
+    }
+    def freshStore(name: String): String = {
+      val dir = tempDir(name)
+      val rows = spark.range(nDocs.toLong).select(
+        $"id".as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+        lit(64L).as("n_chars"),
+        concat(lit("alpha beta gamma delta body "),
+          ($"id" % 97L).cast("string")).as("text"),
+        lit(8L).as("n_tok"),
+        pmod($"id", lit(128L)).as("ingest_batch"))
+      graft.streaming.CurationStream.appendStore(rows, dir,
+        mode = "overwrite")
+      // seal the store: the first maintenance pass builds every
+      // bucket's doc_id sidecar (one-time O(store) backfill)
+      graft.streaming.CurationStream.compactStore(spark, dir)
+      dir
+    }
+    def storeBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".") &&
+          !f.getParentFile.getName.startsWith("_")) f.length
+        else 0L
+      walk(new java.io.File(dir))
+    }
+
+    // LEG 1 — discovery boundedness: tombstones CONCENTRATED in one
+    // batch bucket (ids with ingest_batch 0..15). The sidecars must
+    // prune discovery to ~that bucket: bytes read across the whole
+    // redaction (discovery + rewrite + sidecar rebuild) stay a
+    // fraction of the store, not a multiple of it.
+    val dir1 = freshStore("redact_mass_bounded")
+    val sb = storeBytes(dir1)
+    val buckets1 = graft.streaming.CurationStream.liveBuckets(dir1).size
+    val nIds1 = math.min(nIds.toLong, nDocs.toLong / 8L)
+    val tomb1 = spark.range(nIds1).select(
+      expr("(id DIV 16) * 128 + (id % 16)").cast("long").as("doc_id"))
+      .filter($"doc_id" < nDocs.toLong)
+    val expected1 = tomb1.count()
+    val (_, bytes1, sec1) = measured(
+      graft.streaming.CurationStream.redactStore(spark, dir1, tomb1))
+    val redacted1 = graft.streaming.CurationStream.readStore(spark, dir1)
       .filter($"text".isNull).count()
-    val expected = math.min(nIds.toLong, (nDocs.toLong + 1) / 2)
+    println(s"""{"probe":"redact_mass_bounded","docs":$nDocs,""" +
+      s""""tombstones":$expected1,"redacted":$redacted1,""" +
+      s""""buckets":$buckets1,"touched_buckets":1,""" +
+      s""""store_bytes":$sb,"bytes_read":$bytes1,""" +
+      s""""read_fraction":${f"${bytes1.toDouble / sb}%.3f"},""" +
+      s""""sec":${f"$sec1%.3f"}}""")
+    require(redacted1 == expected1,
+      s"bounded redaction nulled $redacted1 rows, expected $expected1")
+    require(bytes1 < sb,
+      s"discovery read $bytes1 bytes against a $sb-byte store — " +
+        "the sidecar prune is not bounding it")
+
+    // LEG 2 — compliance-scale mass redaction across every bucket
+    // (every other doc): the flat-plan tombstone-TABLE contract
+    val dir2 = freshStore("redact_mass_store")
+    val buckets2 = graft.streaming.CurationStream.liveBuckets(dir2).size
+    val tomb2 = spark.range(nIds.toLong).select(($"id" * 2L).as("doc_id"))
+    val (_, bytes2, sec2) = measured(
+      graft.streaming.CurationStream.redactStore(spark, dir2, tomb2))
+    val redacted2 = graft.streaming.CurationStream.readStore(spark, dir2)
+      .filter($"text".isNull).count()
+    val expected2 = math.min(nIds.toLong, (nDocs.toLong + 1) / 2)
     println(s"""{"probe":"redact_mass","docs":$nDocs,"tombstones":$nIds,""" +
-      s""""redacted":$redacted,"buckets":$buckets,""" +
-      s""""sec":${f"$sec%.3f"}}""")
-    require(redacted == expected,
-      s"mass redaction nulled $redacted rows, expected $expected")
+      s""""redacted":$redacted2,"buckets":$buckets2,""" +
+      s""""bytes_read":$bytes2,""" +
+      s""""sec":${f"$sec2%.3f"}}""")
+    require(redacted2 == expected2,
+      s"mass redaction nulled $redacted2 rows, expected $expected2")
   }
 
   def main(args: Array[String]): Unit = {
@@ -983,6 +1053,11 @@ object ScaleProbe {
       val spark = SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "8")
+        // session-level AQE knob for soak A/B runs (the stream scopes
+        // AQE off inside its own foreachBatch either way — this knob
+        // exists to re-adjudicate that decision in future rounds)
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_SOAK_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -63,26 +63,29 @@ object Tables {
     * per file; zero Spark jobs.
     */
   def fingerprint(sfDir: String, names: Seq[String]): String = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .sortBy(_.getName).flatMap(files)
-      else if (f.isFile) Seq(f)
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import graft.jobs.Dfs
+    // the walk rides the Hadoop FileSystem seam (graft.jobs.Dfs), so a
+    // corpus on hdfs:// fingerprints through the same code as local
+    // test data; pure driver reads, bounded at 64 KiB per file
+    def files(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        Dfs.list(st.getPath).sortBy(_.getPath.getName).flatMap(files)
+      else if (st.isFile) Seq(st)
       else Seq.empty
-    def tailSum(f: java.io.File): String = {
-      val n = math.min(f.length, 65536L).toInt
-      if (n <= 0) "empty"
+    def tailSum(st: FileStatus): String = {
+      val buf = Dfs.readTail(st, 65536)
+      if (buf.isEmpty) "empty"
       else {
-        val buf = new Array[Byte](n)
-        val raf = new java.io.RandomAccessFile(f, "r")
-        try { raf.seek(f.length - n); raf.readFully(buf) } finally raf.close()
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(buf).map(b => f"$b%02x").mkString
       }
     }
     val sig = names
-      .flatMap(n => files(new java.io.File(sfDir, s"$n.parquet")))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:${tailSum(f)}")
+      .flatMap(n => Dfs.status(
+        new Path(Dfs.qualified(sfDir), s"$n.parquet")).toSeq.flatMap(files))
+      .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+        s"${st.getModificationTime}:${tailSum(st)}")
       .mkString("|")
     java.lang.Long.toHexString(org.apache.spark.sql.graft.GraftColumns
       .xxhash64String(s"v$LayoutVersion|$sfDir|$sig"))

@@ -462,6 +462,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contaminationAgainst]] with the TRAIN side broadcast — the
+    * streaming hot path, where the train side is a micro-batch delta:
+    * the holdout-code table is scanned, never shuffled, and no
+    * adaptive re-plan is needed to get the build side right. Same rows
+    * (the join is the same equi-join; only the build-side hint moves).
+    */
+  def contaminationAgainstSmall(train: DataFrame, h: HoldoutCodes): DataFrame = {
+    val trCodesRaw = shingleSets(train)
+      .select(col("doc_id"), explode_outer(col("tset")).as("code"))
+      .filter(col("code").isNotNull)
+    val trCodes = h.bloomBytes.fold(trCodesRaw)(bytes =>
+      trCodesRaw.filter(org.apache.spark.sql.graft.GraftColumns
+        .bloomMightContain(bytes, col("code"))))
+    broadcast(trCodes).join(h.codes, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** K-wide MinHash signature over the token set. */
   def minhashSignature(setCol: Column): Column =
     array((0 until K).map { i =>
@@ -627,6 +645,53 @@ object Dedup {
   def minhashPairsAgainst(store: DataFrame, incoming: DataFrame,
       minJaccard: Double, maxBucket: Int = 1000): DataFrame =
     minhashPairsAgainstSigs(sigTable(store), incoming, minJaccard, maxBucket)
+
+  /** The exploded (doc_id, band, key) band table of a [[signatureFrame]]
+    * — UNCAPPED: the at-rest form a long-lived ingest surface derives
+    * once per store version; [[minhashPairsAgainstPrepared]] applies
+    * the hot-bucket cap per batch from maintained counts.
+    */
+  def explodedBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+
+  /** [[minhashPairsAgainstSigs]] over PREPARED store-side artifacts —
+    * the streaming hot path. `sBands` is the store's UNCAPPED
+    * [[explodedBands]] table (store plus window appends), `sHot` the
+    * EXACT current hot-key set (band buckets whose total membership
+    * exceeds `maxBucket`, derived from once-per-version counts plus a
+    * delta-sized reconciliation — see CurationStream), `sSig` the full
+    * signature frame for verification. Plan shape: the incoming side
+    * rides broadcast hints through every join (a micro-batch delta is
+    * small by construction), so the store side is SCANNED, never
+    * shuffled — no per-batch store-wide exchange survives. Rows are
+    * identical to [[minhashPairsAgainstSigs]] whenever sHot equals the
+    * key set dropHotBuckets would compute over sBands (pinned by
+    * CurationStreamSpec's streamed-equals-batch gate).
+    */
+  def minhashPairsAgainstPrepared(sBands: DataFrame, sHot: DataFrame,
+      sSig: DataFrame, incoming: DataFrame, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val iSig = sigTable(incoming)
+    val iBands = dropHotBuckets(explodedBands(iSig),
+      Seq("band", "key"), maxBucket)
+    val candidates = sBands
+      .join(broadcast(sHot.select(col("band"), col("key"))),
+        Seq("band", "key"), "left_anti")
+      .join(broadcast(iBands.select(col("band"), col("key"),
+        col("doc_id").as("in_doc"))), Seq("band", "key"))
+      .select(col("in_doc"), col("doc_id").as("store_doc"))
+      .distinct()
+    broadcast(candidates
+        .join(broadcast(iSig.select(col("doc_id").as("in_doc"),
+          col("tset").as("t1"))), Seq("in_doc")))
+      .join(sSig.select(col("doc_id").as("store_doc"),
+        col("tset").as("t2")), Seq("store_doc"))
+      .withColumn("jaccard", rnd(
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("in_doc"), col("store_doc"), col("jaccard"))
+  }
 
   /** [[minhashPairsAgainst]] over a PRE-DERIVED store signature table
     * (the [[signatureFrame]] shape) — the store side of the streaming

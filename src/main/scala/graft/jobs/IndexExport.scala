@@ -1,9 +1,6 @@
 package graft.jobs
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftColumns
@@ -88,10 +85,30 @@ object IndexExport {
     sys.env.get("SPARK_GRAFT_EPOCH_GRACE_MS").map(_.toLong).getOrElse(0L)
 
   // per-epoch in-flight reader counts; entries are swept once the
-  // epoch directory is gone and the count is zero
+  // epoch directory is gone and the count is zero. Keys are the
+  // CANONICAL ([[Dfs.qualified]]) epoch paths — resolveEpoch and
+  // pruneEpochs both key through the same qualifier, so a relative or
+  // symlinked caller spelling can never pin a key the pruner never
+  // consults.
   private val epochPins =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.atomic.AtomicInteger]()
+
+  // epochs a prune has COMMITTED to deleting: the pruner publishes
+  // intent here BEFORE its pin check, and acquirePin refuses a
+  // condemned epoch (re-resolving instead), which closes the
+  // check-then-act race between "pin count read, then delete" and
+  // "pin taken, then exists-check" — no interleaving can leave a
+  // reader holding a vanishing epoch (IndexExportSpec forces the
+  // window through [[prunePauseHook]]).
+  private val condemned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: runs between a prune's pin check and its delete. */
+  private[jobs] var prunePauseHook: String => Unit = _ => ()
+
+  /** Test hook: runs between a reader's resolve and its first pin. */
+  private[jobs] var pinPauseHook: String => Unit = _ => ()
 
   @annotation.tailrec
   private def acquirePin(dir: String): java.util.concurrent.atomic.AtomicInteger = {
@@ -115,15 +132,21 @@ object IndexExport {
     * pointer.
     */
   def withPinnedEpoch[T](outDir: String)(f: String => T): T = {
+    val root = Dfs.qualified(outDir).toString
     var dir = resolveEpoch(outDir)
+    pinPauseHook(dir)
     var c = acquirePin(dir)
-    // re-resolve only while the pointer names a pruned epoch (the
-    // microsecond race with a concurrent prune). A root WITHOUT a
-    // pointer resolves to itself — never retried, so a missing or
-    // flat layout falls through and fails in the reader with the
-    // layout error, not an infinite loop here.
-    while (dir != outDir && !new File(dir).exists()) {
+    // re-resolve while the pinned epoch is CONDEMNED (a prune committed
+    // to deleting it before our pin landed) or already gone. A root
+    // WITHOUT a pointer resolves to itself — never retried, so a
+    // missing or flat layout falls through and fails in the reader
+    // with the layout error, not an infinite loop here. The pointer
+    // always names an epoch inside the keep window, so a re-resolve
+    // lands on a live epoch as soon as the racing prune's swap settles.
+    while (dir != root &&
+        (condemned.contains(dir) || !Dfs.exists(new Path(dir)))) {
       c.decrementAndGet()
+      Thread.onSpinWait()
       dir = resolveEpoch(outDir)
       c = acquirePin(dir)
     }
@@ -146,25 +169,22 @@ object IndexExport {
     * hand-built (or pre-versioning) flat layout still reads.
     */
   def resolveEpoch(outDir: String): String = {
-    val p = new File(outDir, "_LATEST")
-    if (!p.isFile) outDir
-    else {
-      val name = new String(Files.readAllBytes(p.toPath),
-        StandardCharsets.UTF_8).trim
-      new File(outDir, name).toString
-    }
+    val root = Dfs.qualified(outDir)
+    val p = new Path(root, "_LATEST")
+    if (!Dfs.isFile(p)) root.toString
+    else new Path(root, Dfs.readString(p).trim).toString
   }
 
   private def epochNum(name: String): Option[Long] =
     if (name.startsWith("epoch_")) name.stripPrefix("epoch_").toLongOption
     else None
 
-  private def nextEpochDir(outDir: String): File = {
-    val root = new File(outDir)
-    root.mkdirs()
-    val existing = Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => if (f.isDirectory) epochNum(f.getName) else None)
-    new File(root, s"epoch_${(if (existing.isEmpty) 0L else existing.max) + 1L}")
+  private def nextEpochDir(outDir: String): Path = {
+    val root = Dfs.qualified(outDir)
+    Dfs.mkdirs(root)
+    val existing = Dfs.list(root)
+      .flatMap(f => if (f.isDirectory) epochNum(f.getPath.getName) else None)
+    new Path(root, s"epoch_${(if (existing.isEmpty) 0L else existing.max) + 1L}")
   }
 
   /** Atomically point `_LATEST` at `epochName`: write a temp sibling,
@@ -172,19 +192,9 @@ object IndexExport {
     * racing the swap sees the old pointer or the new one, never a
     * partial write.
     */
-  private def swapPointer(outDir: String, epochName: String): Unit = {
-    val tmp = new File(outDir, "._LATEST.tmp")
-    Files.write(tmp.toPath, epochName.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(outDir, "_LATEST").toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
+  private def swapPointer(outDir: String, epochName: String): Unit =
+    Dfs.writeStringAtomic(
+      new Path(Dfs.qualified(outDir), "_LATEST"), epochName)
 
   /** Drop epochs older than the newest [[KeepEpochs]] — except those
     * pinned by an in-flight reader or younger than [[PruneGraceMs]] —
@@ -194,26 +204,33 @@ object IndexExport {
     * the NEXT export's prune collects them once unpinned and aged.
     */
   private def pruneEpochs(outDir: String): Unit = {
-    val root = new File(outDir)
+    val root = Dfs.qualified(outDir)
     val now = System.currentTimeMillis()
-    val epochs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && epochNum(f.getName).isDefined)
-      .sortBy(f => epochNum(f.getName).get)
-    epochs.dropRight(KeepEpochs).foreach { dir =>
-      val path = dir.toString
-      val pinned = Option(epochPins.get(path)).exists(_.get() > 0)
-      val inGrace = now - dir.lastModified() < PruneGraceMs
-      if (!pinned && !inGrace) {
-        bm25Readers.removeIf(_ == path)
-        codeReaders.removeIf(_ == path)
-        LocalLookup.invalidateEpoch(path)
-        deleteRecursively(dir)
-      }
+    val epochs = Dfs.list(root)
+      .filter(f => f.isDirectory && epochNum(f.getPath.getName).isDefined)
+      .sortBy(f => epochNum(f.getPath.getName).get)
+    epochs.dropRight(KeepEpochs).foreach { st =>
+      val path = st.getPath.toString
+      // publish intent FIRST: a reader pinning after this point sees
+      // the condemnation and re-resolves instead of trusting its pin
+      condemned.add(path)
+      try {
+        val pinned = Option(epochPins.get(path)).exists(_.get() > 0)
+        val inGrace = now - st.getModificationTime < PruneGraceMs
+        if (!pinned && !inGrace) {
+          prunePauseHook(path)
+          bm25Readers.removeIf(_ == path)
+          codeReaders.removeIf(_ == path)
+          LocalLookup.invalidateEpoch(path)
+          Dfs.delete(st.getPath)
+          ()
+        }
+      } finally { condemned.remove(path); () }
     }
     // sweep pin entries for epochs that no longer exist (zero-count
     // only; acquirePin re-checks mapping, so this cannot hide a pin)
     epochPins.entrySet().removeIf(e =>
-      e.getValue.get() == 0 && !new File(e.getKey).exists())
+      e.getValue.get() == 0 && !Dfs.exists(new Path(e.getKey)))
     ()
   }
 

@@ -392,43 +392,155 @@ object Curation {
       holdout = Dedup.prepareHoldout(holdout))
   }
 
+  // ---- shared delta-stage builders --------------------------------------
+  // ONE definition per stage expression, consumed by BOTH [[acceptDelta]]
+  // (batch: lazy frames + Dedup.cached — the gated q122/q125 plans) and
+  // [[acceptDeltaFast]] (streaming: eager stage checkpoints + count
+  // short-circuits). The two drivers differ ONLY in materialization
+  // strategy; semantic drift between them is structurally impossible at
+  // the stage level and pinned end-to-end by CurationStreamSpec
+  // (streamed ≡ sequential [[ingestDelta]] rounds) and the soak parity.
+
+  /** Id guard at the ingest boundary: the store is the doc_id authority
+    * like it is the dedup authority — a delta doc reusing an existing
+    * store id (even with DIFFERENT text) is rejected, because duplicate
+    * ids would fan out every manifest/attribution join downstream.
+    * Text-level dedup alone (stage 3) cannot see this case. No-op on
+    * id-disjoint deltas (the gated q122/q125 split).
+    */
+  private def idGuarded(side: StoreSide, clDelta: DataFrame): DataFrame =
+    clDelta.join(side.ids, Seq("doc_id"), "left_anti")
+
+  /** Stage-3 store half: drop delta docs whose cleaned text appears
+    * among the store's survivor texts ([[textAntiJoin]]'s hash-led
+    * shape against the prepared `side.texts`).
+    */
+  private def exactVsStore(side: StoreSide, d2: DataFrame,
+      smallDelta: Boolean = false): DataFrame = {
+    val keyed = d2.withColumn("__h", xxhash64(col("text")))
+    if (!smallDelta)
+      keyed.join(side.texts, Seq("__h", "text"), "left_anti").drop("__h")
+    else {
+      // micro-batch form: probe the store-texts leaf with the BROADCAST
+      // delta keys (semi), then anti-join the tiny match list back —
+      // the store side is scanned, never shuffled, and no adaptive
+      // re-plan is needed to pick the build side. Same survivors: a
+      // row is dropped iff its (hash, text) exists in the store, and
+      // NULL text never equi-matches on either shape.
+      val matched = side.texts.join(
+        broadcast(keyed.select(col("__h"), col("text"))),
+        Seq("__h", "text"), "left_semi")
+      keyed.join(broadcast(matched), Seq("__h", "text"), "left_anti")
+        .drop("__h")
+    }
+  }
+
+  /** Stage-4 store half: the q76 asymmetric band join's drop list. */
+  private def minhashVsStoreDrop(side: StoreSide, d3: DataFrame): DataFrame =
+    Dedup.minhashPairsAgainstSigs(side.sigs, d3, MinJaccard)
+      .select(col("in_doc").as("doc_id")).distinct()
+
+  /** Within-delta component drop list (keep each cluster's min id). */
+  private def componentDrop(s: SparkSession, pairs: DataFrame): DataFrame =
+    graft.operators.Graph.connectedComponents(s, pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+
+  /** IVF cell assignment of the delta's embeddings on the maintained
+    * index.
+    */
+  private def deltaCells(emb: DataFrame, d: DataFrame,
+      trained: Seq[(Long, Seq[Float])],
+      smallDelta: Boolean = false): DataFrame = {
+    val ids = d.select(col("doc_id").as("vec_id"))
+    Similarity.ivfAssign(
+      emb.join(if (smallDelta) broadcast(ids) else ids, Seq("vec_id")),
+      trained)
+  }
+
+  /** Stage-5 store half: delta vecs within [[MinCos]] of a store
+    * survivor in their cell.
+    */
+  private def semanticVsStoreDrop(side: StoreSide, aD: DataFrame,
+      smallDelta: Boolean = false): DataFrame = {
+    val right = aD.select(col("cell"), col("vec_id").as("vec2"),
+      col("embedding").as("e2"))
+    side.cells.select(col("cell"), col("embedding").as("e1"))
+      .join(if (smallDelta) broadcast(right) else right, Seq("cell"))
+      .filter(rnd(Similarity.cosine(col("e1"), col("e2")), 6) >= MinCos)
+      .select(col("vec2").as("doc_id")).distinct()
+  }
+
+  /** Stage-5 within-delta half (vec1 < vec2 drops vec2). */
+  private def semanticWithinDrop(aD5: DataFrame,
+      smallDelta: Boolean = false): DataFrame = {
+    val right = aD5.select(col("cell"), col("vec_id").as("vec2"),
+      col("embedding").as("e2"))
+    aD5.select(col("cell"), col("vec_id").as("vec1"),
+        col("embedding").as("e1"))
+      .join(if (smallDelta) broadcast(right) else right, Seq("cell"))
+      .filter(col("vec1") < col("vec2") &&
+        rnd(Similarity.cosine(col("e1"), col("e2")), 6) >= MinCos)
+      .select(col("vec2").as("doc_id")).distinct()
+  }
+
+  /** Once-per-store-version band artifacts for the streaming hot path:
+    * the store's uncapped [[Dedup.explodedBands]] table and its per-key
+    * counts (the hot-bucket cap's input), both checkpoint leaves, plus
+    * the window's appended bands (tiny, lazy). [[hotKeys]] reconciles
+    * the EXACT hot-key set per batch: base-hot keys from the counts
+    * leaf, plus keys the window touched whose combined count crosses
+    * the cap — a delta-sized probe, never a store-wide re-aggregation.
+    */
+  final case class BandSide(bands: DataFrame, counts: DataFrame,
+      recentBands: Option[DataFrame])
+
+  private def hotKeys(b: BandSide, maxBucket: Int = 1000): DataFrame = {
+    val hotBase = b.counts.filter(col("cnt") > maxBucket)
+      .select(col("band"), col("key"))
+    b.recentBands match {
+      case None => hotBase
+      case Some(r) =>
+        val rc = r.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("rcnt"))
+        // right-outer keeps every touched key; the store counts leaf is
+        // scanned with the tiny touched set broadcast (build-right)
+        val hot2 = b.counts.join(broadcast(rc), Seq("band", "key"), "right")
+          .filter(coalesce(col("cnt"), lit(0L)) + col("rcnt") > maxBucket)
+          .select(col("band"), col("key"))
+        hotBase.unionByName(hot2).distinct()
+    }
+  }
+
   /** Delta stages guard–6 against a prepared [[StoreSide]]: returns the
     * ACCEPTED delta docs (doc_id, lang, source, n_chars, text) — the
     * rows an ingest appends to the store. [[ingestDelta]] adds the
-    * pack-append manifest on top; the streaming ingest stops here (its
-    * manifest is a VIEW over the store, so the per-batch prefix scan
-    * and store-wide token sum are never paid on the hot path).
+    * pack-append manifest on top; the streaming ingest uses
+    * [[acceptDeltaFast]] (its manifest is a VIEW over the store, so the
+    * per-batch prefix scan and store-wide token sum are never paid on
+    * the hot path).
     */
   private[graft] def acceptDelta(s: SparkSession, side: StoreSide,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
 
-    // id guard at the ingest boundary: the store is the doc_id
-    // authority like it is the dedup authority — a delta doc reusing an
-    // existing store id (even with DIFFERENT text) is rejected, because
-    // duplicate ids would fan out every manifest/attribution join
-    // downstream. Text-level dedup alone (stage 3) cannot see this
-    // case. No-op on id-disjoint deltas (the gated q122/q125 split).
-    val clD0 = clDelta.join(side.ids, Seq("doc_id"), "left_anti")
+    val clD0 = idGuarded(side, clDelta)
 
     // delta stages 1–2
     val d2 = qualityFiltered(clD0)
 
     // stage 3: exact vs store survivor texts, then keep-min within
     // delta — the [[textAntiJoin]] / [[exactKeepMin]] hash-led shapes
-    val d3a = d2.withColumn("__h", xxhash64($"text"))
-      .join(side.texts, Seq("__h", "text"), "left_anti")
-      .drop("__h")
-    val d3 = clocked("d3_exact")(Dedup.cached(exactKeepMin(d3a)
-      .select($"doc_id", $"lang", $"source", $"n_chars", $"text")))
+    val d3 = clocked("d3_exact")(Dedup.cached(
+      exactKeepMin(exactVsStore(side, d2))
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"text")))
 
     // stage 4: near-dup vs store (q76's asymmetric band join), then
     // components over the remaining delta's internal pairs
-    val dropVs4 = Dedup.minhashPairsAgainstSigs(side.sigs, d3, MinJaccard)
-      .select($"in_doc".as("doc_id")).distinct()
     val d4a = clocked("d4a_minhash_vs_store")(
-      Dedup.cached(d3.join(dropVs4, Seq("doc_id"), "left_anti")))
+      Dedup.cached(d3.join(minhashVsStoreDrop(side, d3),
+        Seq("doc_id"), "left_anti")))
     val pairsD = Dedup.cached(Dedup.minhashPairs(d4a, MinJaccard)
       .select($"doc1".as("src"), $"doc2".as("dst")))
     // a delta with no internal near-dup pairs (the common micro-batch
@@ -438,34 +550,18 @@ object Curation {
     // delta-sized job
     val d4 = clocked("d4_minhash_within")(
       if (pairsD.isEmpty) d4a
-      else {
-        val drop4 = graft.operators.Graph.connectedComponents(s, pairsD)
-          .filter($"node" =!= $"component")
-          .select($"node".as("doc_id"))
-        Dedup.cached(d4a.join(drop4, Seq("doc_id"), "left_anti"))
-      })
+      else Dedup.cached(d4a.join(componentDrop(s, pairsD),
+        Seq("doc_id"), "left_anti")))
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min
-    val aD = Dedup.cached(Similarity.ivfAssign(
-      emb.join(d4.select($"doc_id".as("vec_id")), Seq("vec_id")), trained))
-    val dropVs5 = side.cells.select($"cell", $"embedding".as("e1"))
-      .join(aD.select($"cell", $"vec_id".as("vec2"),
-        $"embedding".as("e2")), Seq("cell"))
-      .filter(rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
-      .select($"vec2".as("doc_id")).distinct()
+    val aD = Dedup.cached(deltaCells(emb, d4, trained))
     val d5a = clocked("d5a_semantic_vs_store")(
-      Dedup.cached(d4.join(dropVs5, Seq("doc_id"), "left_anti")))
+      Dedup.cached(d4.join(semanticVsStoreDrop(side, aD),
+        Seq("doc_id"), "left_anti")))
     val aD5 = aD.join(d5a.select($"doc_id".as("vec_id")), Seq("vec_id"))
-    val dropIn5 = aD5.select($"cell", $"vec_id".as("vec1"),
-        $"embedding".as("e1"))
-      .join(aD5.select($"cell", $"vec_id".as("vec2"),
-        $"embedding".as("e2")), Seq("cell"))
-      .filter($"vec1" < $"vec2" &&
-        rnd(Similarity.cosine($"e1", $"e2"), 6) >= MinCos)
-      .select($"vec2".as("doc_id")).distinct()
     val d5 = clocked("d5_semantic_within")(
-      d5a.join(dropIn5, Seq("doc_id"), "left_anti"))
+      d5a.join(semanticWithinDrop(aD5), Seq("doc_id"), "left_anti"))
 
     // stage 6: decontaminate against the STORE corpus' frozen holdout;
     // eval-bucket delta docs are eval data, never ingested
@@ -474,6 +570,132 @@ object Curation {
       .select($"doc_id")
     clocked("d6_decontaminate")(
       Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti")))
+  }
+
+  /** [[acceptDelta]] for the STREAMING hot path: the same stage
+    * builders, materialized EAGERLY at each stage boundary
+    * (localCheckpoint leaves) with row-count short-circuits. Why: a
+    * micro-batch delta is a handful of rows, but the lazy batch form
+    * re-analyzes the whole ~30-operator chain (centroid literal trees,
+    * kernel signatures, Bloom literals included) once per downstream
+    * Dataset construction — measured at ~6 s/batch of pure driver plan
+    * construction, the dominant micro-batch term after the round-13
+    * floor cut. A checkpoint leaf at each stage boundary makes every
+    * later analysis O(stage) instead of O(chain), and the counts the
+    * checkpoints yield skip provably-empty or single-row stages (a
+    * 1-row delta cannot have within-delta pairs) before their plans are
+    * even built. The result frame is LAZY over checkpoint leaves — the
+    * stream's own localCheckpoint materializes it once. Equivalence
+    * with [[acceptDelta]] is stage-for-stage by construction (shared
+    * builders) and pinned end-to-end by CurationStreamSpec (streamed ≡
+    * sequential [[ingestDelta]] rounds) plus the soak parity gates.
+    */
+  private[graft] def acceptDeltaFast(s: SparkSession, side: StoreSide,
+      clDelta: DataFrame, emb: DataFrame,
+      trained: Seq[(Long, Seq[Float])],
+      bandsOpt: Option[BandSide] = None): DataFrame = {
+    import s.implicits._
+    val cols = Seq($"doc_id", $"lang", $"source", $"n_chars", $"text")
+    val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+    def ck(name: String)(df: DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
+      val c = df.localCheckpoint(true)
+      val n = c.count()
+      if (dbg) println(
+        f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n%d rows)")
+      (c, n)
+    }
+    // drop LISTS are delta-bounded by construction (every drop names a
+    // delta doc), so they come back to the driver as id arrays and
+    // apply as literal filters over the stage checkpoint — one action
+    // instead of an anti-join plus a broadcast build, and a stage whose
+    // drop list is empty keeps the PREVIOUS checkpoint (no re-
+    // materialization at all). NOT-isin equals the left_anti on a
+    // non-null key column, which doc_id is by schema.
+    def dropIds(name: String)(df: DataFrame): Array[Long] = {
+      val t0 = System.nanoTime()
+      val ids = df.collect().map(_.getLong(0))
+      if (dbg) println(
+        f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s (${ids.length}%d drops)")
+      ids
+    }
+    def minus(d: DataFrame, n: Long, ids: Array[Long],
+        name: String): (DataFrame, Long) =
+      if (ids.isEmpty) (d, n)
+      else ck(name)(d.filter(!$"doc_id".isin(ids.toIndexedSeq: _*)))
+    val empty = clDelta.select(cols: _*).limit(0)
+
+    // id guard: probe the store-ids leaf with the broadcast delta ids
+    // (semi), collect the tiny overlap, filter — the store side is
+    // scanned, never shuffled
+    val knownIds = dropIds("guard_known_ids")(
+      side.ids.join(broadcast(clDelta.select($"doc_id")),
+        Seq("doc_id"), "left_semi"))
+    val clD0 = if (knownIds.isEmpty) clDelta
+      else clDelta.filter(!$"doc_id".isin(knownIds.toIndexedSeq: _*))
+
+    // stages guard–3 ride ONE checkpoint: d2 has a single consumer, so
+    // a boundary between quality filter and exact dedup would be two
+    // extra jobs for no reuse and no analysis saving
+    val (d3, n3) = ck("d3_exact")(
+      exactKeepMin(exactVsStore(side, qualityFiltered(clD0),
+        smallDelta = true))
+      .select(cols: _*))
+    if (n3 == 0) return empty
+
+    // stage 4 — within-delta pairs are impossible below 2 rows. The
+    // vs-store half prefers the PREPARED band artifacts (store bands +
+    // hot-key counts derived once per store version) so the per-batch
+    // plan scans the store side instead of re-exploding, re-counting
+    // and re-shuffling it — identical drop list either way
+    val dropVs4 = bandsOpt match {
+      case Some(b) =>
+        val sb = b.recentBands.fold(b.bands)(r => b.bands.unionByName(r))
+        Dedup.minhashPairsAgainstPrepared(sb, hotKeys(b), side.sigs, d3,
+          MinJaccard).select($"in_doc".as("doc_id")).distinct()
+      case None => minhashVsStoreDrop(side, d3)
+    }
+    val (d4a, n4a) =
+      minus(d3, n3, dropIds("d4a_minhash_vs_store")(dropVs4), "d4a_ck")
+    if (n4a == 0) return empty
+    val (d4, n4) =
+      if (n4a == 1) (d4a, n4a)
+      else {
+        val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
+          .select($"doc1".as("src"), $"doc2".as("dst"))
+        if (pairsD.isEmpty) (d4a, n4a)
+        else minus(d4a, n4a,
+          dropIds("d4_minhash_within")(componentDrop(s, pairsD)), "d4_ck")
+      }
+
+    // stage 5 — a delta with no embeddings cannot be semantically
+    // dropped (stage semantics: cell pairs exist only for assigned
+    // vecs), and within-delta pairs need at least 2 assigned vecs
+    val (aD, nA) = ck("a5_cells")(
+      deltaCells(emb, d4, trained, smallDelta = true))
+    val (d5a, n5a) =
+      if (nA == 0) (d4, n4)
+      else minus(d4, n4, dropIds("d5a_semantic_vs_store")(
+        semanticVsStoreDrop(side, aD, smallDelta = true)), "d5a_ck")
+    if (n5a == 0) return empty
+    val d5 =
+      if (nA <= 1 || n5a == 1) d5a
+      else {
+        val aD5 = aD.join(broadcast(d5a.select($"doc_id".as("vec_id"))),
+          Seq("vec_id"))
+        minus(d5a, n5a, dropIds("d5_semantic_within")(
+          semanticWithinDrop(aD5, smallDelta = true)), "d5_ck")._1
+      }
+
+    // stage 6 — the train split and the final anti ride literal
+    // filters over the d5 leaf (no checkpoint: the stream's own
+    // localCheckpoint materializes the result once)
+    val dTrain = d5.filter(bucketOf($"doc_id") < HoldoutBucket)
+    val contIds = dropIds("d6_decontaminate")(
+      Dedup.contaminationAgainstSmall(dTrain, side.holdout)
+        .select($"doc_id"))
+    if (contIds.isEmpty) dTrain
+    else dTrain.filter(!$"doc_id".isin(contIds.toIndexedSeq: _*))
   }
 
   def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,

@@ -1,14 +1,12 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 import graft.ext.{Dedup, Packing, Similarity, TextStats}
+import graft.jobs.Dfs
 import graft.queries.Curation
 
 /** STREAMING curation ingest — the q122 contract run continuously:
@@ -97,9 +95,18 @@ object CurationStream {
     * drift between the seed, the stream and a test harness.
     */
   def appendStore(rows: DataFrame, storeDir: String,
-      mode: String = "append"): Unit =
-    rows.withColumn("batch_bucket", batchBucket)
-      .write.mode(mode).partitionBy("batch_bucket").parquet(storeDir)
+      mode: String = "append", touchedBuckets: Option[Seq[Long]] = None): Unit = {
+    val bucketed = rows.withColumn("batch_bucket", batchBucket)
+    // invalidate the touched buckets' doc_id sidecars BEFORE the data
+    // write (see the sidecar section's invalidate-first discipline);
+    // the stream passes the bucket hint (its batch id is a literal),
+    // other callers derive it — or an overwrite drops them all
+    if (mode == "overwrite") invalidateAllIdStats(storeDir)
+    else invalidateIdStats(storeDir, touchedBuckets.getOrElse(
+      bucketed.select(col("batch_bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq))
+    bucketed.write.mode(mode).partitionBy("batch_bucket").parquet(storeDir)
+  }
 
   /** Seed the store from an initial batch-curated corpus (e.g. the
     * q117 stage-6 survivors), as ingest batch −1.
@@ -147,18 +154,122 @@ object CurationStream {
   // The stream caches store-derived tables in memory; a maintenance op
   // (compaction swaps files under Spark's lineage, redaction CHANGES
   // content) must invalidate them. Maintenance bumps the store's
-  // version; the stream rebuilds its side state on the next batch.
-  private val storeVersions =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // version; the stream rebuilds its side state on the next batch. The
+  // version is a MARKER FILE in the store directory (not a per-JVM
+  // map), so maintenance executed from a DIFFERENT process also forces
+  // the ingesting stream's rebuild — the per-batch cost is one small
+  // control-file read. Writes are lease-guarded ([[acquireLease]]'s
+  // single-writer contract), so read-increment-write here cannot race.
   private def canonical(storeDir: String): String =
-    new File(storeDir).getCanonicalPath
-  def storeVersion(storeDir: String): Long =
-    Option(storeVersions.get(canonical(storeDir)))
-      .map(_.longValue).getOrElse(0L)
-  private def bumpStoreVersion(storeDir: String): Unit = {
-    storeVersions.merge(canonical(storeDir), 1L,
-      (a, b) => java.lang.Long.valueOf(a + b))
+    Dfs.qualified(storeDir).toString
+  private def versionPath(storeDir: String): Path =
+    new Path(Dfs.qualified(storeDir), "_version")
+  def storeVersion(storeDir: String): Long = {
+    val p = versionPath(storeDir)
+    if (!Dfs.isFile(p)) 0L
+    else Dfs.readString(p).trim.toLongOption.getOrElse(0L)
+  }
+  private def bumpStoreVersion(storeDir: String): Unit =
+    Dfs.writeStringAtomic(versionPath(storeDir),
+      (storeVersion(storeDir) + 1L).toString)
+
+  // ---- single-writer lease ---------------------------------------------
+  // The swap journal and the in-memory side caches assume ONE writer
+  // per store directory: two ingest streams (or a foreign maintenance
+  // process under a live stream) interleaving `_swap_<b>` journals
+  // would corrupt silently. The lease makes the assumption ENFORCED:
+  // `_lease` carries the owner's JVM token, its mtime is the heartbeat
+  // (touched every micro-batch), and a second writer fails LOUD with
+  // the owner in the message. A stale lease — heartbeat older than
+  // [[LeaseStaleMs]], i.e. a crashed owner — is reclaimable;
+  // [[recoverStore]] heals whatever the dead owner left behind.
+
+  /** Heartbeat age beyond which a lease is considered abandoned.
+    * Override via `SPARK_GRAFT_LEASE_STALE_MS` (or directly in tests);
+    * size it well above the slowest expected micro-batch.
+    */
+  @volatile var LeaseStaleMs: Long =
+    sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").map(_.toLong)
+      .getOrElse(10L * 60L * 1000L)
+
+  private val jvmToken = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${rt.getName}:${rt.getStartTime}"
+  }
+
+  // in-process registry: canonical store dir -> the live ingest query
+  // (or a reservation while one is starting). Two streams in ONE JVM
+  // share the jvmToken, so the lease file alone cannot see them.
+  private val activeStreams =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private object Reserved
+
+  private def leasePath(storeDir: String): Path =
+    new Path(Dfs.qualified(storeDir), "_lease")
+
+  /** Acquire the store's writer lease file for this JVM. Fail-loud when
+    * a DIFFERENT live writer holds it; re-entrant for this JVM (the
+    * in-process double-stream case is caught by [[activeStreams]]).
+    * Create-exclusive first, so two fresh acquirers cannot both win;
+    * the reclaim path (stale or own lease) rewrites in place under the
+    * single-reclaimer assumption a loud second failure enforces.
+    */
+  private[graft] def acquireLease(storeDir: String): Unit = {
+    val p = leasePath(storeDir)
+    def denied(owner: String, age: Long): Nothing =
+      throw new IllegalStateException(
+        s"store ${canonical(storeDir)} is leased by another writer " +
+          s"($owner, heartbeat $age ms ago); a second concurrent writer " +
+          "would corrupt the swap journal. A stale lease (crashed " +
+          s"owner) is reclaimable after LeaseStaleMs=$LeaseStaleMs ms.")
+    Dfs.status(p) match {
+      case None =>
+        try Dfs.writeString(p, jvmToken, overwrite = false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // lost the create race — re-check as an existing lease
+            acquireLease(storeDir)
+        }
+      case Some(st) =>
+        val owner =
+          (try Dfs.readString(p) catch { case _: Exception => "" }).trim
+        val age = System.currentTimeMillis() - st.getModificationTime
+        if (owner != jvmToken && age < LeaseStaleMs) denied(owner, age)
+        Dfs.writeStringAtomic(p, jvmToken)
+    }
+  }
+
+  private[graft] def releaseLease(storeDir: String): Unit = {
+    activeStreams.remove(canonical(storeDir))
+    Dfs.delete(leasePath(storeDir), recursive = false)
     ()
+  }
+
+  private def heartbeatLease(storeDir: String): Unit = {
+    val p = leasePath(storeDir)
+    if (Dfs.exists(p)) Dfs.touch(p)
+  }
+
+  /** Maintenance-op guard: a FRESH lease held by a different JVM means
+    * a live writer elsewhere — interleaving maintenance would corrupt;
+    * refuse loud. A lease of THIS JVM is the supported coordinate-
+    * between-batches pattern (the version bump forces the stream's
+    * side rebuild); a stale one is a crashed owner [[recoverStore]]
+    * heals.
+    */
+  private def requireMaintenanceSafe(storeDir: String): Unit = {
+    val p = leasePath(storeDir)
+    Dfs.status(p).foreach { st =>
+      val owner =
+        (try Dfs.readString(p) catch { case _: Exception => "" }).trim
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (owner != jvmToken && age < LeaseStaleMs)
+        throw new IllegalStateException(
+          s"refusing maintenance on ${canonical(storeDir)}: a live " +
+            s"ingest stream in another process holds the lease ($owner, " +
+            s"heartbeat $age ms ago). Run maintenance from the owning " +
+            "process between batches, or after the stream stops.")
+    }
   }
 
   /** Per-stream store-side state: the five corpus-sized tables
@@ -182,6 +293,8 @@ object CurationStream {
   private final class IngestState(storeDir: String, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame) {
     private var side: Curation.StoreSide = null
+    private var bands: DataFrame = null
+    private var bandCounts: DataFrame = null
     private var recent: List[DataFrame] = Nil
     private var builtAtVersion = -1L
     private var batchesSince = 0
@@ -189,9 +302,13 @@ object CurationStream {
 
     def ensureFresh(s: SparkSession): Unit = {
       val v = storeVersion(storeDir)
+      // increment BEFORE the comparison so the rebuild cadence matches
+      // RebuildEvery exactly (incrementing only on non-rebuild batches
+      // stretched the window to RebuildEvery+1 and let the recent
+      // union chain grow one entry past the documented bound)
+      batchesSince += 1
       if (side == null || v != builtAtVersion ||
         batchesSince >= RebuildEvery) rebuild(s, v)
-      else batchesSince += 1
     }
 
     /** The side tables are EAGER localCheckpoints, not `.cache()`s —
@@ -227,15 +344,24 @@ object CurationStream {
         holdoutPrepared = Dedup.HoldoutCodes(codes, n, bytes)
       }
       val store = readStore(s, storeDir)
+      val sigs = Dedup.signatureFrame(store).localCheckpoint(true)
       side = Curation.StoreSide(
         ids = store.select(col("doc_id")).localCheckpoint(true),
         texts = store.select(xxhash64(col("text")).as("__h"),
           col("text")).localCheckpoint(true),
-        sigs = Dedup.signatureFrame(store).localCheckpoint(true),
+        sigs = sigs,
         cells = Similarity.ivfAssign(
           emb.join(store.select(col("doc_id").as("vec_id")),
             Seq("vec_id")), trained).localCheckpoint(true),
         holdout = holdoutPrepared)
+      // the store's exploded band table and its per-key counts — the
+      // hot-bucket cap's input — derived once per store version so a
+      // micro-batch never re-explodes or re-aggregates the store
+      // (Curation.BandSide; the per-batch hot-key set is an EXACT
+      // delta-sized reconciliation against these leaves)
+      bands = Dedup.explodedBands(sigs).localCheckpoint(true)
+      bandCounts = bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
       builtAtVersion = v
       batchesSince = 0
     }
@@ -260,6 +386,15 @@ object CurationStream {
           side.holdout)
       }
 
+    /** The prepared band artifacts matching [[effectiveSide]]'s sigs. */
+    def effectiveBands: Curation.BandSide =
+      if (recent.isEmpty) Curation.BandSide(bands, bandCounts, None)
+      else {
+        val r = recent.reduce(_ unionByName _)
+        Curation.BandSide(bands, bandCounts,
+          Some(Dedup.explodedBands(Dedup.signatureFrame(r))))
+      }
+
     def addRecent(rows: DataFrame): Unit = recent = recent :+ rows
   }
 
@@ -274,14 +409,34 @@ object CurationStream {
   def ingestStream(deltaStream: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame,
       storeDir: String, checkpointDir: String): StreamingQuery = {
-    new File(storeDir).mkdirs() // empty store = empty corpus
-    // heal any maintenance op the previous process died inside of —
-    // without this, a restart between a crash and the next compaction
-    // would ingest against a store whose live partition still sits in
-    // _trash (crash state S1), silently losing its dedup protection
-    recoverStore(storeDir)
+    val c = canonical(storeDir)
+    // in-process single-writer check (reservation-based, so two racing
+    // ingestStream calls cannot both pass); the lease file below covers
+    // writers in OTHER processes
+    activeStreams.putIfAbsent(c, Reserved) match {
+      case null => ()
+      case q: StreamingQuery if !q.isActive =>
+        if (!activeStreams.replace(c, q, Reserved))
+          throw new IllegalStateException(
+            s"store $c already has an ingest stream starting in this process")
+      case _ =>
+        throw new IllegalStateException(
+          s"store $c already has a live ingest stream in this process; " +
+            "two writers would corrupt the swap journal")
+    }
+    try {
+      Dfs.mkdirs(Dfs.qualified(storeDir)) // empty store = empty corpus
+      acquireLease(storeDir)
+      // heal any maintenance op the previous process died inside of —
+      // without this, a restart between a crash and the next compaction
+      // would ingest against a store whose live partition still sits in
+      // _trash (crash state S1), silently losing its dedup protection
+      recoverStore(storeDir)
+    } catch {
+      case t: Throwable => activeStreams.remove(c, Reserved); throw t
+    }
     val state = new IngestState(storeDir, emb, trained, holdout)
-    deltaStream.writeStream
+    val query = deltaStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -298,10 +453,28 @@ object CurationStream {
             println(f"  stream-phase $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
             r
           }
+        // Adaptive execution is scoped OFF for the hot-path body: the
+        // staged acceptDeltaFast hints every build side explicitly
+        // (the delta side broadcasts by construction), so AQE has no
+        // plan decision left to improve — it only splits each stage
+        // query into one job per exchange (measured on the staged
+        // path: 69 vs 21 jobs/batch, batch p50 5.6 vs 3.6 s at 1×).
+        // This inverts the round-13 lazy-chain result (AQE-off 60%
+        // slower) BECAUSE the broadcasts are now explicit; maintenance
+        // ops and every batch surface keep AQE on.
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val aqePrev = s.conf.get(aqeKey)
+        s.conf.set(aqeKey, "false")
+        try {
         ph("ensureFresh")(state.ensureFresh(s))
         val clB = Curation.clean(batch)
-        val accepted = ph("acceptDelta construct")(
-          Curation.acceptDelta(s, state.effectiveSide, clB, emb, trained))
+        // the staged (checkpoint-leaf) variant: stage materialization
+        // happens HERE, so this phase is construct + stage execution —
+        // the lazy batch form's ~6 s of pure per-batch plan analysis
+        // is gone (see Curation.acceptDeltaFast)
+        val accepted = ph("acceptDelta staged")(
+          Curation.acceptDeltaFast(s, state.effectiveSide, clB, emb,
+            trained, Some(state.effectiveBands)))
         // materialize ONCE with truncated lineage: the appended rows
         // feed both the store write and the in-memory side increment,
         // and a lazy frame would chain every batch's delta plan into
@@ -312,28 +485,125 @@ object CurationStream {
             lit(batchId).as("ingest_batch"))
           .localCheckpoint(true))
         if (!ph("isEmpty")(rows.isEmpty)) {
-          ph("appendStore")(appendStore(rows, storeDir))
+          // bucket hint: the batch id is a literal, so the touched
+          // bucket is driver arithmetic — no per-batch distinct job
+          ph("appendStore")(appendStore(rows, storeDir,
+            touchedBuckets = Some(Seq(batchId / BatchesPerBucket))))
           state.addRecent(rows)
         }
         ph("clearSigCaches")(Dedup.clearSignatureCaches())
+        heartbeatLease(storeDir)
+        } finally s.conf.set(aqeKey, aqePrev)
         ()
       }
       .start()
+    activeStreams.put(c, query)
+    // release the lease when the query terminates (stop or failure);
+    // the listener self-removes. A crash that skips this leaves a
+    // lease whose heartbeat ages out — the documented reclaim path.
+    val session = deltaStream.sparkSession
+    session.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          activeStreams.remove(c, query)
+          Dfs.delete(leasePath(storeDir), recursive = false)
+          session.streams.removeListener(this)
+          ()
+        }
+    })
+    query
   }
 
-  // ---- maintenance: staged per-partition rewrites, journaled swaps ----
+  // ---- per-bucket doc_id sidecars (redaction discovery pruning) --------
+  // Redaction's victim discovery used to scan the WHOLE store's doc_id
+  // column per compliance call. The sidecar bounds it: each SEALED
+  // bucket carries (count, min, max, Bloom-of-doc_ids) under
+  // `_idstats/`, written at compaction/redaction time and consulted
+  // driver-side, so discovery scans only the buckets that might hold a
+  // tombstoned id (plus sidecar-less hot buckets). The discipline is
+  // INVALIDATE-FIRST: any writer touching a bucket deletes its sidecar
+  // BEFORE writing data, so a crash anywhere leaves either no sidecar
+  // (scan fallback — always correct) or a sidecar matching the files.
+  // Sidecars prune CANDIDATES only; victims are confirmed exactly by a
+  // partition-pruned scan of the candidate buckets, so a Bloom false
+  // positive costs a bucket scan, never a spurious rewrite.
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  /** Tombstone batches up to this size consult the sidecars driver-side
+    * (8 bytes/id on the driver); larger batches fall back to the full
+    * column-pruned scan, which a compliance batch that size amortizes.
+    */
+  val RedactCollectCap = 1000000L
+
+  // underscore-prefixed FILE name too (not just the directory): every
+  // data-file walker in the store's ecosystem skips `_`/`.` names, and
+  // a sidecar is derived control metadata, not data
+  private def idStatsPath(storeDir: String, b: Long): Path =
+    new Path(Dfs.qualified(storeDir), s"_idstats/_bucket_$b")
+
+  private[graft] final case class IdStats(count: Long, min: Long,
+    max: Long, bloom: org.apache.spark.util.sketch.BloomFilter)
+
+  private[graft] def readIdStats(storeDir: String,
+      b: Long): Option[IdStats] = {
+    val p = idStatsPath(storeDir, b)
+    if (!Dfs.isFile(p)) None
+    else try {
+      val lines = Dfs.readString(p).split("\n", 4)
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(lines(3).trim)))
+      Some(IdStats(lines(0).trim.toLong, lines(1).trim.toLong,
+        lines(2).trim.toLong, bloom))
+    } catch { case _: Exception => None } // torn/garbled sidecar = scan
+  }
+
+  private def invalidateIdStats(storeDir: String, buckets: Seq[Long]): Unit =
+    buckets.foreach { b =>
+      Dfs.delete(idStatsPath(storeDir, b), recursive = false); ()
+    }
+
+  private def invalidateAllIdStats(storeDir: String): Unit = {
+    Dfs.delete(new Path(Dfs.qualified(storeDir), "_idstats"))
     ()
   }
 
-  private def dataFilesIn(dir: File): Seq[File] =
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
+  /** (Re)build the sidecar for every live bucket missing one — each
+    * build scans ONLY that bucket's doc_id column. Called at the end of
+    * [[compactStore]]/[[redactStore]] (so sealed buckets are covered
+    * from the first maintenance pass; hot buckets invalidated by
+    * appends are re-covered on the next one) and callable standalone.
+    */
+  def buildIdStats(spark: SparkSession, storeDir: String): Unit =
+    liveBuckets(storeDir).foreach { b =>
+      if (readIdStats(storeDir, b).isEmpty) {
+        val ids = spark.read.schema(StoreSchema)
+          .parquet(s"$storeDir/batch_bucket=$b").select(col("doc_id"))
+        val agg = ids.agg(count(lit(1)), min(col("doc_id")),
+          max(col("doc_id"))).collect().head
+        val n = agg.getLong(0)
+        if (n > 0) {
+          val bloom = ids.stat.bloomFilter("doc_id", n, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          Dfs.writeStringAtomic(idStatsPath(storeDir, b),
+            s"$n\n${agg.getLong(1)}\n${agg.getLong(2)}\n" +
+              java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+        }
+      }
+    }
+
+  // ---- maintenance: staged per-partition rewrites, journaled swaps ----
+
+  private def dataFilesIn(dir: Path): Seq[Path] =
+    Dfs.list(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
 
   /** Maintenance-op precondition: the store must be the bucketed layout
     * this object writes. A pre-bucketing FLAT store (parquet files at
@@ -345,7 +615,7 @@ object CurationStream {
     * [[StoreSchema]] and re-append through [[appendStore]].
     */
   private def requireBucketedLayout(storeDir: String): Unit = {
-    val flat = dataFilesIn(new File(storeDir))
+    val flat = dataFilesIn(Dfs.qualified(storeDir))
     if (flat.nonEmpty)
       throw new IllegalStateException(
         s"legacy flat store layout at $storeDir: ${flat.size} parquet " +
@@ -356,9 +626,10 @@ object CurationStream {
 
   /** The live bucket partition values on disk, oldest first. */
   def liveBuckets(storeDir: String): Seq[Long] =
-    Option(new File(storeDir).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_bucket="))
-      .map(_.getName.stripPrefix("batch_bucket=").toLong).sorted
+    Dfs.list(Dfs.qualified(storeDir))
+      .filter(f => f.isDirectory &&
+        f.getPath.getName.startsWith("batch_bucket="))
+      .map(_.getPath.getName.stripPrefix("batch_bucket=").toLong).sorted
 
   /** Rewrite ONE bucket partition through the staged protocol: read the
     * live partition, transform, write the replacement fully under
@@ -368,8 +639,10 @@ object CurationStream {
   private def rewriteBucket(spark: SparkSession, storeDir: String,
       bucket: Long, transform: DataFrame => DataFrame,
       targetFiles: Option[Int]): Unit = {
-    val staging = new File(storeDir, s"_staging/batch_bucket=$bucket")
-    if (staging.exists) deleteRecursively(staging)
+    val staging =
+      new Path(Dfs.qualified(storeDir), s"_staging/batch_bucket=$bucket")
+    if (Dfs.exists(staging)) Dfs.delete(staging)
+    invalidateIdStats(storeDir, Seq(bucket))
     val src = spark.read.schema(StoreSchema)
       .parquet(s"$storeDir/batch_bucket=$bucket")
     val out = transform(src)
@@ -387,21 +660,19 @@ object CurationStream {
     * new one is live.
     */
   private def swapBucket(storeDir: String, bucket: Long): Unit = {
-    val root = new File(storeDir)
-    val live = new File(root, s"batch_bucket=$bucket")
-    val staging = new File(root, s"_staging/batch_bucket=$bucket")
-    val trash = new File(root, s"_trash/batch_bucket=$bucket")
-    val marker = new File(root, s"_swap_$bucket")
-    require(staging.isDirectory, s"staging missing for bucket $bucket")
-    new File(root, "_trash").mkdirs()
-    if (trash.exists) deleteRecursively(trash)
-    Files.write(marker.toPath,
-      bucket.toString.getBytes(StandardCharsets.UTF_8))
-    if (live.exists)
-      Files.move(live.toPath, trash.toPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(trash)
-    Files.deleteIfExists(marker.toPath)
+    val root = Dfs.qualified(storeDir)
+    val live = new Path(root, s"batch_bucket=$bucket")
+    val staging = new Path(root, s"_staging/batch_bucket=$bucket")
+    val trash = new Path(root, s"_trash/batch_bucket=$bucket")
+    val marker = new Path(root, s"_swap_$bucket")
+    require(Dfs.isDirectory(staging), s"staging missing for bucket $bucket")
+    Dfs.mkdirs(new Path(root, "_trash"))
+    if (Dfs.exists(trash)) Dfs.delete(trash)
+    Dfs.writeString(marker, bucket.toString)
+    if (Dfs.exists(live)) Dfs.rename(live, trash)
+    Dfs.rename(staging, live)
+    Dfs.delete(trash)
+    Dfs.delete(marker, recursive = false)
     ()
   }
 
@@ -416,32 +687,30 @@ object CurationStream {
     * DataFrameWriter overwrite which refreshes implicitly).
     */
   def recoverStore(storeDir: String): Unit = {
-    val root = new File(storeDir)
-    if (!root.isDirectory) return
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_swap_"))
+    val root = Dfs.qualified(storeDir)
+    if (!Dfs.isDirectory(root)) return
+    Dfs.list(root)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("_swap_"))
       .foreach { marker =>
-        val b = marker.getName.stripPrefix("_swap_")
-        val live = new File(root, s"batch_bucket=$b")
-        val staging = new File(root, s"_staging/batch_bucket=$b")
-        val trash = new File(root, s"_trash/batch_bucket=$b")
-        if (staging.isDirectory) {
-          if (live.exists) {
-            if (trash.exists) deleteRecursively(trash)
-            trash.getParentFile.mkdirs()
-            Files.move(live.toPath, trash.toPath,
-              StandardCopyOption.ATOMIC_MOVE)
+        val b = marker.getPath.getName.stripPrefix("_swap_")
+        val live = new Path(root, s"batch_bucket=$b")
+        val staging = new Path(root, s"_staging/batch_bucket=$b")
+        val trash = new Path(root, s"_trash/batch_bucket=$b")
+        if (Dfs.isDirectory(staging)) {
+          if (Dfs.exists(live)) {
+            if (Dfs.exists(trash)) Dfs.delete(trash)
+            Dfs.mkdirs(trash.getParent)
+            Dfs.rename(live, trash)
           }
-          Files.move(staging.toPath, live.toPath,
-            StandardCopyOption.ATOMIC_MOVE)
+          Dfs.rename(staging, live)
         }
-        if (trash.exists) deleteRecursively(trash)
-        Files.deleteIfExists(marker.toPath)
+        if (Dfs.exists(trash)) Dfs.delete(trash)
+        Dfs.delete(marker.getPath, recursive = false)
         ()
       }
     Seq("_staging", "_trash").foreach { d =>
-      val f = new File(root, d)
-      if (f.exists) deleteRecursively(f)
+      val f = new Path(root, d)
+      if (Dfs.exists(f)) Dfs.delete(f)
     }
   }
 
@@ -457,17 +726,19 @@ object CurationStream {
     */
   def compactStore(spark: SparkSession, storeDir: String,
       targetFiles: Int = 4): Unit = {
+    requireMaintenanceSafe(storeDir)
     recoverStore(storeDir)
     requireBucketedLayout(storeDir)
     liveBuckets(storeDir).foreach { b =>
-      if (dataFilesIn(new File(storeDir, s"batch_bucket=$b"))
-          .size > targetFiles)
+      if (dataFilesIn(new Path(Dfs.qualified(storeDir),
+          s"batch_bucket=$b")).size > targetFiles)
         rewriteBucket(spark, storeDir, b, identity, Some(targetFiles))
     }
     // the swaps renamed directories behind Spark's FileStatusCache —
     // without this, a later read can serve the pre-swap file listing
     // and die on the deleted files
     spark.catalog.refreshByPath(storeDir)
+    buildIdStats(spark, storeDir)
     // content is unchanged, but the FILES are new: a stream's cached
     // side tables would recompute evicted partitions from deleted
     // paths — force a rebuild from the live layout
@@ -505,14 +776,45 @@ object CurationStream {
     */
   def redactStore(spark: SparkSession, storeDir: String,
       ids: DataFrame): Unit = {
+    requireMaintenanceSafe(storeDir)
     recoverStore(storeDir)
     requireBucketedLayout(storeDir)
     val tomb = ids.select(col("doc_id")).distinct()
-    val touched = spark.read.schema(StoreReadSchema).parquet(storeDir)
-      .select(col("doc_id"), col("batch_bucket"))
-      .join(tomb, Seq("doc_id"), "left_semi")
-      .select(col("batch_bucket")).distinct()
-      .collect().map(_.getLong(0))
+    val live = liveBuckets(storeDir)
+    val stats = live.map(b => b -> readIdStats(storeDir, b)).toMap
+    // sidecar-pruned discovery: when any sidecar exists and the batch
+    // is driver-collectable, candidates = sidecar-less buckets plus
+    // buckets whose [min,max] range AND Bloom admit some tombstone;
+    // exact confirmation then scans ONLY candidate partitions (the
+    // isin partition filter prunes directories at planning time)
+    val sortedTomb: Option[Array[Long]] =
+      if (stats.valuesIterator.forall(_.isEmpty)) None
+      else if (tomb.count() > RedactCollectCap) None
+      else Some(tomb.collect().map(_.getLong(0)).sorted)
+    val candidates = sortedTomb match {
+      case None => live
+      case Some(arr) => live.filter { b =>
+        stats(b) match {
+          case None => true
+          case Some(st) =>
+            var i = java.util.Arrays.binarySearch(arr, st.min)
+            if (i < 0) i = -i - 1
+            var hit = false
+            while (!hit && i < arr.length && arr(i) <= st.max) {
+              hit = st.bloom.mightContainLong(arr(i)); i += 1
+            }
+            hit
+        }
+      }
+    }
+    val touched =
+      if (candidates.isEmpty) Array.empty[Long]
+      else spark.read.schema(StoreReadSchema).parquet(storeDir)
+        .filter(col("batch_bucket").isin(candidates: _*))
+        .select(col("doc_id"), col("batch_bucket"))
+        .join(tomb, Seq("doc_id"), "left_semi")
+        .select(col("batch_bucket")).distinct()
+        .collect().map(_.getLong(0))
     val marked = tomb.withColumn("__victim", lit(true))
     touched.foreach { b =>
       rewriteBucket(spark, storeDir, b, df => df
@@ -525,6 +827,7 @@ object CurationStream {
         targetFiles = None)
     }
     spark.catalog.refreshByPath(storeDir) // see compactStore
+    buildIdStats(spark, storeDir)
     bumpStoreVersion(storeDir) // content changed: stream sides rebuild
   }
 }

@@ -322,11 +322,15 @@ object GraftExtensions {
     // default skew thresholds (256 MB partitions) this is inert at
     // test scale — it only engages on partitions that are genuinely
     // skewed at cluster scale, exactly when the split is wanted.
-    // Respect an explicit builder/config-file setting (RuntimeConfig
-    // cannot distinguish "unset" from "at default", so the launch conf
-    // is the explicit-intent signal).
+    // Respect explicit intent from EITHER surface: the launch
+    // SparkConf (builder/config file) or a runtime `spark.conf.set`
+    // made before install. RuntimeConfig.getOption cannot distinguish
+    // "unset" from "at default" (it falls back to the default value),
+    // but SQLConf.contains checks only the explicitly-set session
+    // entries — exactly the signal wanted here.
     val skewKey = "spark.sql.adaptive.forceOptimizeSkewedJoin"
-    if (!spark.sparkContext.conf.contains(skewKey))
+    if (!spark.sparkContext.conf.contains(skewKey) &&
+        !spark.sessionState.conf.contains(skewKey))
       spark.conf.set(skewKey, "true")
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>

@@ -462,6 +462,81 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally stopAndWait(q)
   }
 
+  test("single-writer lease: a second stream fails loud; foreign leases block; stale leases reclaim") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val storeDir = Files.createTempDirectory("cur_lease").toString
+    CurationStream.initStore(
+      mk(Seq(1L -> text("la"), 2L -> text("lb"))), storeDir)
+    val emb = (1L to 2L).map(id =>
+      (id, (0 until 64).map(d => if (d == id % 64) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1, roundTo = 4)
+    def start() = {
+      val in = MemoryStream[(Long, String, String, Long, String)]
+      CurationStream.ingestStream(
+        in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+        emb, trained, mk(Seq.empty), storeDir,
+        Files.createTempDirectory("cur_lease_ckpt").toString)
+    }
+    val q = start()
+    try {
+      // a second stream on the SAME store directory must fail loud
+      val e = intercept[IllegalStateException](start())
+      assert(e.getMessage.contains("ingest stream") ||
+        e.getMessage.contains("leased"),
+        s"second writer must name the conflict, got: ${e.getMessage}")
+      // maintenance from a FOREIGN process under a live stream: refuse.
+      // Simulated by rewriting the lease with a foreign token (the
+      // file is the cross-process signal; same-JVM maintenance is the
+      // supported between-batches pattern and stays allowed)
+      val lease = new Path(Dfs.qualified(storeDir), "_lease")
+      val own = Dfs.readString(lease)
+      Dfs.writeStringAtomic(lease, "12345@elsewhere:99")
+      val m = intercept[IllegalStateException](
+        CurationStream.compactStore(spark, storeDir))
+      assert(m.getMessage.contains("another process"))
+      // and a foreign fresh lease also blocks a new stream
+      val s2 = intercept[IllegalStateException] {
+        CurationStream.releaseLease(storeDir) // clear in-JVM registry…
+        Dfs.writeStringAtomic(lease, "12345@elsewhere:99") // …foreign file stays
+        start()
+      }
+      assert(s2.getMessage.contains("leased by another writer"))
+      // stale foreign lease (crashed owner): reclaimable
+      val prevStale = CurationStream.LeaseStaleMs
+      CurationStream.LeaseStaleMs = 0L
+      try {
+        val q3 = start()
+        stopAndWait(q3)
+      } finally CurationStream.LeaseStaleMs = prevStale
+      Dfs.writeStringAtomic(lease, own) // restore for clean stop
+    } finally {
+      if (q.isActive) stopAndWait(q)
+      CurationStream.releaseLease(storeDir)
+    }
+  }
+
+  test("cross-process maintenance forces the stream's side rebuild via the version marker file") {
+    import org.apache.hadoop.fs.Path
+    // the version is a FILE in the store directory, not a per-JVM map:
+    // a maintenance op in another process bumps it there, and the
+    // ingesting stream's ensureFresh sees the bump on its next batch
+    val storeDir = Files.createTempDirectory("cur_ver").toString
+    CurationStream.recoverStore(storeDir) // mkdir-equivalent no-op
+    val v0 = CurationStream.storeVersion(storeDir)
+    // simulate the foreign process: write the marker directly
+    Dfs.writeStringAtomic(new Path(Dfs.qualified(storeDir), "_version"),
+      (v0 + 7L).toString)
+    assert(CurationStream.storeVersion(storeDir) === v0 + 7L,
+      "storeVersion must read the on-disk marker, not a JVM-local map")
+  }
+
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) =

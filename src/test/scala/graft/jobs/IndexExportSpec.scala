@@ -168,7 +168,8 @@ class IndexExportSpec extends AnyFunSuite {
       // land while the epoch is held — without the pin, KeepEpochs=2
       // deletes `dir` on the second one (the round-12 retention hole)
       (0 until 3).foreach(_ => IndexExport.exportBm25(idx, out, nBuckets = 16))
-      assert(new java.io.File(dir).isDirectory, "pinned epoch was pruned")
+      assert(Dfs.isDirectory(new org.apache.hadoop.fs.Path(dir)),
+        "pinned epoch was pruned")
       // and its FILES are intact: the in-flight reader finishes its
       // lookup against exactly this epoch
       val viaLocal = LocalLookup.bm25Single(dir, Seq("spark", "hash"), 5)
@@ -177,7 +178,7 @@ class IndexExportSpec extends AnyFunSuite {
     }
     // pin released: the next export's prune collects the old epoch
     IndexExport.exportBm25(idx, out, nBuckets = 16)
-    assert(!new java.io.File(pinnedDir).exists,
+    assert(!Dfs.exists(new org.apache.hadoop.fs.Path(pinnedDir)),
       "released out-of-window epoch must be pruned by the next export")
     graft.ext.Dedup.clearSignatureCaches()
   }
@@ -190,6 +191,76 @@ class IndexExportSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no meta file"),
       s"missing layout must surface the reader's error, got: ${e.getMessage}")
+  }
+
+  test("prune-vs-pin race: a reader pinning inside the prune window re-resolves, never a vanishing epoch") {
+    import org.apache.hadoop.fs.Path
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = java.nio.file.Files.createTempDirectory("bm25_condemn").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    val epoch1 = IndexExport.resolveEpoch(out)
+
+    // force the exact ADVICE interleaving: the reader RESOLVES the
+    // epoch, then the pruner passes its pin check (no pin yet) and
+    // commits to deleting it, and only THEN does the reader pin — the
+    // condemned-set handshake must push the reader onto a live epoch
+    val resolved = new java.util.concurrent.CountDownLatch(1)
+    val mayPin = new java.util.concurrent.CountDownLatch(1)
+    @volatile var servedDir: String = null
+    @volatile var servedExisted = false
+    IndexExport.pinPauseHook = dir => if (dir == epoch1) {
+      IndexExport.pinPauseHook = _ => ()
+      resolved.countDown()
+      mayPin.await()
+    }
+    try {
+      val reader = new Thread(() => {
+        IndexExport.withPinnedEpoch(out) { dir =>
+          servedDir = dir
+          servedExisted = Dfs.exists(new Path(dir))
+        }
+        ()
+      })
+      reader.start()
+      resolved.await()
+      IndexExport.prunePauseHook = dir => if (dir == epoch1) {
+        IndexExport.prunePauseHook = _ => ()
+        mayPin.countDown() // the reader pins NOW, mid-prune
+        Thread.sleep(100)  // let the pin land inside the delete window
+      }
+      // two more exports: the second one's prune condemns + deletes
+      // epoch_1 (KeepEpochs = 2), with the reader racing it
+      IndexExport.exportBm25(idx, out, nBuckets = 16)
+      IndexExport.exportBm25(idx, out, nBuckets = 16)
+      reader.join(30000)
+      assert(!reader.isAlive, "reader never finished — pin/prune deadlock")
+      assert(servedDir != null && servedDir != epoch1,
+        "reader must re-resolve off the condemned epoch")
+      assert(servedExisted, "reader served from a deleted directory")
+      assert(!Dfs.exists(new Path(epoch1)), "condemned epoch must be gone")
+    } finally {
+      IndexExport.pinPauseHook = _ => ()
+      IndexExport.prunePauseHook = _ => ()
+    }
+    graft.ext.Dedup.clearSignatureCaches()
+  }
+
+  test("epoch paths are canonical: a relative root spelling pins the same key the pruner consults") {
+    import org.apache.hadoop.fs.Path
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val abs = java.nio.file.Files.createTempDirectory("bm25_canon").toString
+    IndexExport.exportBm25(idx, abs, nBuckets = 16)
+    // a dot-segmented spelling of the same root must resolve to the
+    // SAME canonical epoch string (the pin/prune keyspace)
+    val parent = new java.io.File(abs).getParentFile.getName
+    val dotted = new java.io.File(abs).getParent +
+      java.io.File.separator + "." + java.io.File.separator +
+      new java.io.File(abs).getName
+    assert(IndexExport.resolveEpoch(dotted) === IndexExport.resolveEpoch(abs),
+      s"dotted spelling split the epoch keyspace (parent $parent)")
+    graft.ext.Dedup.clearSignatureCaches()
   }
 
   test("pq lookup over exported cells equals ivfAdcTopK on the live table") {
