@@ -86,6 +86,11 @@ object StreamBench {
       val threads = args.lift(2).map(_.toInt).getOrElse(8)
       val perThread = args.lift(3).map(_.toInt).getOrElse(300)
       lookupConcurrency(spark, nDocs, threads, perThread)
+    } else if (args.headOption.contains("--serve-mixed")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      val threads = args.lift(2).map(_.toInt).getOrElse(8)
+      val perThread = args.lift(3).map(_.toInt).getOrElse(200)
+      serveMixed(spark, nDocs, threads, perThread)
     } else if (args.headOption.contains("--sweep")) {
       // the round-9 knee: windowed counts saturate at ~50k rows/s while
       // dedup holds; the documented fix is state-store parallelism. This
@@ -475,6 +480,161 @@ object StreamBench {
       s""""max_ms":${f"${durs.max}%.2f"},""" +
       s""""p50_vs_1thread":${f"${pct(durs, 0.5) / pct(baseDurs, 0.5)}%.2f"},""" +
       s""""parity":true}""")
+  }
+
+  /** MIXED-TIER concurrency — the full serving surface under ONE load:
+    * N threads alternate bm25 and IVF-PQ point lookups through the
+    * no-Spark local reader while (a) a re-exporter swaps BOTH layouts'
+    * epoch pointers mid-run and (b) a maintenance thread churns a
+    * curation store (compaction + redaction cycles) in the same JVM.
+    * The tiers share the footer/layout caches, the epoch pin protocol,
+    * the Dfs seam and the heap — this probe exists to show none of it
+    * bleeds: every lookup is parity-asserted against its
+    * single-threaded pre-run, and the store's manifest view must be
+    * bit-identical after the churn (compaction and redaction are
+    * manifest-invariant by contract).
+    */
+  private def serveMixed(spark: SparkSession, nDocs: Int, threads: Int,
+      perThread: Int): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    val docs = (0L until nDocs.toLong).map { i =>
+      (i, Seq.fill(40 + rnd.nextInt(80))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = graft.ext.Retrieval.bm25Index(docs)
+    val bmOut = java.nio.file.Files.createTempDirectory("mixed_bm25").toString
+    graft.jobs.IndexExport.exportBm25(idx, bmOut)
+
+    val dims = 0 until 64
+    val emb = spark.range(20000L).select($"id".as("vec_id"),
+      array(dims.map(i =>
+        (pmod($"id" * (i + 3), lit(257)) - 128).cast("float")): _*)
+        .as("embedding"))
+    val cbs = graft.ext.Pq.seedCodebooks(emb, m = 4, ksub = 16)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val pqOut = java.nio.file.Files.createTempDirectory("mixed_pq").toString
+    graft.jobs.IndexExport.exportPqCells(emb, cents, cbs, pqOut)
+
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("mixed_store").toString
+    val storeRows = spark.range(20000L).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit("web").as("source"), lit(64L).as("n_chars"),
+      concat(lit("alpha beta gamma body "),
+        ($"id" % 97L).cast("string")).as("text"),
+      lit(8L).as("n_tok"), pmod($"id", lit(64L)).as("ingest_batch"))
+    graft.streaming.CurationStream.appendStore(storeRows, storeDir,
+      mode = "overwrite")
+    val manifestBefore = graft.streaming.CurationStream
+      .manifestView(graft.streaming.CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+
+    graft.ext.Dedup.clearSignatureCaches(blocking = true)
+    graft.jobs.LocalLookup.clearLayouts()
+
+    val qrnd = new scala.util.Random(11)
+    val bmQueries = Vector.fill(64)(
+      Seq.fill(3)(vocab(qrnd.nextInt(vocab.size))))
+    val bmExpected = bmQueries.map(q =>
+      q -> graft.jobs.LocalLookup.bm25Single(bmOut, q, 10)).toMap
+    val qids = Vector.tabulate(64)(i => (i * 37L + 5L) % 20000L)
+    val qvecs = emb.filter($"vec_id".isin(qids.distinct: _*))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pqExpected = qids.map(qid => qid ->
+      graft.jobs.LocalLookup.pqSingle(pqOut, qvecs(qid), qid, 10,
+        cbs, cents)).toMap
+
+    def one(i: Int, t: Int): (String, Double) =
+      if ((i + t) % 2 == 0) {
+        val q = bmQueries((i * (t + 3) + t) % bmQueries.size)
+        val t0 = System.nanoTime()
+        val r = graft.jobs.LocalLookup.bm25Single(bmOut, q, 10)
+        require(r == bmExpected(q), s"bm25 parity violation t$t i$i")
+        ("bm25", (System.nanoTime() - t0) / 1e6)
+      } else {
+        val qid = qids((i * (t + 5) + t) % qids.size)
+        val t0 = System.nanoTime()
+        val r = graft.jobs.LocalLookup.pqSingle(pqOut, qvecs(qid), qid,
+          10, cbs, cents)
+        require(r == pqExpected(qid), s"pq parity violation t$t i$i")
+        ("pq", (System.nanoTime() - t0) / 1e6)
+      }
+
+    def pct(d: Seq[Double], p: Double): Double = {
+      val s = d.sorted
+      s(math.round(p * (s.length - 1)).toInt)
+    }
+    def report(label: String, rows: Seq[(String, Double)],
+        extra: String): Unit =
+      Seq("bm25", "pq").foreach { op =>
+        val d = rows.collect { case (`op`, ms) => ms }
+        println(s"""{"probe":"serve_mixed","op":"${op}_$label",""" +
+          s""""lookups":${d.size},"p50_ms":${f"${pct(d, 0.5)}%.2f"},""" +
+          s""""p99_ms":${f"${pct(d, 0.99)}%.2f"},""" +
+          s""""max_ms":${f"${d.max}%.2f"}$extra,"parity":true}""")
+      }
+
+    val base = (0 until perThread).map(i => one(i, 0))
+    report("1thread", base, "")
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var stopAux = false
+    val exports = new AtomicLong
+    val maintCycles = new AtomicLong
+    val exporter = pool.submit[Unit] { () =>
+      gate.await()
+      while (!stopAux) {
+        graft.jobs.IndexExport.exportBm25(idx, bmOut)
+        graft.jobs.IndexExport.exportPqCells(emb, cents, cbs, pqOut)
+        exports.incrementAndGet()
+        Thread.sleep(200)
+      }
+    }
+    // compliance churn: each cycle compacts, then redacts 3 fresh ids
+    // (redaction is manifest-INVARIANT — offsets ride the frozen n_tok)
+    val redactCursor = new AtomicLong(0L)
+    val maintainer = pool.submit[Unit] { () =>
+      gate.await()
+      while (!stopAux) {
+        graft.streaming.CurationStream.compactStore(spark, storeDir,
+          targetFiles = 2)
+        val from = redactCursor.getAndAdd(3L)
+        graft.streaming.CurationStream.redactStore(spark, storeDir,
+          Seq(from, from + 1L, from + 2L))
+        maintCycles.incrementAndGet()
+        ()
+      }
+    }
+    val workers = (0 until threads).map { t =>
+      pool.submit[Seq[(String, Double)]] { () =>
+        gate.await()
+        (0 until perThread).map(i => one(i, t))
+      }
+    }
+    gate.countDown()
+    val durs = workers.flatMap(_.get())
+    stopAux = true
+    exporter.get(); maintainer.get()
+    pool.shutdown()
+    val bmBase = base.collect { case ("bm25", ms) => ms }
+    val bmMt = durs.collect { case ("bm25", ms) => ms }
+    report("mt", durs,
+      s""","threads":$threads,"reexports":${exports.get()},""" +
+        s""""maintenance_cycles":${maintCycles.get()},""" +
+        s""""p50_vs_1thread":${f"${pct(bmMt, 0.5) / pct(bmBase, 0.5)}%.2f"}""")
+    val manifestAfter = graft.streaming.CurationStream
+      .manifestView(graft.streaming.CurationStream.readStore(spark, storeDir))
+      .collect().map(_.toSeq).toSet
+    require(manifestAfter == manifestBefore,
+      "maintenance churn under serving load moved the manifest")
+    println(s"""{"probe":"serve_mixed","op":"manifest_parity",""" +
+      s""""cycles":${maintCycles.get()},"parity":true}""")
+    graft.ext.Dedup.clearSignatureCaches(blocking = true)
   }
 
   private def serveLatency(spark: SparkSession, qps: Int, seconds: Int,
