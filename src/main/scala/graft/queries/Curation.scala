@@ -503,12 +503,20 @@ object Curation {
       case Some(r) =>
         val rc = r.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("rcnt"))
-        // right-outer keeps every touched key; the store counts leaf is
-        // scanned with the tiny touched set broadcast (build-right)
-        val hot2 = b.counts.join(broadcast(rc), Seq("band", "key"), "right")
-          .filter(coalesce(col("cnt"), lit(0L)) + col("rcnt") > maxBucket)
+        // exact decomposition with NO outer join (an outer form cannot
+        // broadcast its tiny side — Spark builds only the non-outer
+        // side, so it silently degraded to a counts-table shuffle):
+        //  - keys present in the counts leaf: hot iff base + recent
+        //    crosses the cap (inner join, touched set broadcast);
+        //  - keys absent from the counts: hot iff recent alone crosses
+        //    it — and such keys are also correctly caught here when
+        //    they DO have a base row (base ≥ 0 only strengthens it).
+        val hot2a = b.counts.join(broadcast(rc), Seq("band", "key"))
+          .filter(col("cnt") + col("rcnt") > maxBucket)
           .select(col("band"), col("key"))
-        hotBase.unionByName(hot2).distinct()
+        val hot2b = rc.filter(col("rcnt") > maxBucket)
+          .select(col("band"), col("key"))
+        hotBase.unionByName(hot2a).unionByName(hot2b).distinct()
     }
   }
 
