@@ -607,8 +607,10 @@ object Curation {
     val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
     def ck(name: String)(df: DataFrame): (DataFrame, Long) = {
       val t0 = System.nanoTime()
-      val c = df.localCheckpoint(true)
-      val n = c.count()
+      // checkpoint + count fused into ONE action (eager localCheckpoint
+      // already counts internally and discards the number)
+      val (c, n) = org.apache.spark.sql.graft.GraftExec
+        .localCheckpointCounted(df)
       if (dbg) println(
         f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n%d rows)")
       (c, n)
