@@ -297,8 +297,16 @@ object CurationStream {
     *  - the holdout artifact is FROZEN for the stream's life — one
     *    Bloom build total, not one per batch.
     */
-  private final class IngestState(storeDir: String, emb: DataFrame,
+  private final class IngestState(storeDir: String, emb0: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame) {
+    // the embedding table is a FROZEN side artifact for the stream's
+    // life (like the holdout): materialize it once as a checkpoint
+    // leaf so the per-batch delta-vector fetch scans memory instead of
+    // re-reading the whole embeddings parquet every micro-batch (at
+    // production scale the at-rest table would be bucketed by vec_id
+    // and the fetch partition-pruned; in-memory is this deployment's
+    // equivalent)
+    lazy val emb: DataFrame = emb0.localCheckpoint(true)
     private var side: Curation.StoreSide = null
     private var bands: DataFrame = null
     private var bandCounts: DataFrame = null
@@ -480,7 +488,7 @@ object CurationStream {
         // the lazy batch form's ~6 s of pure per-batch plan analysis
         // is gone (see Curation.acceptDeltaFast)
         val accepted = ph("acceptDelta staged")(
-          Curation.acceptDeltaFast(s, state.effectiveSide, clB, emb,
+          Curation.acceptDeltaFast(s, state.effectiveSide, clB, state.emb,
             trained, Some(state.effectiveBands)))
         // materialize ONCE with truncated lineage: the appended rows
         // feed both the store write and the in-memory side increment,
