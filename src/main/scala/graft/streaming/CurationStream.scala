@@ -11,9 +11,11 @@ import graft.queries.Curation
 
 /** STREAMING curation ingest — the q122 contract run continuously:
   * delta documents arrive on a stream, each micro-batch flows through
-  * [[Curation.ingestDelta]] against the CURRENT store, and accepted
-  * docs append to the store directory. The store is the ONLY durable
-  * artifact this job writes:
+  * the stage semantics of [[Curation.ingestDelta]] against the CURRENT
+  * store (via [[Curation.acceptDeltaFast]], the checkpoint-staged form
+  * of the same shared stage builders), and accepted docs append to the
+  * store directory. The store is the ONLY durable artifact this job
+  * writes:
   *
   *  - **idempotence is the dedup itself**: an at-least-once redelivery
   *    (restart replaying a batch whose append already committed)
@@ -279,10 +281,12 @@ object CurationStream {
     }
   }
 
-  /** Per-stream store-side state: the five corpus-sized tables
-    * [[Curation.acceptDelta]] consumes, derived ONCE per store version
-    * and APPENDED to in memory as batches commit — never re-derived
-    * per micro-batch. The round-12 stream re-derived all of them (plus
+  /** Per-stream store-side state: the corpus-sized tables
+    * [[Curation.acceptDeltaFast]] consumes (ids, hashed texts,
+    * signatures, exploded bands + their counts, IVF cells, the
+    * prepared holdout, the frozen embedding leaf), derived ONCE per
+    * store version and APPENDED to in memory as batches commit —
+    * never re-derived per micro-batch. The round-12 stream re-derived all of them (plus
     * the holdout Bloom filter and the store-wide token sum) for every
     * few-doc delta: ~20 jobs/batch of pure floor, which IS the
     * product's micro-batch latency. Now a batch pays only its
