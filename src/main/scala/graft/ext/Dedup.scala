@@ -553,6 +553,30 @@ object Dedup {
     * members are excluded from candidate generation (skew guard; the
     * oracle mirrors the cap with a window count).
     */
+  /** [[minhashPairs]] over a PRE-DERIVED signature table (the
+    * [[signatureFrame]] shape; the caller owns its materialization —
+    * typically a checkpoint leaf, so the band-candidate branch and the
+    * verification branch both read it without a cache entry). Rows are
+    * identical to `minhashPairs(docs)` whenever `sigs ==
+    * signatureFrame(docs)` — which holds for any per-row-filtered
+    * subset, since the signature is a per-row function.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val candidates = bandCandidates(sigs, maxBucket)
+    val sets = sigs.select(col("doc_id"), col("tset"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc1"), col("tset").as("t1")),
+        Seq("doc1"))
+      .join(sets.select(col("doc_id").as("doc2"), col("tset").as("t2")),
+        Seq("doc2"))
+      .withColumn("jaccard", rnd(
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
   def minhashPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = 1000): DataFrame = {
     // cache: the signature table feeds BOTH candidate generation and
@@ -670,8 +694,18 @@ object Dedup {
     */
   def minhashPairsAgainstPrepared(sBands: DataFrame, sHot: DataFrame,
       sSig: DataFrame, incoming: DataFrame, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame =
+    minhashPairsAgainstPreparedSigs(sBands, sHot, sSig,
+      sigTable(incoming), minJaccard, maxBucket)
+
+  /** [[minhashPairsAgainstPrepared]] with the INCOMING signature table
+    * pre-derived too — a staged caller that already materialized the
+    * delta's [[signatureFrame]] (and reuses it for the within-delta
+    * pair probe) passes it here instead of paying a second kernel pass.
+    */
+  def minhashPairsAgainstPreparedSigs(sBands: DataFrame, sHot: DataFrame,
+      sSig: DataFrame, iSig: DataFrame, minJaccard: Double,
       maxBucket: Int = 1000): DataFrame = {
-    val iSig = sigTable(incoming)
     val iBands = dropHotBuckets(explodedBands(iSig),
       Seq("band", "key"), maxBucket)
     val candidates = sBands

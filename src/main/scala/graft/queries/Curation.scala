@@ -654,24 +654,34 @@ object Curation {
     if (n3 == 0) return empty
 
     // stage 4 — within-delta pairs are impossible below 2 rows. The
-    // vs-store half prefers the PREPARED band artifacts (store bands +
-    // hot-key counts derived once per store version) so the per-batch
-    // plan scans the store side instead of re-exploding, re-counting
-    // and re-shuffling it — identical drop list either way
+    // delta's signature table derives ONCE (a checkpoint leaf) and
+    // serves both halves; the vs-store half prefers the PREPARED band
+    // artifacts (store bands + hot-key counts derived once per store
+    // version) so the per-batch plan scans the store side instead of
+    // re-exploding, re-counting and re-shuffling it — identical drop
+    // list either way
+    val (d3Sigs, _) = ck("d3_sigs")(Dedup.signatureFrame(d3))
     val dropVs4 = bandsOpt match {
       case Some(b) =>
         val sb = b.recentBands.fold(b.bands)(r => b.bands.unionByName(r))
-        Dedup.minhashPairsAgainstPrepared(sb, hotKeys(b), side.sigs, d3,
-          MinJaccard).select($"in_doc".as("doc_id")).distinct()
+        Dedup.minhashPairsAgainstPreparedSigs(sb, hotKeys(b), side.sigs,
+          d3Sigs, MinJaccard).select($"in_doc".as("doc_id")).distinct()
       case None => minhashVsStoreDrop(side, d3)
     }
-    val (d4a, n4a) =
-      minus(d3, n3, dropIds("d4a_minhash_vs_store")(dropVs4), "d4a_ck")
+    val drops4 = dropIds("d4a_minhash_vs_store")(dropVs4)
+    val (d4a, n4a) = minus(d3, n3, drops4, "d4a_ck")
     if (n4a == 0) return empty
     val (d4, n4) =
       if (n4a == 1) (d4a, n4a)
       else {
-        val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
+        // the within-delta probe rides the SAME signature leaf,
+        // per-row-filtered to the survivors (signatures are per-row
+        // functions, so filter-then-pair equals pair-over-d4a exactly,
+        // cap population included)
+        val d4aSigs =
+          if (drops4.isEmpty) d3Sigs
+          else d3Sigs.filter(!$"doc_id".isin(drops4.toIndexedSeq: _*))
+        val pairsD = Dedup.minhashPairsFromSigs(d4aSigs, MinJaccard)
           .select($"doc1".as("src"), $"doc2".as("dst"))
         if (pairsD.isEmpty) (d4a, n4a)
         else minus(d4a, n4a,
