@@ -955,6 +955,51 @@ object ScaleProbe {
       s"discovery read $bytes1 bytes against a $sb-byte store — " +
         "the sidecar prune is not bounding it")
 
+    // LEG 1b — append-time sidecar coverage: the same bounded
+    // redaction against a store that has NEVER seen a maintenance
+    // pass, built the way the STREAM builds it (per-batch appendStore
+    // with the (bucket, ids) proof, sidecars MERGED at append time).
+    // Discovery must stay < store bytes on those sidecars alone —
+    // before round 15 a never-compacted store had no sidecars at all
+    // and every compliance call scanned the whole doc_id column.
+    val dir1b = tempDir("redact_mass_hot")
+    val batches = 128
+    val perBatch = math.max(1, nDocs / batches)
+    (0 until batches).foreach { bb =>
+      val lo = bb.toLong * perBatch
+      val rows = spark.range(lo, lo + perBatch).select(
+        $"id".as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+        lit(64L).as("n_chars"),
+        concat(lit("alpha beta gamma delta body "),
+          ($"id" % 97L).cast("string")).as("text"),
+        lit(8L).as("n_tok"), lit(bb.toLong).as("ingest_batch"))
+      graft.streaming.CurationStream.appendStore(rows, dir1b,
+        touchedBuckets = Some(Seq(
+          bb.toLong / graft.streaming.CurationStream.BatchesPerBucket)),
+        newIds = Some((lo until lo + perBatch).toArray))
+    }
+    val sb1b = storeBytes(dir1b)
+    val buckets1b = graft.streaming.CurationStream.liveBuckets(dir1b).size
+    // tombstones concentrated in the FIRST bucket (batches 0..15)
+    val tomb1b = spark.range(nIds1)
+      .filter($"id" < 16L * perBatch).select($"id".as("doc_id"))
+    val expected1b = tomb1b.count()
+    val (_, bytes1b, sec1b) = measured(
+      graft.streaming.CurationStream.redactStore(spark, dir1b, tomb1b))
+    val redacted1b = graft.streaming.CurationStream.readStore(spark, dir1b)
+      .filter($"text".isNull).count()
+    println(s"""{"probe":"redact_mass_hot_uncompacted","docs":$nDocs,""" +
+      s""""tombstones":$expected1b,"redacted":$redacted1b,""" +
+      s""""buckets":$buckets1b,"store_bytes":$sb1b,""" +
+      s""""bytes_read":$bytes1b,""" +
+      s""""read_fraction":${f"${bytes1b.toDouble / sb1b}%.3f"},""" +
+      s""""sec":${f"$sec1b%.3f"}}""")
+    require(redacted1b == expected1b,
+      s"hot-store redaction nulled $redacted1b rows, expected $expected1b")
+    require(bytes1b < sb1b,
+      s"discovery read $bytes1b bytes against a $sb1b-byte NEVER-" +
+        "compacted store — append-time sidecars are not bounding it")
+
     // LEG 2 — compliance-scale mass redaction across every bucket
     // (every other doc): the flat-plan tombstone-TABLE contract
     val dir2 = freshStore("redact_mass_store")

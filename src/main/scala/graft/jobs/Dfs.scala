@@ -55,12 +55,33 @@ object Dfs {
   /** Scheme-qualified, normalized form of a path string — the ONE
     * canonical spelling every in-memory key (epoch pins, leases, store
     * versions) and every listing-derived path shares, so a relative or
-    * `.`-segmented caller spelling can never split the keyspace.
+    * `.`-segmented caller spelling can never split the keyspace. Local
+    * paths additionally resolve SYMLINKS to their real path: two
+    * aliased spellings of one store directory must map to one registry
+    * key, or a second in-process writer on the alias would bypass the
+    * single-writer guard (the lease file is re-entrant for the same
+    * JVM token, so only the keyspace can catch that case).
     */
   def qualified(s: String): Path = {
     val p = new Path(s)
-    fc(p).makeQualified(p)
+    val q = fc(p).makeQualified(p)
+    if (q.toUri.getScheme != "file") q
+    else new Path("file", null,
+      realLocal(java.nio.file.Paths.get(q.toUri.getPath)).toString)
   }
+
+  /** Real (symlink-free) form of a local path. The path may not exist
+    * yet (a store about to be created): resolve the longest existing
+    * ancestor and re-append the remainder verbatim.
+    */
+  private def realLocal(p: java.nio.file.Path): java.nio.file.Path =
+    try p.toRealPath()
+    catch {
+      case _: java.io.IOException =>
+        val parent = p.getParent
+        if (parent == null) p
+        else realLocal(parent).resolve(p.getFileName)
+    }
 
   def exists(p: Path): Boolean = fc(p).util.exists(p)
   def isFile(p: Path): Boolean =
@@ -92,14 +113,20 @@ object Dfs {
       case _: java.io.FileNotFoundException => false
     }
 
-  /** Read a small control file fully (pointer/lease/version marker). */
+  /** Read a small control file fully (pointer/lease/version marker).
+    * Reads to EOF on the ONE opened stream — the previous form stat'ed
+    * the path separately for its length, and a reader racing an atomic
+    * replace could pair the NEW file's length with the OLD file's
+    * descriptor (a torn read the pointer protocols forbid).
+    */
   def readString(p: Path): String = {
     val in = fc(p).open(p)
     try {
-      val n = fc(p).getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](n)
-      in.readFully(0, buf)
-      new String(buf, StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
   }
 
@@ -142,6 +169,10 @@ object Dfs {
   def writeStringAtomic(dst: Path, s: String): Unit = {
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
     writeString(tmp, s)
+    nonAtomicRenameShim match {
+      case Some(shim) => shim(tmp, dst); return
+      case None => ()
+    }
     val scheme = dst.toUri.getScheme
     if (scheme == null || scheme == "file") {
       java.nio.file.Files.move(
@@ -152,6 +183,18 @@ object Dfs {
       ()
     } else fc(dst).rename(tmp, dst, Options.Rename.OVERWRITE)
   }
+
+  /** TEST-ONLY seam: when set, [[writeStringAtomic]]'s commit rename is
+    * delegated to the shim, which can emulate an object store's
+    * copy+delete "rename" — a visible window in which `dst` is absent
+    * or partial. A spec drives a concurrent reader through that window
+    * to pin WHY the durable protocols (epoch pointer, swap journal,
+    * lease) demand an atomic-rename scheme and why MIGRATION.md routes
+    * `s3a://` deployments through a table format instead. Never set
+    * outside tests; `None` leaves the real per-scheme paths untouched.
+    */
+  @volatile private[graft] var nonAtomicRenameShim:
+    Option[(Path, Path) => Unit] = None
 
   /** Atomic rename that FAILS if `dst` exists (the partition-swap
     * moves: the destination must have been cleared by the protocol).

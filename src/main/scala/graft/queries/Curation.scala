@@ -598,6 +598,17 @@ object Curation {
     * builders) and pinned end-to-end by CurationStreamSpec (streamed ≡
     * sequential [[ingestDelta]] rounds) plus the soak parity gates.
     */
+  /** Max ids a streaming drop list may inline as a driver literal
+    * filter. Drop lists are delta-bounded by construction, but a
+    * backlog-replay micro-batch (an unthrottled source after a restart)
+    * makes "delta-sized" as large as the backlog — an O(batch) driver
+    * array and a pathological In-literal plan. Over the cap the stage
+    * falls back to the batch form's anti-join shape (identical result
+    * set; `NOT isin` on a non-null key equals the left_anti).
+    * `@volatile var` so a spec can force the fallback on a tiny delta.
+    */
+  @volatile private[graft] var DropListCap: Long = 100000L
+
   private[graft] def acceptDeltaFast(s: SparkSession, side: StoreSide,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])],
@@ -621,18 +632,35 @@ object Curation {
     // instead of an anti-join plus a broadcast build, and a stage whose
     // drop list is empty keeps the PREVIOUS checkpoint (no re-
     // materialization at all). NOT-isin equals the left_anti on a
-    // non-null key column, which doc_id is by schema.
-    def dropIds(name: String)(df: DataFrame): Array[Long] = {
+    // non-null key column, which doc_id is by schema. "Delta-bounded"
+    // is as large as the BACKLOG under a replay burst, so the collect
+    // is capped: the probe fetches cap+1 ids in the one action, and an
+    // over-cap list stays DISTRIBUTED (Right) — applied as the batch
+    // form's anti-join instead of a driver literal.
+    def dropIds(name: String)(
+        df: DataFrame): Either[Array[Long], DataFrame] = {
       val t0 = System.nanoTime()
-      val ids = df.collect().map(_.getLong(0))
+      val cap = DropListCap
+      val head =
+        df.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).collect()
+      val over = head.length > cap
       if (dbg) println(
-        f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s (${ids.length}%d drops)")
-      ids
+        f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          (if (over) s"(>$cap drops, anti-join fallback)"
+           else s"(${head.length} drops)"))
+      if (over) Right(df) else Left(head.map(_.getLong(0)))
     }
-    def minus(d: DataFrame, n: Long, ids: Array[Long],
+    def noDrops(drops: Either[Array[Long], DataFrame]): Boolean =
+      drops.left.exists(_.isEmpty)
+    def minusDrops(d: DataFrame,
+        drops: Either[Array[Long], DataFrame]): DataFrame = drops match {
+      case Left(ids) => d.filter(!$"doc_id".isin(ids.toIndexedSeq: _*))
+      case Right(df) => d.join(df.select($"doc_id"), Seq("doc_id"),
+        "left_anti")
+    }
+    def minus(d: DataFrame, n: Long, drops: Either[Array[Long], DataFrame],
         name: String): (DataFrame, Long) =
-      if (ids.isEmpty) (d, n)
-      else ck(name)(d.filter(!$"doc_id".isin(ids.toIndexedSeq: _*)))
+      if (noDrops(drops)) (d, n) else ck(name)(minusDrops(d, drops))
     val empty = clDelta.select(cols: _*).limit(0)
 
     // id guard: probe the store-ids leaf with the broadcast delta ids
@@ -641,8 +669,8 @@ object Curation {
     val knownIds = dropIds("guard_known_ids")(
       side.ids.join(broadcast(clDelta.select($"doc_id")),
         Seq("doc_id"), "left_semi"))
-    val clD0 = if (knownIds.isEmpty) clDelta
-      else clDelta.filter(!$"doc_id".isin(knownIds.toIndexedSeq: _*))
+    val clD0 =
+      if (noDrops(knownIds)) clDelta else minusDrops(clDelta, knownIds)
 
     // stages guard–3 ride ONE checkpoint: d2 has a single consumer, so
     // a boundary between quality filter and exact dedup would be two
@@ -679,8 +707,7 @@ object Curation {
         // functions, so filter-then-pair equals pair-over-d4a exactly,
         // cap population included)
         val d4aSigs =
-          if (drops4.isEmpty) d3Sigs
-          else d3Sigs.filter(!$"doc_id".isin(drops4.toIndexedSeq: _*))
+          if (noDrops(drops4)) d3Sigs else minusDrops(d3Sigs, drops4)
         val pairsD = Dedup.minhashPairsFromSigs(d4aSigs, MinJaccard)
           .select($"doc1".as("src"), $"doc2".as("dst"))
         if (pairsD.isEmpty) (d4a, n4a)
@@ -714,8 +741,7 @@ object Curation {
     val contIds = dropIds("d6_decontaminate")(
       Dedup.contaminationAgainstSmall(dTrain, side.holdout)
         .select($"doc_id"))
-    if (contIds.isEmpty) dTrain
-    else dTrain.filter(!$"doc_id".isin(contIds.toIndexedSeq: _*))
+    if (noDrops(contIds)) dTrain else minusDrops(dTrain, contIds)
   }
 
   def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,

@@ -102,29 +102,45 @@ object CurationStream {
     * pre-append id set, and redaction discovery could then skip a
     * bucket holding a new victim). Callers that cannot prove the set
     * pass None and pay one distinct job.
+    *
+    * `newIds` (valid only with a SINGLE-bucket hint): the appended
+    * rows' doc_ids, already on the driver — the bucket's sidecar is
+    * then UPDATED in place instead of invalidated, so redaction
+    * discovery stays bounded on hot buckets no maintenance pass has
+    * sealed yet ([[mergeIdStats]]). The set is trusted like the bucket
+    * hint: an under-stated list would leave a sidecar missing a
+    * victim's id.
     */
   def appendStore(rows: DataFrame, storeDir: String,
-      mode: String = "append", touchedBuckets: Option[Seq[Long]] = None): Unit = {
+      mode: String = "append", touchedBuckets: Option[Seq[Long]] = None,
+      newIds: Option[Array[Long]] = None): Unit = {
     val bucketed = rows.withColumn("batch_bucket", batchBucket)
-    // invalidate the touched buckets' doc_id sidecars BEFORE the data
-    // write (see the sidecar section's invalidate-first discipline);
-    // the stream passes the bucket hint (its batch id is a literal),
-    // other callers derive it — or an overwrite drops them all
-    if (mode == "overwrite") invalidateAllIdStats(storeDir)
-    else invalidateIdStats(storeDir, touchedBuckets.getOrElse(
-      bucketed.select(col("batch_bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq))
+    // sidecar discipline BEFORE the data write: merge when the caller
+    // proved (bucket, ids) — the stream's case — otherwise invalidate
+    // (the scan fallback is always correct); an overwrite drops them all
+    (mode, touchedBuckets, newIds) match {
+      case ("overwrite", _, _) => invalidateAllIdStats(storeDir)
+      case (_, Some(Seq(b)), Some(ids)) => mergeIdStats(storeDir, b, ids)
+      case (_, tb, _) => invalidateIdStats(storeDir, tb.getOrElse(
+        bucketed.select(col("batch_bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq))
+    }
     bucketed.write.mode(mode).partitionBy("batch_bucket").parquet(storeDir)
   }
 
   /** Seed the store from an initial batch-curated corpus (e.g. the
-    * q117 stage-6 survivors), as ingest batch −1.
+    * q117 stage-6 survivors), as ingest batch −1. Builds the seed
+    * buckets' doc_id sidecars immediately (one per-bucket scan, a
+    * one-time seeding cost) so redaction discovery is bounded from the
+    * first compliance call — not from the first maintenance pass.
     */
-  def initStore(curated: DataFrame, storeDir: String): Unit =
+  def initStore(curated: DataFrame, storeDir: String): Unit = {
     appendStore(curated
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"), tokCount, lit(-1L).as("ingest_batch")),
       storeDir, mode = "overwrite")
+    buildIdStats(curated.sparkSession, storeDir)
+  }
 
   /** The pack manifest derived from the store: the global token stream
     * in (ingest_batch, doc_id) order — exactly the order the appends
@@ -201,10 +217,19 @@ object CurationStream {
     sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").map(_.toLong)
       .getOrElse(10L * 60L * 1000L)
 
-  private val jvmToken = {
+  private val defaultToken = {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
     s"${rt.getName}:${rt.getStartTime}"
   }
+
+  /** TEST-ONLY seam: lets a spec impersonate a writer in "another
+    * process" on the current thread (two racing reclaimers, a foreign
+    * maintenance op) without forking JVMs. Unset everywhere else, so
+    * production identity is the process token.
+    */
+  private[graft] val tokenOverride = new ThreadLocal[String]()
+  private def jvmToken: String =
+    Option(tokenOverride.get).getOrElse(defaultToken)
 
   // in-process registry: canonical store dir -> the live ingest query
   // (or a reservation while one is starting). Two streams in ONE JVM
@@ -219,9 +244,14 @@ object CurationStream {
   /** Acquire the store's writer lease file for this JVM. Fail-loud when
     * a DIFFERENT live writer holds it; re-entrant for this JVM (the
     * in-process double-stream case is caught by [[activeStreams]]).
-    * Create-exclusive first, so two fresh acquirers cannot both win;
-    * the reclaim path (stale or own lease) rewrites in place under the
-    * single-reclaimer assumption a loud second failure enforces.
+    * Create-exclusive first, so two fresh acquirers cannot both win.
+    * A STALE foreign lease (crashed owner) reclaims SINGLE-WINNER: the
+    * stale file is moved aside by an atomic rename to a claimant-unique
+    * name — only one claimant's rename can succeed, the loser's source
+    * is already gone — and the winner then takes the lease through the
+    * same create-exclusive as a fresh acquirer. The previous in-place
+    * overwrite let two processes that both observed the stale lease
+    * both write their token and both proceed as writers.
     */
   private[graft] def acquireLease(storeDir: String): Unit = {
     val p = leasePath(storeDir)
@@ -243,20 +273,74 @@ object CurationStream {
         val owner =
           (try Dfs.readString(p) catch { case _: Exception => "" }).trim
         val age = System.currentTimeMillis() - st.getModificationTime
-        if (owner != jvmToken && age < LeaseStaleMs) denied(owner, age)
-        Dfs.writeStringAtomic(p, jvmToken)
+        if (owner == jvmToken) { Dfs.writeStringAtomic(p, jvmToken); return }
+        if (age < LeaseStaleMs) denied(owner, age)
+        val claimed = new Path(p.getParent, s"_lease.stale." +
+          java.util.UUID.randomUUID().toString.take(8))
+        try Dfs.rename(p, claimed)
+        catch {
+          // another claimant moved it first: re-evaluate from scratch —
+          // the winner's fresh lease will deny us through the normal
+          // path (any other IO failure propagates, never retries)
+          case _: java.io.FileNotFoundException =>
+            return acquireLease(storeDir)
+        }
+        Dfs.delete(claimed, recursive = false)
+        acquireLease(storeDir)
     }
+  }
+
+  /** Delete the lease ONLY if it still carries this JVM's token. An
+    * unconditional delete let a hung owner — whose stale lease another
+    * process had legitimately reclaimed — destroy the NEW owner's lease
+    * on its eventual termination, unfencing a third writer. The
+    * read-check-delete here is not atomic, but the residual window is
+    * a reclaim landing between the read and the delete of a lease that
+    * WAS ours — orders of magnitude narrower than deleting blind, and
+    * a loss there still needs a second already-stale reclaim to matter.
+    */
+  private def deleteLeaseIfOwn(storeDir: String): Unit = {
+    val p = leasePath(storeDir)
+    val own = Dfs.status(p).exists { _ =>
+      (try Dfs.readString(p) catch { case _: Exception => "" })
+        .trim == jvmToken
+    }
+    if (own) { Dfs.delete(p, recursive = false); () }
   }
 
   private[graft] def releaseLease(storeDir: String): Unit = {
     activeStreams.remove(canonical(storeDir))
-    Dfs.delete(leasePath(storeDir), recursive = false)
-    ()
+    deleteLeaseIfOwn(storeDir)
   }
 
-  private def heartbeatLease(storeDir: String): Unit = {
+  /** Refresh the lease's heartbeat — and FENCE: a lease that no longer
+    * carries this JVM's token means we were presumed dead and another
+    * writer legitimately reclaimed; continuing to append would be the
+    * exact double-writer the lease exists to prevent, so the batch (and
+    * with it the query) fails loud instead. A deleted lease is
+    * restored (create-exclusive; losing that race is the same fencing
+    * case).
+    */
+  private[graft] def heartbeatLease(storeDir: String): Unit = {
     val p = leasePath(storeDir)
-    if (Dfs.exists(p)) Dfs.touch(p)
+    def fenced(owner: String): Nothing =
+      throw new IllegalStateException(
+        s"writer fenced off ${canonical(storeDir)}: the lease now " +
+          s"belongs to $owner (this writer was presumed dead and " +
+          "reclaimed); stopping rather than double-writing.")
+    Dfs.status(p) match {
+      case Some(_) =>
+        val owner =
+          (try Dfs.readString(p) catch { case _: Exception => "" }).trim
+        if (owner != jvmToken) fenced(owner)
+        Dfs.touch(p)
+      case None =>
+        try Dfs.writeString(p, jvmToken, overwrite = false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            heartbeatLease(storeDir)
+        }
+    }
   }
 
   /** Maintenance-op guard: a FRESH lease held by a different JVM means
@@ -278,6 +362,46 @@ object CurationStream {
             s"ingest stream in another process holds the lease ($owner, " +
             s"heartbeat $age ms ago). Run maintenance from the owning " +
             "process between batches, or after the stream stops.")
+    }
+  }
+
+  /** TEST-ONLY seam: invoked while a maintenance op HOLDS the lease,
+    * before any store mutation — a spec can race a foreign acquirer
+    * against the held lease and assert the loud refusal.
+    */
+  private[graft] var maintenancePauseHook: String => Unit = _ => ()
+
+  /** Run a maintenance body under the writer lease. Maintenance used to
+    * only CHECK for a foreign fresh lease and then run UNLEASED on an
+    * idle store — so a stream starting in another process mid-
+    * maintenance saw no lease, won `acquireLease`, and raced
+    * `recoverStore` against the in-flight swap journal (and two idle-
+    * store maintenance processes could interleave the same way). Now:
+    *  - a lease this JVM already holds (the stream's between-batches
+    *    pattern, or a same-JVM nested call) is KEPT — heartbeat only,
+    *    never released from under its owner;
+    *  - otherwise acquire for the body's duration (fresh foreign lease
+    *    ⇒ [[requireMaintenanceSafe]]'s loud maintenance-specific
+    *    refusal first; stale ⇒ the single-winner reclaim) and release
+    *    on the way out, success or failure.
+    */
+  private def withMaintenanceLease[T](storeDir: String)(body: => T): T = {
+    requireMaintenanceSafe(storeDir)
+    val p = leasePath(storeDir)
+    val ownedAlready = Dfs.status(p).exists { _ =>
+      (try Dfs.readString(p) catch { case _: Exception => "" })
+        .trim == jvmToken
+    }
+    if (ownedAlready) {
+      Dfs.touch(p)
+      maintenancePauseHook(storeDir)
+      body
+    } else {
+      acquireLease(storeDir)
+      try {
+        maintenancePauseHook(storeDir)
+        body
+      } finally releaseLease(storeDir)
     }
   }
 
@@ -497,17 +621,24 @@ object CurationStream {
         // materialize ONCE with truncated lineage: the appended rows
         // feed both the store write and the in-memory side increment,
         // and a lazy frame would chain every batch's delta plan into
-        // the next batch's side
-        val rows = ph("localCheckpoint")(accepted
-          .select(col("doc_id"), col("lang"), col("source"),
-            col("n_chars"), col("text"), tokCount,
-            lit(batchId).as("ingest_batch"))
-          .localCheckpoint(true))
-        if (!ph("isEmpty")(rows.isEmpty)) {
-          // bucket hint: the batch id is a literal, so the touched
-          // bucket is driver arithmetic — no per-batch distinct job
+        // the next batch's side. Checkpoint+count is one fused action;
+        // the emptiness probe rides the count instead of a second job.
+        val (rows, nRows) = ph("localCheckpoint")(
+          org.apache.spark.sql.graft.GraftExec.localCheckpointCounted(
+            accepted.select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text"), tokCount,
+              lit(batchId).as("ingest_batch"))))
+        if (nRows > 0) {
+          // the batch's ids, collected from the in-memory leaf (tiny —
+          // delta-sized by construction): they feed the sidecar merge,
+          // keeping redaction discovery bounded on never-compacted
+          // hot buckets. Bucket hint: the batch id is a literal, so the
+          // touched bucket is driver arithmetic — no distinct job.
+          val ids = ph("collectIds")(
+            rows.select(col("doc_id")).collect().map(_.getLong(0)))
           ph("appendStore")(appendStore(rows, storeDir,
-            touchedBuckets = Some(Seq(batchId / BatchesPerBucket))))
+            touchedBuckets = Some(Seq(batchId / BatchesPerBucket)),
+            newIds = Some(ids)))
           state.addRecent(rows)
         }
         ph("clearSigCaches")(Dedup.clearSignatureCaches())
@@ -530,7 +661,10 @@ object CurationStream {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
           activeStreams.remove(c, query)
-          Dfs.delete(leasePath(storeDir), recursive = false)
+          // compare-and-delete: a hung owner whose stale lease was
+          // legitimately reclaimed must NOT delete the new owner's
+          // lease on its eventual termination
+          deleteLeaseIfOwn(storeDir)
           session.streams.removeListener(this)
           ()
         }
@@ -555,8 +689,9 @@ object CurationStream {
   /** Tombstone batches up to this size consult the sidecars driver-side
     * (8 bytes/id on the driver); larger batches fall back to the full
     * column-pruned scan, which a compliance batch that size amortizes.
+    * `@volatile var` so a spec can force the over-cap fallback.
     */
-  val RedactCollectCap = 1000000L
+  @volatile var RedactCollectCap = 1000000L
 
   // underscore-prefixed FILE name too (not just the directory): every
   // data-file walker in the store's ecosystem skips `_`/`.` names, and
@@ -579,6 +714,43 @@ object CurationStream {
       Some(IdStats(lines(0).trim.toLong, lines(1).trim.toLong,
         lines(2).trim.toLong, bloom))
     } catch { case _: Exception => None } // torn/garbled sidecar = scan
+  }
+
+  private def writeIdStats(storeDir: String, b: Long, st: IdStats): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    st.bloom.writeTo(bos)
+    Dfs.writeStringAtomic(idStatsPath(storeDir, b),
+      s"${st.count}\n${st.min}\n${st.max}\n" +
+        java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+  }
+
+  /** Fold a micro-batch's ids into its bucket's sidecar BEFORE the data
+    * write — the inverse of the rewrite paths' invalidate-first, and
+    * safe for the same reason: a sidecar may only ever OVER-state a
+    * bucket's ids (a crash between the sidecar write and the data write
+    * leaves extra candidates — a wasted confirm scan, never a skipped
+    * victim). This is what keeps redaction discovery bounded on a store
+    * that has NEVER been compacted: hot buckets are covered from their
+    * first append, not from the first maintenance pass. A fresh
+    * sidecar's Bloom is sized with a bucket's worth of headroom
+    * (over-filling only raises its false-positive rate — more candidate
+    * scans, never a miss); maintenance rebuilds right-size it.
+    */
+  private def mergeIdStats(storeDir: String, b: Long,
+      ids: Array[Long]): Unit = {
+    if (ids.isEmpty) return
+    val merged = readIdStats(storeDir, b) match {
+      case Some(st) =>
+        ids.foreach(st.bloom.putLong)
+        IdStats(st.count + ids.length, math.min(st.min, ids.min),
+          math.max(st.max, ids.max), st.bloom)
+      case None =>
+        val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(ids.length.toLong * BatchesPerBucket, 4096L), 0.01)
+        ids.foreach(bloom.putLong)
+        IdStats(ids.length.toLong, ids.min, ids.max, bloom)
+    }
+    writeIdStats(storeDir, b, merged)
   }
 
   private def invalidateIdStats(storeDir: String, buckets: Seq[Long]): Unit =
@@ -605,14 +777,9 @@ object CurationStream {
         val agg = ids.agg(count(lit(1)), min(col("doc_id")),
           max(col("doc_id"))).collect().head
         val n = agg.getLong(0)
-        if (n > 0) {
-          val bloom = ids.stat.bloomFilter("doc_id", n, 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bloom.writeTo(bos)
-          Dfs.writeStringAtomic(idStatsPath(storeDir, b),
-            s"$n\n${agg.getLong(1)}\n${agg.getLong(2)}\n" +
-              java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
-        }
+        if (n > 0)
+          writeIdStats(storeDir, b, IdStats(n, agg.getLong(1),
+            agg.getLong(2), ids.stat.bloomFilter("doc_id", n, 0.01)))
       }
     }
 
@@ -744,8 +911,7 @@ object CurationStream {
     * [[manifestView]] and every subsequent ingest are unchanged.
     */
   def compactStore(spark: SparkSession, storeDir: String,
-      targetFiles: Int = 4): Unit = {
-    requireMaintenanceSafe(storeDir)
+      targetFiles: Int = 4): Unit = withMaintenanceLease(storeDir) {
     recoverStore(storeDir)
     requireBucketedLayout(storeDir)
     liveBuckets(storeDir).foreach { b =>
@@ -778,7 +944,9 @@ object CurationStream {
     */
   def redactStore(spark: SparkSession, storeDir: String,
       ids: Seq[Long]): Unit = {
-    if (ids.isEmpty) { recoverStore(storeDir); return }
+    if (ids.isEmpty) {
+      withMaintenanceLease(storeDir)(recoverStore(storeDir)); return
+    }
     import spark.implicits._
     redactStore(spark, storeDir, ids.toDF("doc_id"))
   }
@@ -794,8 +962,7 @@ object CurationStream {
     * a duplicate-laden compliance feed cannot fan out store rows.
     */
   def redactStore(spark: SparkSession, storeDir: String,
-      ids: DataFrame): Unit = {
-    requireMaintenanceSafe(storeDir)
+      ids: DataFrame): Unit = withMaintenanceLease(storeDir) {
     recoverStore(storeDir)
     requireBucketedLayout(storeDir)
     val tomb = ids.select(col("doc_id")).distinct()
@@ -805,11 +972,19 @@ object CurationStream {
     // is driver-collectable, candidates = sidecar-less buckets plus
     // buckets whose [min,max] range AND Bloom admit some tombstone;
     // exact confirmation then scans ONLY candidate partitions (the
-    // isin partition filter prunes directories at planning time)
+    // isin partition filter prunes directories at planning time).
+    // Over-cap detection rides the SAME action as the collect (fetch
+    // cap+1 rows; the extra row IS the verdict) — the previous
+    // count-then-collect recomputed the distinct twice.
     val sortedTomb: Option[Array[Long]] =
       if (stats.valuesIterator.forall(_.isEmpty)) None
-      else if (tomb.count() > RedactCollectCap) None
-      else Some(tomb.collect().map(_.getLong(0)).sorted)
+      else {
+        val head = tomb
+          .limit(math.min(RedactCollectCap + 1L, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (head.length > RedactCollectCap) None
+        else Some(head.map(_.getLong(0)).sorted)
+      }
     val candidates = sortedTomb match {
       case None => live
       case Some(arr) => live.filter { b =>

@@ -197,6 +197,61 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally stopAndWait(q)
   }
 
+  test("over-cap drop lists: the anti-join fallback accepts exactly the literal-filter set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the in-memory-increment scenario re-run with DropListCap = 0, so
+    // every NON-EMPTY drop list (the id-guard overlap at batch 2, the
+    // semantic vs-store drop at batch 1) exceeds the cap and takes the
+    // distributed anti-join fallback instead of a driver literal — the
+    // accepted set must match the literal-filter run
+    // (the sibling increment test) exactly
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val sIds = pickIds(4, id => bucketOf(id) < 80)
+    val dIds = pickIds(5, id => bucketOf(id) < 80, from = sIds.max + 1)
+    val Seq(a, b, c, d, f) = dIds
+    val curated = mk(sIds.zipWithIndex.map { case (id, i) =>
+      (id, text(s"s${('a' + i).toChar}")) })
+    val allIds = sIds ++ dIds
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      val dim = if (id == c) dims(a) % 64 else dims(id) % 64
+      (id, (0 until 64).map(x => if (x == dim) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+    val storeDir = Files.createTempDirectory("cur_caplist").toString
+    val ckpt = Files.createTempDirectory("cur_caplist_ckpt").toString
+    CurationStream.initStore(curated, storeDir)
+    val in = MemoryStream[(Long, String, String, Long, String)]
+    Curation.DropListCap = 0L
+    val q = CurationStream.ingestStream(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+      emb, trained, mk(Seq.empty), storeDir, ckpt)
+    try {
+      def push(rows: Seq[(Long, String)]): Unit = {
+        in.addData(rows.map { case (id, t) =>
+          (id, "en", "web", t.length.toLong, t) }: _*)
+        q.processAllAvailable()
+      }
+      push(Seq(a -> text("aone")))
+      push(Seq(b -> text("aone"), c -> text("cone"), d -> text("done")))
+      push(Seq(a -> text("eone"), f -> text("fone")))
+      val accepted = CurationStream.readStore(spark, storeDir)
+        .filter($"ingest_batch" >= 0L)
+        .select($"doc_id", $"ingest_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(accepted === Set((a, 0L), (d, 1L), (f, 2L)),
+        "the anti-join fallback must accept exactly the literal set, " +
+          s"got $accepted")
+    } finally {
+      Curation.DropListCap = 100000L
+      stopAndWait(q)
+    }
+  }
+
   test("store lifecycle: compaction and redaction leave the manifest invariant") {
     import spark.implicits._
     val storeIds = pickIds(10, id => id % 7 != 0 && bucketOf(id) < 80)
@@ -577,21 +632,206 @@ class CurationStreamSpec extends AnyFunSuite {
       .filter($"text".isNull).count() === expected2,
       "a missing sidecar must fall back to scanning that bucket")
 
-    // over-cap fallback: force the collect cap to zero — discovery
-    // must take the full-scan path and stay exact
-    val prevCap = 0L // (RedactCollectCap is a val; exercise via a
-    // tombstone table the cap logic sends down the scan path anyway:
-    // all sidecars invalidated => stats all empty => full scan)
+    // over-cap fallback: force the collect cap to zero WITH sidecars
+    // present — the `head.length > RedactCollectCap` branch itself must
+    // execute, take the full-scan path, and stay exact
+    val tomb3 = spark.range(800L).filter($"id" % 64L >= 32L &&
+      $"id" % 64L < 48L).select($"id".as("doc_id")).limit(10)
+    val expected3 = expected2 + tomb3.count()
+    val prevCap = CurationStream.RedactCollectCap
+    CurationStream.RedactCollectCap = 0L
+    try CurationStream.redactStore(spark, storeDir, tomb3)
+    finally CurationStream.RedactCollectCap = prevCap
+    assert(CurationStream.readStore(spark, storeDir)
+      .filter($"text".isNull).count() === expected3,
+      "an over-cap tombstone batch must full-scan exactly")
+
+    // sidecar-LESS full scan: every sidecar deleted => stats all empty
+    // => full scan, still exact
     buckets.foreach(b => Dfs.delete(
       new Path(Dfs.qualified(storeDir), s"_idstats/_bucket_$b"),
       recursive = false))
-    val tomb3 = spark.range(800L).filter($"id" % 64L >= 32L)
+    val tomb4 = spark.range(800L).filter($"id" % 64L >= 48L)
       .select($"id".as("doc_id")).limit(10)
-    val expected3 = expected2 + tomb3.count()
-    CurationStream.redactStore(spark, storeDir, tomb3)
+    val expected4 = expected3 + tomb4.count()
+    CurationStream.redactStore(spark, storeDir, tomb4)
     assert(CurationStream.readStore(spark, storeDir)
-      .filter($"text".isNull).count() === expected3,
-      s"sidecar-less store must full-scan exactly (cap unused: $prevCap)")
+      .filter($"text".isNull).count() === expected4,
+      "a sidecar-less store must full-scan exactly")
+  }
+
+  test("maintenance HOLDS the lease: a foreign acquirer mid-maintenance is refused; idle-store maintenance releases after") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val storeDir = Files.createTempDirectory("cur_mlease").toString
+    CurationStream.initStore(
+      mk(Seq(1L -> text("ma"), 2L -> text("mb"))), storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    @volatile var leaseHeld = false
+    @volatile var foreignDenied: Option[Throwable] = None
+    CurationStream.maintenancePauseHook = { dir =>
+      leaseHeld = Dfs.isFile(lease)
+      // a writer in "another process" (foreign token on its own
+      // thread) starting mid-maintenance — the exact interleaving that
+      // used to race recoverStore against the in-flight swap
+      val t = new Thread(() => {
+        CurationStream.tokenOverride.set("9999@elsewhere:1")
+        try { CurationStream.acquireLease(dir); foreignDenied = None }
+        catch { case e: Throwable => foreignDenied = Some(e) }
+        finally CurationStream.tokenOverride.remove()
+      })
+      t.start(); t.join()
+    }
+    try CurationStream.compactStore(spark, storeDir, targetFiles = 1)
+    finally CurationStream.maintenancePauseHook = _ => ()
+    assert(leaseHeld, "maintenance must hold the lease while it runs")
+    assert(foreignDenied.exists(
+      _.getMessage.contains("leased by another writer")),
+      s"a foreign acquirer mid-maintenance must fail loud, got $foreignDenied")
+    assert(!Dfs.isFile(lease),
+      "idle-store maintenance must release the lease on completion")
+    // and redactStore holds it the same way
+    leaseHeld = false
+    CurationStream.maintenancePauseHook = { _ =>
+      leaseHeld = Dfs.isFile(lease)
+    }
+    try CurationStream.redactStore(spark, storeDir, Seq(1L))
+    finally CurationStream.maintenancePauseHook = _ => ()
+    assert(leaseHeld && !Dfs.isFile(lease))
+  }
+
+  test("stale-lease reclaim is single-winner: two racing claimants, exactly one proceeds") {
+    import org.apache.hadoop.fs.Path
+    val storeDir = Files.createTempDirectory("cur_reclaim").toString
+    CurationStream.recoverStore(storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    (1 to 20).foreach { round =>
+      Dfs.writeString(lease, s"dead-owner:$round")
+      // age the heartbeat well past the stale window
+      assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (1 to 2).map { i =>
+        new Thread(() => {
+          CurationStream.tokenOverride.set(s"claimant-$i@proc:$round")
+          try {
+            barrier.await()
+            CurationStream.acquireLease(storeDir)
+            wins.incrementAndGet()
+          } catch {
+            case _: IllegalStateException => losses.incrementAndGet()
+          } finally CurationStream.tokenOverride.remove()
+          ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() === 1,
+        s"round $round: exactly one claimant must win, got ${wins.get()}")
+      assert(losses.get() === 1)
+      Dfs.delete(lease, recursive = false)
+    }
+    // no reclaim debris left behind
+    assert(!Dfs.list(Dfs.qualified(storeDir))
+      .exists(_.getPath.getName.startsWith("_lease.stale")),
+      "the winner must clean up the moved-aside stale lease")
+  }
+
+  test("a fenced-off writer fails its heartbeat; release never deletes the new owner's lease") {
+    import org.apache.hadoop.fs.Path
+    val storeDir = Files.createTempDirectory("cur_fence").toString
+    CurationStream.recoverStore(storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    CurationStream.acquireLease(storeDir)
+    CurationStream.heartbeatLease(storeDir) // own lease: refresh is fine
+    // our stale lease was legitimately reclaimed elsewhere — the next
+    // heartbeat must fail LOUD instead of letting us keep writing
+    Dfs.writeStringAtomic(lease, "3333@elsewhere:1")
+    val e = intercept[IllegalStateException](
+      CurationStream.heartbeatLease(storeDir))
+    assert(e.getMessage.contains("fenced"))
+    // and our (hung writer's) eventual release must NOT delete the new
+    // owner's lease — compare-and-delete
+    CurationStream.releaseLease(storeDir)
+    assert(Dfs.isFile(lease),
+      "release must leave a foreign lease in place")
+    assert(Dfs.readString(lease).trim === "3333@elsewhere:1")
+    Dfs.delete(lease, recursive = false)
+  }
+
+  test("a symlinked spelling of the store cannot start a second in-process stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val real = Files.createTempDirectory("cur_symreal")
+    val alias = Paths.get(real.getParent.toString,
+      s"cur_symalias_${System.nanoTime()}")
+    Files.createSymbolicLink(alias, real)
+    CurationStream.initStore(
+      mk(Seq(1L -> text("sa"), 2L -> text("sb"))), real.toString)
+    val emb = (1L to 2L).map(id =>
+      (id, (0 until 64).map(d => if (d == id % 64) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1, roundTo = 4)
+    def start(dir: String) = {
+      val in = MemoryStream[(Long, String, String, Long, String)]
+      CurationStream.ingestStream(
+        in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+        emb, trained, mk(Seq.empty), dir,
+        Files.createTempDirectory("cur_sym_ckpt").toString)
+    }
+    val q = start(real.toString)
+    try {
+      // pre-round-15 this BYPASSED the guard: the alias keyed its own
+      // activeStreams entry and the lease is re-entrant for this JVM
+      val e = intercept[IllegalStateException](start(alias.toString))
+      assert(e.getMessage.contains("ingest stream"),
+        s"the aliased spelling must hit the in-process guard, got: $e")
+    } finally stopAndWait(q)
+  }
+
+  test("append-time sidecars: hot buckets are covered before any maintenance pass") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("cur_hotstats").toString
+    val seed = spark.range(100L).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit("web").as("source"), lit(9L).as("n_chars"),
+      concat(lit("seed body "), ($"id" % 7L).cast("string")).as("text"))
+    CurationStream.initStore(seed, storeDir)
+    assert(CurationStream.readIdStats(storeDir, -1L).isDefined,
+      "initStore must sidecar the seed bucket immediately")
+    // per-batch appends the way the stream does them: single-bucket
+    // hint + the batch's ids — the sidecar MERGES instead of
+    // invalidating
+    (0 until 4).foreach { batch =>
+      val lo = 1000L + batch * 10L
+      val ids = (lo until lo + 10L).toArray
+      val rows = ids.toSeq.toDF("doc_id").select($"doc_id",
+        lit("en").as("lang"), lit("web").as("source"),
+        lit(9L).as("n_chars"), lit(s"hot body $batch").as("text"),
+        lit(2L).as("n_tok"), lit(batch.toLong).as("ingest_batch"))
+      CurationStream.appendStore(rows, storeDir,
+        touchedBuckets =
+          Some(Seq(batch.toLong / CurationStream.BatchesPerBucket)),
+        newIds = Some(ids))
+    }
+    val st0 = CurationStream.readIdStats(storeDir, 0L)
+      .getOrElse(fail("the hot bucket must be sidecar'd from its appends"))
+    assert(st0.count === 40L && st0.min === 1000L && st0.max === 1039L)
+    assert((1000L until 1040L).forall(st0.bloom.mightContainLong),
+      "the merged Bloom must admit every appended id")
+    // redaction on the NEVER-compacted store stays exact, victims in
+    // both the seed bucket and the hot bucket
+    CurationStream.redactStore(spark, storeDir, Seq(1005L, 42L))
+    val redacted = CurationStream.readStore(spark, storeDir)
+      .filter($"text".isNull).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(redacted === Set(1005L, 42L))
   }
 
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
