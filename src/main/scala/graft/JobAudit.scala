@@ -31,19 +31,23 @@ object JobAudit {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    final case class JobRow(id: Int, site: String, group: String,
-      start: Long, var end: Long = -1L)
+    final case class JobRow(id: Int, site: String, call: String,
+      group: String, start: Long, var end: Long = -1L)
     val jobs = new ConcurrentLinkedQueue[JobRow]()
     val byId = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        val call = Option(js.properties)
           .flatMap(p => Option(p.getProperty("callSite.short")))
           .getOrElse("?")
         val grp = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
           .getOrElse("")
-        val r = JobRow(js.jobId, site, grp, js.time)
+        val r = JobRow(js.jobId, site, call, grp, js.time)
         jobs.add(r); byId.put(js.jobId, r); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -101,11 +105,21 @@ object JobAudit {
           val gap = math.max(0L, r.start - prevEnd) / 1000.0
           val dur = (if (r.end > 0) r.end - r.start else 0L) / 1000.0
           gapSum += gap; durSum += dur
-          if (gap > 0.3 || dur > 0.3)
-            println(f"  job ${r.id}%4d gap $gap%6.2f s dur $dur%6.2f s")
+          println(f"  job ${r.id}%4d gap $gap%6.2f s dur $dur%6.2f s  " +
+            f"${r.site}%-40s ${r.call}")
           prevEnd = math.max(prevEnd, if (r.end > 0) r.end else r.start)
         }
         println(f"  TOTAL gaps $gapSum%.1f s, job-dur $durSum%.1f s over ${rows.size} jobs")
+        // grouped rollup: which call sites own the job COUNT
+        rows.groupBy(_.site).toSeq
+          .map { case (site, rs) =>
+            (site, rs.size, rs.map(r =>
+              (if (r.end > 0) r.end - r.start else 0L) / 1000.0).sum)
+          }
+          .sortBy(-_._2)
+          .foreach { case (site, n, dur) =>
+            println(f"    site $site%-45s jobs $n%2d dur $dur%5.2f s")
+          }
         rows.headOption.foreach { h =>
           val lastEnd = rows.map(r => if (r.end > 0) r.end else r.start).max
           println(f"  HEAD ${(h.start - w0) / 1000.0}%.1f s before first job, " +

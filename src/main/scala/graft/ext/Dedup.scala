@@ -561,9 +561,17 @@ object Dedup {
     * signatureFrame(docs)` — which holds for any per-row-filtered
     * subset, since the signature is a per-row function.
     */
+  /** The hot-bucket cap every pair generator defaults to — exposed so
+    * callers can prove the cap a no-op (`rows ≤ DefaultMaxBucket` ⇒ no
+    * band bucket can exceed it).
+    */
+  val DefaultMaxBucket = 1000
+
   def minhashPairsFromSigs(sigs: DataFrame, minJaccard: Double,
-      maxBucket: Int = 1000): DataFrame = {
-    val candidates = bandCandidates(sigs, maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      incomingUnderCap: Boolean = false): DataFrame = {
+    val candidates = bandCandidates(sigs, maxBucket,
+      capNoop = incomingUnderCap)
     val sets = sigs.select(col("doc_id"), col("tset"))
     candidates
       .join(sets.select(col("doc_id").as("doc1"), col("tset").as("t1")),
@@ -607,10 +615,17 @@ object Dedup {
     * shuffle — at corpus scale that's the difference between shuffling
     * ids and shuffling the whole corpus k times.
     */
-  private def bandCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
-    val exploded = dropHotBuckets(sigs.select(
-      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key"))),
-      Seq("band", "key"), maxBucket)
+  private def bandCandidates(sigs: DataFrame, maxBucket: Int,
+      capNoop: Boolean = false): DataFrame = {
+    // capNoop: the caller proved sigs has ≤ maxBucket rows, so no band
+    // bucket can exceed the cap — the count + broadcast anti-join
+    // would drop nothing, and skipping it saves its broadcast-build
+    // job (identical rows by construction)
+    val raw = sigs.select(
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val exploded =
+      if (capNoop) raw
+      else dropHotBuckets(raw, Seq("band", "key"), maxBucket)
     exploded.select(col("band"), col("key"), col("doc_id").as("doc1"))
       .join(exploded.select(col("band"), col("key"), col("doc_id").as("doc2")),
         Seq("band", "key"))
@@ -705,9 +720,16 @@ object Dedup {
     */
   def minhashPairsAgainstPreparedSigs(sBands: DataFrame, sHot: DataFrame,
       sSig: DataFrame, iSig: DataFrame, minJaccard: Double,
-      maxBucket: Int = 1000): DataFrame = {
-    val iBands = dropHotBuckets(explodedBands(iSig),
-      Seq("band", "key"), maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      incomingUnderCap: Boolean = false): DataFrame = {
+    // incomingUnderCap: caller proved iSig has ≤ maxBucket rows — the
+    // incoming-side hot-bucket cap cannot fire (a bucket's membership
+    // is bounded by the row count), so its count + broadcast anti-join
+    // is skipped; identical rows by construction
+    val iBands =
+      if (incomingUnderCap) explodedBands(iSig)
+      else dropHotBuckets(explodedBands(iSig), Seq("band", "key"),
+        maxBucket)
     val candidates = sBands
       .join(broadcast(sHot.select(col("band"), col("key"))),
         Seq("band", "key"), "left_anti")
@@ -756,6 +778,121 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("in_doc"), col("store_doc"), col("jaccard"))
   }
+
+  /** [[minhashPairsAgainstPreparedSigs]] for a DRIVER-RESIDENT delta —
+    * the micro-batch tier. `iSigRows` are the delta's collected
+    * signature rows (doc_id, tset, bands); the exploded band table and
+    * the verification t1 side are built HERE as LocalRelations, whose
+    * broadcast builds read driver memory without submitting a Spark
+    * job — the per-batch plan then runs exactly TWO jobs (the
+    * candidate probe over the store band table, the verify scan over
+    * the store signature table). `hot` is the current hot-key set
+    * applied to the DELTA side: a hot (band,key) contributes no
+    * candidate pair whichever side drops it, so the pair set equals
+    * the distributed anti-join form's. The incoming-side hot-bucket
+    * cap is a proven no-op here (the caller bounds the delta row count
+    * by the cap). Rows identical to [[minhashPairsAgainstPreparedSigs]]
+    * by construction.
+    */
+  def minhashPairsAgainstPreparedLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      hot: Set[(Int, String)], sBands: DataFrame, sSig: DataFrame,
+      iSigRows: Array[org.apache.spark.sql.Row],
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bandRows = new java.util.ArrayList[Row]()
+    iSigRows.foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[String](2).iterator.zipWithIndex.foreach { case (k, i) =>
+        if (!hot((i, k))) bandRows.add(Row(i, k, id))
+      }
+    }
+    val iBands = spark.createDataFrame(bandRows, StructType(Seq(
+      StructField("band", IntegerType), StructField("key", StringType),
+      StructField("in_doc", LongType))))
+    val t1Rows = new java.util.ArrayList[Row]()
+    iSigRows.foreach(r => t1Rows.add(Row(r.getLong(0), r.getSeq[Long](1))))
+    val iT1 = spark.createDataFrame(t1Rows, StructType(Seq(
+      StructField("in_doc", LongType),
+      StructField("t1", ArrayType(LongType)))))
+    val candidates = sBands.join(broadcast(iBands), Seq("band", "key"))
+      .select(col("in_doc"), col("doc_id").as("store_doc")).distinct()
+    broadcast(candidates.join(broadcast(iT1), Seq("in_doc")))
+      .join(sSig.select(col("doc_id").as("store_doc"),
+        col("tset").as("t2")), Seq("store_doc"))
+      .withColumn("jaccard", rnd(
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("in_doc"), col("store_doc"), col("jaccard"))
+  }
+
+  /** [[minhashPairsFromSigs]] for a DRIVER-RESIDENT signature table —
+    * the within-delta micro-batch tier. Candidate generation replicates
+    * [[bandCandidates]] exactly on the driver (same (band,key) buckets,
+    * doc1 < doc2, distinct; the hot-bucket cap is a proven no-op at
+    * this row count), and the jaccard VERIFICATION still runs through
+    * the same Spark expressions — over a LocalRelation carrying both
+    * token sets — so no float arithmetic is re-implemented and no
+    * broadcast build or band self-join appears in the plan. Returns
+    * None when there are no candidate pairs (zero jobs for the caller).
+    */
+  def minhashPairsLocal(spark: org.apache.spark.sql.SparkSession,
+      sigRows: Array[org.apache.spark.sql.Row],
+      minJaccard: Double): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val byKey = scala.collection.mutable.Map.empty[(Int, String), List[Long]]
+    sigRows.foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[String](2).iterator.zipWithIndex.foreach { case (k, i) =>
+        val kk = (i, k); byKey(kk) = id :: byKey.getOrElse(kk, Nil)
+      }
+    }
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    byKey.valuesIterator.foreach { ids =>
+      val arr = ids.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val (a, b) = (arr(i), arr(j))
+          pairs += (if (a < b) (a, b) else (b, a)); j += 1
+        }
+        i += 1
+      }
+    }
+    if (pairs.isEmpty) None
+    else {
+      val tset = sigRows.iterator
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val rows = new java.util.ArrayList[Row]()
+      pairs.foreach { case (a, b) => rows.add(Row(a, b, tset(a), tset(b))) }
+      val frame = spark.createDataFrame(rows, StructType(Seq(
+        StructField("doc1", LongType), StructField("doc2", LongType),
+        StructField("t1", ArrayType(LongType)),
+        StructField("t2", ArrayType(LongType)))))
+      Some(frame
+        .withColumn("jaccard", rnd(
+          size(array_intersect(col("t1"), col("t2"))).cast("double") /
+            size(array_distinct(concat(col("t1"), col("t2")))).cast("double"), 4))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc1"), col("doc2"), col("jaccard")))
+    }
+  }
+
+  /** [[contaminationAgainstSmall]] with the train side's (doc_id, code)
+    * rows pre-built (the driver-resident micro-batch tier): the same
+    * exact equi-join against the holdout-code table, with no kernel
+    * pass and no Bloom prefilter — the prefilter only shrinks the
+    * broadcast build; the join IS the exact membership test either way.
+    */
+  def contaminationAgainstCodes(trCodes: DataFrame,
+      h: HoldoutCodes): DataFrame =
+    broadcast(trCodes).join(h.codes, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
 
   /** 16-bit SimHash over the token set: bit k of the signature is 1 when
     * at least half the tokens have bit k set in their code. Small enough

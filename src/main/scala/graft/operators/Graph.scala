@@ -178,6 +178,40 @@ object Graph {
     visited
   }
 
+  /** Driver union-find with MIN-root unions (path-compressed): returns
+    * the find function — every node resolves to its component's
+    * minimum id. The tier-0 body of [[connectedComponents]], shared so
+    * the streaming ingest's within-delta component drop computes the
+    * same labels without a Dataset round-trip.
+    */
+  def minRootFind(es: Array[(Long, Long)]): Long => Long = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    find
+  }
+
+  /** Every edge-list node that is NOT its component's minimum — the
+    * within-cluster drop list (keep each cluster's min id), computed
+    * entirely on the driver. Equal by construction to
+    * `connectedComponents(es).filter(node =!= component)`.
+    */
+  def minRootNonRoots(es: Array[(Long, Long)]): Array[Long] = {
+    val find = minRootFind(es)
+    es.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+      .distinct.filter(n => find(n) != n)
+  }
+
   /** Connected components over undirected `edges(src, dst)`: every node
     * appearing in an edge is assigned its component's MINIMUM node id.
     * The dedup endgame — LSH pair lists become duplicate clusters with
@@ -200,21 +234,9 @@ object Graph {
     if (e.count() <= driverEdgeLimit) {
       // tier 0: classic union-find, two jobs total
       val es = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val nodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
       e.unpersist(blocking = false)
+      val find = minRootFind(es)
+      val nodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
       return nodes.map(n => (n, find(n))).toDF("node", "component")
     }
 

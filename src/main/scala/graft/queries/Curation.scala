@@ -493,9 +493,26 @@ object Curation {
     * the cap — a delta-sized probe, never a store-wide re-aggregation.
     */
   final case class BandSide(bands: DataFrame, counts: DataFrame,
-      recentBands: Option[DataFrame])
+      recentBands: Option[DataFrame],
+      hotBaseLocal: Option[Set[(Int, String)]] = None)
 
-  private def hotKeys(b: BandSide, maxBucket: Int = 1000): DataFrame = {
+  /** The BASE hot-key set collected once per store version (the
+    * counts leaf changes only on rebuild) — [[hotKeysLocal]] serves it
+    * with ZERO per-batch jobs whenever the append window is empty.
+    * None = over the collect cap (callers fall back to the distributed
+    * form).
+    */
+  private[graft] def collectHotBaseLocal(s: SparkSession,
+      counts: DataFrame): Option[Set[(Int, String)]] =
+    hotKeysLocal(s, BandSide(counts, counts, None))
+
+  private def hotKeys(b: BandSide, maxBucket: Int = 1000,
+      hinted: Boolean = true): DataFrame = {
+    // `hinted = false` drops the broadcast hints — for the COLLECTED
+    // form ([[hotKeysLocal]]) the whole reconciliation runs inside one
+    // collect job, where a broadcast build would be a separate job for
+    // nothing
+    def bc(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val hotBase = b.counts.filter(col("cnt") > maxBucket)
       .select(col("band"), col("key"))
     b.recentBands match {
@@ -511,13 +528,42 @@ object Curation {
         //  - keys absent from the counts: hot iff recent alone crosses
         //    it — and such keys are also correctly caught here when
         //    they DO have a base row (base ≥ 0 only strengthens it).
-        val hot2a = b.counts.join(broadcast(rc), Seq("band", "key"))
+        val hot2a = b.counts.join(bc(rc), Seq("band", "key"))
           .filter(col("cnt") + col("rcnt") > maxBucket)
           .select(col("band"), col("key"))
         val hot2b = rc.filter(col("rcnt") > maxBucket)
           .select(col("band"), col("key"))
         hotBase.unionByName(hot2a).unionByName(hot2b).distinct()
     }
+  }
+
+  /** [[hotKeys]] COLLECTED to the driver for the local-delta tier: the
+    * hot filter then applies to the driver-resident delta bands —
+    * identical pair suppression (a hot (band,key) contributes no
+    * candidate whichever side drops it) with no distributed anti-join
+    * and no broadcast build in the per-batch plan. Hot keys are
+    * structurally few (≤ total band rows / maxBucket by pigeonhole),
+    * but the fetch is still capped; None = over the cap, caller falls
+    * back to the distributed form.
+    */
+  private def hotKeysLocal(s: SparkSession, b: BandSide,
+      maxBucket: Int = 1000): Option[Set[(Int, String)]] = {
+    // empty window ⇒ the reconciliation degenerates to the base set,
+    // already collected once per store version — zero jobs
+    if (b.recentBands.isEmpty && b.hotBaseLocal.isDefined)
+      return b.hotBaseLocal
+    val df = hotKeys(b, maxBucket, hinted = false)
+      .select(col("band").cast("int").as("band"), col("key"))
+    val cap = DropListCap
+    val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val chunks = s.sparkContext.runJob(
+      df.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.take(perPart)
+          .map(r => (r.getInt(0), r.getUTF8String(1).toString)).toArray)
+    val total = chunks.iterator.map(_.length.toLong).sum
+    if (total > cap) None
+    else Some(chunks.iterator.flatMap(_.iterator).toSet)
   }
 
   /** Delta stages guard–6 against a prepared [[StoreSide]]: returns the
@@ -618,6 +664,7 @@ object Curation {
     val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
     def ck(name: String)(df: DataFrame): (DataFrame, Long) = {
       val t0 = System.nanoTime()
+      s.sparkContext.setJobDescription(s"graft-stage $name")
       // checkpoint + count fused into ONE action (eager localCheckpoint
       // already counts internally and discards the number)
       val (c, n) = org.apache.spark.sql.graft.GraftExec
@@ -637,18 +684,30 @@ object Curation {
     // is capped: the probe fetches cap+1 ids in the one action, and an
     // over-cap list stays DISTRIBUTED (Right) — applied as the batch
     // form's anti-join instead of a driver literal.
+    // ONE job, exact, driver-bounded: each partition yields at most
+    // cap+1 ids (if the TOTAL is ≤ cap no partition can have
+    // truncated — truncation alone implies > cap), so the fetch is
+    // ≤ (cap+1)·partitions longs transiently and the retained/inlined
+    // list is ≤ cap. A limit(cap+1).collect() probe here would go
+    // through executeTake's incremental partition scans — measured +4
+    // jobs per micro-batch across the drop sites.
     def dropIds(name: String)(
         df: DataFrame): Either[Array[Long], DataFrame] = {
       val t0 = System.nanoTime()
+      s.sparkContext.setJobDescription(s"graft-drop $name")
       val cap = DropListCap
-      val head =
-        df.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).collect()
-      val over = head.length > cap
+      val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+      val chunks = df.sparkSession.sparkContext.runJob(
+        df.queryExecution.toRdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          it.take(perPart).map(_.getLong(0)).toArray)
+      val total = chunks.iterator.map(_.length.toLong).sum
+      val over = total > cap
       if (dbg) println(
         f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           (if (over) s"(>$cap drops, anti-join fallback)"
-           else s"(${head.length} drops)"))
-      if (over) Right(df) else Left(head.map(_.getLong(0)))
+           else s"($total drops)"))
+      if (over) Right(df) else Left(Array.concat(chunks: _*))
     }
     def noDrops(drops: Either[Array[Long], DataFrame]): Boolean =
       drops.left.exists(_.isEmpty)
@@ -663,23 +722,71 @@ object Curation {
       if (noDrops(drops)) (d, n) else ck(name)(minusDrops(d, drops))
     val empty = clDelta.select(cols: _*).limit(0)
 
-    // id guard: probe the store-ids leaf with the broadcast delta ids
-    // (semi), collect the tiny overlap, filter — the store side is
-    // scanned, never shuffled
-    val knownIds = dropIds("guard_known_ids")(
+    // stages guard + 3-store-half in ONE probe action: the known-id
+    // overlap (store is the id authority) and the exact-text matches
+    // (store is the text authority) are both store-leaf ⋉
+    // broadcast(delta) probes, so their UNION comes back as one drop
+    // list and the d3 checkpoint below runs JOIN-FREE (no broadcast
+    // builds inside its action). Probing the text matches BEFORE the
+    // id guard and the quality filter is exact: all three drops are
+    // per-doc predicates (they commute with each other and with the
+    // quality filter), an id-guarded doc that also text-matches is
+    // dropped either way, and keep-min runs after every literal filter
+    // — a dropped doc can never win it. NULL delta text never
+    // equi-matches (same as the anti-join form), and store-side nulls
+    // (redacted docs) likewise.
+    val keyed =
+      clDelta.select($"doc_id", xxhash64($"text").as("__h"), $"text")
+    val guardDrops = dropIds("guard_and_exact")(
       side.ids.join(broadcast(clDelta.select($"doc_id")),
-        Seq("doc_id"), "left_semi"))
+          Seq("doc_id"), "left_semi")
+        .unionByName(side.texts
+          .join(broadcast(keyed), Seq("__h", "text"))
+          .select($"doc_id")))
     val clD0 =
-      if (noDrops(knownIds)) clDelta else minusDrops(clDelta, knownIds)
+      if (noDrops(guardDrops)) clDelta else minusDrops(clDelta, guardDrops)
 
     // stages guard–3 ride ONE checkpoint: d2 has a single consumer, so
     // a boundary between quality filter and exact dedup would be two
-    // extra jobs for no reuse and no analysis saving
-    val (d3, n3) = ck("d3_exact")(
-      exactKeepMin(exactVsStore(side, qualityFiltered(clD0),
-        smallDelta = true))
-      .select(cols: _*))
+    // extra jobs for no reuse and no analysis saving. The materializing
+    // job also yields the d3 ids (the key collection is free), seeding
+    // the driver-side survivor tracking the local tier below rides.
+    val (d3, n3, d3Ids) = {
+      val t0 = System.nanoTime()
+      s.sparkContext.setJobDescription("graft-stage d3_exact")
+      val r = org.apache.spark.sql.graft.GraftExec
+        .localCheckpointCountedKeyed(
+          exactKeepMin(qualityFiltered(clD0)).select(cols: _*),
+          keyOrdinal = 0)
+      if (dbg) println(
+        f"    delta-stage d3_exact: ${(System.nanoTime() - t0) / 1e9}%.2f s (${r._2}%d rows)")
+      r
+    }
     if (n3 == 0) return empty
+
+    // DRIVER-LOCAL delta tier: when the surviving delta is micro-batch
+    // sized (≤ the band cap, which also proves the incoming-side
+    // hot-bucket cap a no-op), the delta's signature table is COLLECTED
+    // once instead of checkpointed, and every delta-side build below is
+    // a LocalRelation — broadcasting a LocalRelation submits NO Spark
+    // job (the exchange build reads driver memory directly), so each
+    // such broadcast is one job fewer per micro-batch. Every local
+    // frame carries the same rows as its leaf-backed twin by
+    // construction; over the bound, the leaf path (the round-14 shape)
+    // runs instead. Survivor ids are tracked on the driver (drop lists
+    // are always Left here: each is a subset of a ≤-cap delta).
+    val localDelta =
+      n3 <= math.min(Dedup.DefaultMaxBucket.toLong, DropListCap)
+    var live: Array[Long] = d3Ids
+    def applyDrops(drops: Either[Array[Long], DataFrame]): Unit =
+      drops match {
+        case Left(ids) if ids.nonEmpty =>
+          val dset = ids.toSet; live = live.filterNot(dset)
+        case _ => ()
+      }
+    def localFrame(rows: java.util.List[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      s.createDataFrame(rows, schema)
 
     // stage 4 — within-delta pairs are impossible below 2 rows. The
     // delta's signature table derives ONCE (a checkpoint leaf) and
@@ -688,59 +795,231 @@ object Curation {
     // version) so the per-batch plan scans the store side instead of
     // re-exploding, re-counting and re-shuffling it — identical drop
     // list either way
-    val (d3Sigs, _) = ck("d3_sigs")(Dedup.signatureFrame(d3))
-    val dropVs4 = bandsOpt match {
-      case Some(b) =>
+    // within-delta near-dup components, DRIVER tier: the pair list is
+    // delta-bounded, so fetch it capped (the same one-job discipline
+    // as dropIds) and run the min-root union-find HERE — one job
+    // replacing an isEmpty probe plus the distributed fixpoint's
+    // several. Semantics identical to componentDrop by construction:
+    // union-by-min-root labels every component with its min id
+    // (Graph.connectedComponents' tier-0 algorithm verbatim), and the
+    // drop list is every non-root node. Over the cap, fall back to
+    // the distributed fixpoint path.
+    def componentDropsCapped(name: String)(
+        pairs: DataFrame): Either[Array[Long], DataFrame] = {
+      val t0 = System.nanoTime()
+      s.sparkContext.setJobDescription(s"graft-drop $name")
+      val cap = DropListCap
+      val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+      val chunks = pairs.sparkSession.sparkContext.runJob(
+        pairs.queryExecution.toRdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          it.take(perPart).map(r => (r.getLong(0), r.getLong(1))).toArray)
+      val total = chunks.iterator.map(_.length.toLong).sum
+      if (total > cap) {
+        if (dbg) println(
+          f"    delta-stage $name%s: >$cap pairs, fixpoint fallback")
+        dropIds(name)(componentDrop(s, pairs))
+      } else {
+        val drops = graft.operators.Graph
+          .minRootNonRoots(Array.concat(chunks: _*))
+        if (dbg) println(
+          f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"($total pairs, ${drops.length}%d drops)")
+        Left(drops)
+      }
+    }
+
+    // stage 4 — the delta's signature table derives ONCE and serves
+    // both halves: COLLECTED to the driver on the local tier (its rows
+    // back every delta-side LocalRelation below), a checkpoint leaf
+    // otherwise
+    val sigFrame = Dedup.signatureFrame(d3)
+    val (d3Sigs, sigRows) =
+      if (!localDelta) (ck("d3_sigs")(sigFrame)._1, null)
+      else {
+        val t0 = System.nanoTime()
+        s.sparkContext.setJobDescription("graft-stage d3_sigs")
+        val rows = sigFrame.collect()
+        if (dbg) println(
+          f"    delta-stage d3_sigs: ${(System.nanoTime() - t0) / 1e9}%.2f s (${rows.length}%d rows collected)")
+        (null: DataFrame, rows)
+      }
+    val hotLocal: Option[Set[(Int, String)]] = bandsOpt match {
+      case Some(b) if localDelta => hotKeysLocal(s, b)
+      case _ => None
+    }
+    val dropVs4 = (bandsOpt, hotLocal) match {
+      case (Some(b), Some(hot)) =>
         val sb = b.recentBands.fold(b.bands)(r => b.bands.unionByName(r))
+        Dedup.minhashPairsAgainstPreparedLocal(s, hot, sb, side.sigs,
+          sigRows, MinJaccard)
+          .select($"in_doc".as("doc_id")).distinct()
+      case (Some(b), None) =>
+        val sb = b.recentBands.fold(b.bands)(r => b.bands.unionByName(r))
+        val iSig = if (localDelta) localFrame(
+          java.util.Arrays.asList(sigRows: _*), sigFrame.schema) else d3Sigs
         Dedup.minhashPairsAgainstPreparedSigs(sb, hotKeys(b), side.sigs,
-          d3Sigs, MinJaccard).select($"in_doc".as("doc_id")).distinct()
-      case None => minhashVsStoreDrop(side, d3)
+          iSig, MinJaccard,
+          incomingUnderCap = n3 <= Dedup.DefaultMaxBucket)
+          .select($"in_doc".as("doc_id")).distinct()
+      case (None, _) => minhashVsStoreDrop(side, d3)
     }
     val drops4 = dropIds("d4a_minhash_vs_store")(dropVs4)
+    applyDrops(drops4)
     val (d4a, n4a) = minus(d3, n3, drops4, "d4a_ck")
     if (n4a == 0) return empty
     val (d4, n4) =
       if (n4a == 1) (d4a, n4a)
-      else {
+      else if (localDelta) {
+        // the within-delta probe rides the COLLECTED signatures:
+        // candidates on the driver, jaccard verification through the
+        // same Spark expressions over a LocalRelation (zero jobs when
+        // no band bucket holds two survivors)
+        val liveSet = live.toSet
+        val liveSigRows = sigRows.filter(r => liveSet(r.getLong(0)))
+        Dedup.minhashPairsLocal(s, liveSigRows, MinJaccard) match {
+          case None => (d4a, n4a)
+          case Some(pairs) =>
+            val pairsD = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+            val drops = componentDropsCapped("d4_minhash_within")(pairsD)
+            applyDrops(drops)
+            minus(d4a, n4a, drops, "d4_ck")
+        }
+      } else {
         // the within-delta probe rides the SAME signature leaf,
         // per-row-filtered to the survivors (signatures are per-row
         // functions, so filter-then-pair equals pair-over-d4a exactly,
-        // cap population included)
+        // cap population included; n4a rows can never overfill a band
+        // bucket when n4a is under the cap, so the cap branch is
+        // provably a no-op and skipped)
         val d4aSigs =
           if (noDrops(drops4)) d3Sigs else minusDrops(d3Sigs, drops4)
-        val pairsD = Dedup.minhashPairsFromSigs(d4aSigs, MinJaccard)
+        val pairsD = Dedup.minhashPairsFromSigs(d4aSigs, MinJaccard,
+          incomingUnderCap = n4a <= Dedup.DefaultMaxBucket)
           .select($"doc1".as("src"), $"doc2".as("dst"))
-        if (pairsD.isEmpty) (d4a, n4a)
-        else minus(d4a, n4a,
-          dropIds("d4_minhash_within")(componentDrop(s, pairsD)), "d4_ck")
+        minus(d4a, n4a, componentDropsCapped("d4_minhash_within")(pairsD),
+          "d4_ck")
       }
 
     // stage 5 — a delta with no embeddings cannot be semantically
     // dropped (stage semantics: cell pairs exist only for assigned
-    // vecs), and within-delta pairs need at least 2 assigned vecs
-    val (aD, nA) = ck("a5_cells")(
-      deltaCells(emb, d4, trained, smallDelta = true))
-    val (d5a, n5a) =
-      if (nA == 0) (d4, n4)
-      else minus(d4, n4, dropIds("d5a_semantic_vs_store")(
-        semanticVsStoreDrop(side, aD, smallDelta = true)), "d5a_ck")
+    // vecs), and within-delta pairs need at least 2 assigned vecs. On
+    // the local tier the cell assignment is COLLECTED (the frame is a
+    // LocalRelation, so the vs-store probe's delta-side broadcast
+    // builds job-free) and the id restriction is a literal filter on
+    // the already-tracked survivor set.
+    val (aD, nA, aRows) =
+      if (!localDelta) {
+        val (a, n) = ck("a5_cells")(
+          deltaCells(emb, d4, trained, smallDelta = true))
+        (a, n, null: Array[org.apache.spark.sql.Row])
+      } else {
+        val t0 = System.nanoTime()
+        s.sparkContext.setJobDescription("graft-stage a5_cells")
+        val cellsFrame = graft.ext.Similarity.ivfAssign(
+          emb.filter($"vec_id".isin(live.toIndexedSeq: _*)), trained)
+        val rows = cellsFrame.collect()
+        if (dbg) println(
+          f"    delta-stage a5_cells: ${(System.nanoTime() - t0) / 1e9}%.2f s (${rows.length}%d rows collected)")
+        (localFrame(java.util.Arrays.asList(rows: _*), cellsFrame.schema),
+          rows.length.toLong, rows)
+      }
+    val drops5a: Either[Array[Long], DataFrame] =
+      if (nA == 0) Left(Array.empty[Long])
+      else dropIds("d5a_semantic_vs_store")(
+        semanticVsStoreDrop(side, aD, smallDelta = true))
+    applyDrops(drops5a)
+    val (d5a, n5a) = minus(d4, n4, drops5a, "d5a_ck")
     if (n5a == 0) return empty
     val d5 =
       if (nA <= 1 || n5a == 1) d5a
-      else {
-        val aD5 = aD.join(broadcast(d5a.select($"doc_id".as("vec_id"))),
-          Seq("vec_id"))
+      else if (localDelta) {
+        // within-cell candidate pairs from the driver-resident cell
+        // rows; the cosine verification still runs through the same
+        // Spark expressions over a LocalRelation — zero jobs when no
+        // cell holds two surviving vecs
+        val liveSet = live.toSet
+        val vi = aRows.head.fieldIndex("vec_id")
+        val ci = aRows.head.fieldIndex("cell")
+        val ei = aRows.head.fieldIndex("embedding")
+        val byCell = aRows.iterator.filter(r => liveSet(r.getLong(vi)))
+          .toArray.groupBy(_.getLong(ci))
+        val pairRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        byCell.valuesIterator.foreach { rs =>
+          var i = 0
+          while (i < rs.length) {
+            var j = 0
+            while (j < rs.length) {
+              if (rs(i).getLong(vi) < rs(j).getLong(vi))
+                pairRows.add(org.apache.spark.sql.Row(
+                  rs(j).getLong(vi), rs(i).get(ei), rs(j).get(ei)))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (pairRows.isEmpty) d5a
+        else {
+          import org.apache.spark.sql.types._
+          val pairFrame = localFrame(pairRows, StructType(Seq(
+            StructField("vec2", LongType),
+            StructField("e1", ArrayType(FloatType)),
+            StructField("e2", ArrayType(FloatType)))))
+          val dropsW = dropIds("d5_semantic_within")(pairFrame
+            .filter(rnd(graft.ext.Similarity.cosine($"e1", $"e2"), 6)
+              >= MinCos)
+            .select($"vec2".as("doc_id")).distinct())
+          applyDrops(dropsW)
+          minus(d5a, n5a, dropsW, "d5_ck")._1
+        }
+      } else {
+        // aD restricted to the d5a survivors: the vs-store drops all
+        // name aD vec_ids, so a literal NOT-isin equals the broadcast
+        // semi-join on d5a's ids — no broadcast build job
+        val aD5 = drops5a match {
+          case Left(ids) if ids.isEmpty => aD
+          case Left(ids) =>
+            aD.filter(!$"vec_id".isin(ids.toIndexedSeq: _*))
+          case Right(_) =>
+            aD.join(broadcast(d5a.select($"doc_id".as("vec_id"))),
+              Seq("vec_id"))
+        }
         minus(d5a, n5a, dropIds("d5_semantic_within")(
           semanticWithinDrop(aD5, smallDelta = true)), "d5_ck")._1
       }
 
     // stage 6 — the train split and the final anti ride literal
     // filters over the d5 leaf (no checkpoint: the stream's own
-    // localCheckpoint materializes the result once)
+    // localCheckpoint materializes the result once). An empty holdout
+    // cannot contaminate anything (zero jobs); the local tier builds
+    // the train-side (doc_id, code) rows from the collected signatures
+    // — the tset IS the shingle-code set — skipping the Bloom prefilter
+    // (it only shrinks a broadcast; the equi-join is the exact test)
+    // and tolerating eval-bucket extras (their matches name ids not in
+    // dTrain, so the literal filter ignores them).
     val dTrain = d5.filter(bucketOf($"doc_id") < HoldoutBucket)
-    val contIds = dropIds("d6_decontaminate")(
-      Dedup.contaminationAgainstSmall(dTrain, side.holdout)
-        .select($"doc_id"))
+    val contIds: Either[Array[Long], DataFrame] =
+      if (side.holdout.n == 0) Left(Array.empty[Long])
+      else if (localDelta) {
+        val liveSet = live.toSet
+        val codeRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        sigRows.foreach { r =>
+          if (liveSet(r.getLong(0)))
+            r.getSeq[Long](1).foreach(c =>
+              codeRows.add(org.apache.spark.sql.Row(r.getLong(0), c)))
+        }
+        if (codeRows.isEmpty) Left(Array.empty[Long])
+        else {
+          import org.apache.spark.sql.types._
+          dropIds("d6_decontaminate")(Dedup.contaminationAgainstCodes(
+            localFrame(codeRows, StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("code", LongType)))), side.holdout)
+            .select($"doc_id"))
+        }
+      } else dropIds("d6_decontaminate")(
+        Dedup.contaminationAgainstSmall(dTrain, side.holdout)
+          .select($"doc_id"))
     if (noDrops(contIds)) dTrain else minusDrops(dTrain, contIds)
   }
 

@@ -589,13 +589,15 @@ object CurationStream {
         // broadcasting the delta-sized sides of the drop joins, and
         // every anti-join becomes a full sort-merge over the store).
         val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
-        def ph[T](name: String)(f: => T): T =
+        def ph[T](name: String)(f: => T): T = {
+          s.sparkContext.setJobDescription(s"graft-phase $name")
           if (!dbg) f else {
             val t0 = System.nanoTime()
             val r = f
             println(f"  stream-phase $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
             r
           }
+        }
         // Adaptive execution is scoped OFF for the hot-path body: the
         // staged acceptDeltaFast hints every build side explicitly
         // (the delta side broadcasts by construction), so AQE has no
@@ -621,21 +623,18 @@ object CurationStream {
         // materialize ONCE with truncated lineage: the appended rows
         // feed both the store write and the in-memory side increment,
         // and a lazy frame would chain every batch's delta plan into
-        // the next batch's side. Checkpoint+count is one fused action;
-        // the emptiness probe rides the count instead of a second job.
-        val (rows, nRows) = ph("localCheckpoint")(
-          org.apache.spark.sql.graft.GraftExec.localCheckpointCounted(
+        // the next batch's side. Checkpoint + count + the batch's
+        // doc_ids all ride ONE fused action (the ids — column 0 of the
+        // select — feed the sidecar merge, keeping redaction discovery
+        // bounded on never-compacted hot buckets; the emptiness probe
+        // rides the count). Bucket hint: the batch id is a literal, so
+        // the touched bucket is driver arithmetic — no distinct job.
+        val (rows, nRows, ids) = ph("localCheckpoint")(
+          org.apache.spark.sql.graft.GraftExec.localCheckpointCountedKeyed(
             accepted.select(col("doc_id"), col("lang"), col("source"),
               col("n_chars"), col("text"), tokCount,
-              lit(batchId).as("ingest_batch"))))
+              lit(batchId).as("ingest_batch")), keyOrdinal = 0))
         if (nRows > 0) {
-          // the batch's ids, collected from the in-memory leaf (tiny —
-          // delta-sized by construction): they feed the sidecar merge,
-          // keeping redaction discovery bounded on never-compacted
-          // hot buckets. Bucket hint: the batch id is a literal, so the
-          // touched bucket is driver arithmetic — no distinct job.
-          val ids = ph("collectIds")(
-            rows.select(col("doc_id")).collect().map(_.getLong(0)))
           ph("appendStore")(appendStore(rows, storeDir,
             touchedBuckets = Some(Seq(batchId / BatchesPerBucket)),
             newIds = Some(ids)))

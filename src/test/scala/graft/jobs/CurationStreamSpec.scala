@@ -834,6 +834,96 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(redacted === Set(1005L, 42L))
   }
 
+  test("lease failover: a dead owner's store reclaims, heals, and continues to the uninterrupted result") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val sIds = pickIds(4, id => bucketOf(id) < 80)
+    val dIds = pickIds(4, id => bucketOf(id) < 80, from = sIds.max + 1)
+    val Seq(a, b, c, d) = dIds
+    val curated = mk(sIds.zipWithIndex.map { case (id, i) =>
+      (id, text(s"s${('a' + i).toChar}")) })
+    val allIds = sIds ++ dIds
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(x => if (x == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4)
+    // batch 2 carries a dup of batch 0's text: the post-failover stream
+    // must drop it against the PRE-CRASH appends (the store is the
+    // authority, not the dead JVM's in-memory side)
+    val batches = Seq(
+      Seq(a -> text("fa")), Seq(b -> text("fb")),
+      Seq(c -> text("fa"), d -> text("fd")))
+
+    def run(failover: Boolean): (Set[Seq[Any]], Set[(Long, Long)]) = {
+      val storeDir = Files.createTempDirectory("cur_failover").toString
+      val ckpt = Files.createTempDirectory("cur_failover_ckpt").toString
+      CurationStream.initStore(curated, storeDir)
+      val in = MemoryStream[(Long, String, String, Long, String)]
+      def start() = CurationStream.ingestStream(
+        in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+        emb, trained, mk(Seq.empty), storeDir, ckpt)
+      var q = start()
+      def push(rows: Seq[(Long, String)]): Unit = {
+        in.addData(rows.map { case (id, t) =>
+          (id, "en", "web", t.length.toLong, t) }: _*)
+        q.processAllAvailable()
+      }
+      push(batches(0)); push(batches(1))
+      if (failover) {
+        // "kill -9": the owner dies mid-flight. The clean stop below
+        // releases the lease, so re-manufacture the dead owner's
+        // state: a stale FOREIGN lease plus an in-flight swap (S1 —
+        // live moved to trash, staged copy + marker present)
+        stopAndWait(q)
+        val lease = new Path(Dfs.qualified(storeDir), "_lease")
+        Dfs.writeString(lease, "6666@deadhost:1")
+        assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+        val root = new java.io.File(storeDir)
+        val live = new java.io.File(root, "batch_bucket=-1")
+        val staging = new java.io.File(root, "_staging/batch_bucket=-1")
+        spark.read.schema(CurationStream.StoreSchema)
+          .parquet(live.toString).repartition(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        Files.write(Paths.get(storeDir, "_swap_-1"), "-1".getBytes)
+        val trash = new java.io.File(root, "_trash/batch_bucket=-1")
+        trash.getParentFile.mkdirs()
+        Files.move(live.toPath, trash.toPath)
+        // the successor process: reclaims the stale lease, heals the
+        // journal, resumes the SAME checkpoint (batch ids continue)
+        q = start()
+        spark.catalog.refreshByPath(storeDir)
+        assert(Dfs.readString(lease).trim !== "6666@deadhost:1",
+          "the successor must have reclaimed the dead owner's lease")
+        assert(!staging.exists && !trash.exists,
+          "the successor must heal the dead owner's in-flight swap")
+      }
+      push(batches(2))
+      stopAndWait(q)
+      val store = CurationStream.readStore(spark, storeDir)
+      val view = CurationStream.manifestView(store)
+        .collect().map(_.toSeq).toSet
+      val accepted = store.filter($"ingest_batch" >= 0L)
+        .select($"doc_id", $"ingest_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (view, accepted)
+    }
+
+    val (cleanView, cleanAccepted) = run(failover = false)
+    assert(cleanAccepted === Set((a, 0L), (b, 1L), (d, 2L)),
+      s"control run accepted $cleanAccepted")
+    val (failView, failAccepted) = run(failover = true)
+    assert(failAccepted === cleanAccepted,
+      "the failover run must accept exactly the uninterrupted set")
+    assert(failView === cleanView,
+      "the failover run's manifest must equal the uninterrupted run's")
+  }
+
   test("the ingest boundary rejects a delta doc reusing a store doc_id") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String)]) =
