@@ -163,6 +163,62 @@ class DedupSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local pair forms equal their distributed twins, hot suppression included") {
+    import spark.implicits._
+    val docs = skewedCorpus
+    val store = docs.filter($"doc_id" % 2 === 0)
+    val inc = docs.filter($"doc_id" % 2 === 1)
+    val sSig = Dedup.signatureFrame(store).localCheckpoint(true)
+    val sBands = Dedup.explodedBands(sSig).localCheckpoint(true)
+    val iSig = Dedup.signatureFrame(inc).localCheckpoint(true)
+    val iSigRows = iSig.collect()
+    // an EXPLICIT hot set (the 450-doc store-side flood's band keys),
+    // fed identically to both forms — the local form applies it to the
+    // DELTA side, the distributed form anti-joins it on the STORE
+    // side; the pair sets must match exactly
+    val hot: Set[(Int, String)] = sBands.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("cnt")).filter($"cnt" > 100)
+      .select($"band", $"key").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(hot.nonEmpty, "fixture must produce hot keys")
+    val hotDF = hot.toSeq.toDF("band", "key")
+    // maxBucket 1000 keeps the distributed incoming-side cap a no-op
+    // (the local form's precondition)
+    val dist = Dedup.minhashPairsAgainstPreparedSigs(sBands, hotDF, sSig,
+      iSig, minJaccard = 0.5, maxBucket = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val local = Dedup.minhashPairsAgainstPreparedLocal(spark, hot,
+      sBands, sSig, iSigRows, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(local === dist,
+      "hot-on-delta-side must suppress exactly what the store-side anti-join does")
+    assert(local.forall { case (a, b, _) => a >= 1000 && b >= 1000 },
+      "the flood's band keys must be suppressed")
+    val planted = (0 until 50).map(p => (1000L + 2 * p + 1, 1000L + 2 * p)).toSet
+    assert(planted.subsetOf(local.map { case (a, b, _) => (a, b) }),
+      "straddling near-dup pairs must survive the hot filter")
+
+    // within-side: driver candidates + LocalRelation verification equal
+    // the distributed generator on the same signature rows
+    val within = docs.filter($"doc_id" >= 1000 || $"doc_id" < 10)
+    val wSig = Dedup.signatureFrame(within).localCheckpoint(true)
+    val wRows = wSig.collect()
+    val localW = Dedup.minhashPairsLocal(spark, wRows, minJaccard = 0.5)
+      .getOrElse(fail("fixture has near-dup pairs"))
+      .as[(Long, Long, Double)].collect().toSet
+    val distW = Dedup.minhashPairsFromSigs(wSig, minJaccard = 0.5,
+      incomingUnderCap = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(localW === distW, "within-side local form must equal the generator")
+    // disjoint-vocabulary docs: no candidates -> None (zero jobs)
+    val disjoint = (0 until 6).map(i =>
+      (i.toLong, (0 until 12).map(w => s"only${i}q$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairsLocal(spark,
+      Dedup.signatureFrame(disjoint).collect(), minJaccard = 0.5).isEmpty)
+    Dedup.clearSignatureCaches()
+  }
+
   test("incremental dedup == cross-side subset of the symmetric generator") {
     import spark.implicits._
     val docs = skewedCorpus
