@@ -965,6 +965,8 @@ object ScaleProbe {
     val dir1b = tempDir("redact_mass_hot")
     val batches = 128
     val perBatch = math.max(1, nDocs / batches)
+    val docs1b = batches.toLong * perBatch // the ACTUAL store size (the
+    // batch grid rounds nDocs; reporting nDocs would overstate it)
     (0 until batches).foreach { bb =>
       val lo = bb.toLong * perBatch
       val rows = spark.range(lo, lo + perBatch).select(
@@ -988,7 +990,7 @@ object ScaleProbe {
       graft.streaming.CurationStream.redactStore(spark, dir1b, tomb1b))
     val redacted1b = graft.streaming.CurationStream.readStore(spark, dir1b)
       .filter($"text".isNull).count()
-    println(s"""{"probe":"redact_mass_hot_uncompacted","docs":$nDocs,""" +
+    println(s"""{"probe":"redact_mass_hot_uncompacted","docs":$docs1b,""" +
       s""""tombstones":$expected1b,"redacted":$redacted1b,""" +
       s""""buckets":$buckets1b,"store_bytes":$sb1b,""" +
       s""""bytes_read":$bytes1b,""" +

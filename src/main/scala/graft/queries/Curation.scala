@@ -506,13 +506,7 @@ object Curation {
       counts: DataFrame): Option[Set[(Int, String)]] =
     hotKeysLocal(s, BandSide(counts, counts, None))
 
-  private def hotKeys(b: BandSide, maxBucket: Int = 1000,
-      hinted: Boolean = true): DataFrame = {
-    // `hinted = false` drops the broadcast hints — for the COLLECTED
-    // form ([[hotKeysLocal]]) the whole reconciliation runs inside one
-    // collect job, where a broadcast build would be a separate job for
-    // nothing
-    def bc(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
+  private def hotKeys(b: BandSide, maxBucket: Int = 1000): DataFrame = {
     val hotBase = b.counts.filter(col("cnt") > maxBucket)
       .select(col("band"), col("key"))
     b.recentBands match {
@@ -528,7 +522,7 @@ object Curation {
         //  - keys absent from the counts: hot iff recent alone crosses
         //    it — and such keys are also correctly caught here when
         //    they DO have a base row (base ≥ 0 only strengthens it).
-        val hot2a = b.counts.join(bc(rc), Seq("band", "key"))
+        val hot2a = b.counts.join(broadcast(rc), Seq("band", "key"))
           .filter(col("cnt") + col("rcnt") > maxBucket)
           .select(col("band"), col("key"))
         val hot2b = rc.filter(col("rcnt") > maxBucket)
@@ -537,14 +531,42 @@ object Curation {
     }
   }
 
+  /** ONE-job capped fetch: each partition yields at most cap+1 decoded
+    * rows (total ≤ cap ⇒ no partition truncated ⇒ the array is the
+    * complete result), so the driver transiently holds ≤
+    * (cap+1)·partitions values and an over-cap result comes back None
+    * — callers fall back to their distributed forms. The shared
+    * primitive behind every driver-resident probe (drop lists,
+    * within-delta pairs, hot keys): a `limit(cap+1).collect()` here
+    * would go through executeTake's incremental partition scans —
+    * measured +4 jobs per micro-batch across the drop sites.
+    */
+  private def cappedFetch[T: scala.reflect.ClassTag](df: DataFrame,
+      cap: Long)(
+      dec: org.apache.spark.sql.catalyst.InternalRow => T):
+      Option[Array[T]] = {
+    val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val chunks = df.sparkSession.sparkContext.runJob(
+      df.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.take(perPart).map(dec).toArray)
+    val total = chunks.iterator.map(_.length.toLong).sum
+    if (total > cap) None
+    else Some(Array.concat(chunks.toIndexedSeq: _*))
+  }
+
   /** [[hotKeys]] COLLECTED to the driver for the local-delta tier: the
     * hot filter then applies to the driver-resident delta bands —
     * identical pair suppression (a hot (band,key) contributes no
     * candidate whichever side drops it) with no distributed anti-join
-    * and no broadcast build in the per-batch plan. Hot keys are
-    * structurally few (≤ total band rows / maxBucket by pigeonhole),
-    * but the fetch is still capped; None = over the cap, caller falls
-    * back to the distributed form.
+    * in the per-batch plan. The reconciliation keeps its broadcast
+    * hints (the collect pays one extra tiny build job, but the
+    * unhinted form would sort-merge-SHUFFLE the store-sized counts
+    * leaf per batch under the stream's AQE-off scope — the exact
+    * degradation the hinted decomposition exists to prevent). Hot keys
+    * are structurally few (≤ total band rows / maxBucket by
+    * pigeonhole), but the fetch is still capped; None = over the cap,
+    * caller falls back to the distributed form.
     */
   private def hotKeysLocal(s: SparkSession, b: BandSide,
       maxBucket: Int = 1000): Option[Set[(Int, String)]] = {
@@ -552,18 +574,10 @@ object Curation {
     // already collected once per store version — zero jobs
     if (b.recentBands.isEmpty && b.hotBaseLocal.isDefined)
       return b.hotBaseLocal
-    val df = hotKeys(b, maxBucket, hinted = false)
+    val df = hotKeys(b, maxBucket)
       .select(col("band").cast("int").as("band"), col("key"))
-    val cap = DropListCap
-    val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
-    val chunks = s.sparkContext.runJob(
-      df.queryExecution.toRdd,
-      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
-        it.take(perPart)
-          .map(r => (r.getInt(0), r.getUTF8String(1).toString)).toArray)
-    val total = chunks.iterator.map(_.length.toLong).sum
-    if (total > cap) None
-    else Some(chunks.iterator.flatMap(_.iterator).toSet)
+    cappedFetch(df, DropListCap)(r =>
+      (r.getInt(0), r.getUTF8String(1).toString)).map(_.toSet)
   }
 
   /** Delta stages guard–6 against a prepared [[StoreSide]]: returns the
@@ -680,34 +694,20 @@ object Curation {
     // drop list is empty keeps the PREVIOUS checkpoint (no re-
     // materialization at all). NOT-isin equals the left_anti on a
     // non-null key column, which doc_id is by schema. "Delta-bounded"
-    // is as large as the BACKLOG under a replay burst, so the collect
-    // is capped: the probe fetches cap+1 ids in the one action, and an
-    // over-cap list stays DISTRIBUTED (Right) — applied as the batch
-    // form's anti-join instead of a driver literal.
-    // ONE job, exact, driver-bounded: each partition yields at most
-    // cap+1 ids (if the TOTAL is ≤ cap no partition can have
-    // truncated — truncation alone implies > cap), so the fetch is
-    // ≤ (cap+1)·partitions longs transiently and the retained/inlined
-    // list is ≤ cap. A limit(cap+1).collect() probe here would go
-    // through executeTake's incremental partition scans — measured +4
-    // jobs per micro-batch across the drop sites.
+    // is as large as the BACKLOG under a replay burst, so the fetch is
+    // capped ([[cappedFetch]]): an over-cap list stays DISTRIBUTED
+    // (Right) — applied as the batch form's anti-join instead of a
+    // driver literal.
     def dropIds(name: String)(
         df: DataFrame): Either[Array[Long], DataFrame] = {
       val t0 = System.nanoTime()
       s.sparkContext.setJobDescription(s"graft-drop $name")
-      val cap = DropListCap
-      val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
-      val chunks = df.sparkSession.sparkContext.runJob(
-        df.queryExecution.toRdd,
-        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
-          it.take(perPart).map(_.getLong(0)).toArray)
-      val total = chunks.iterator.map(_.length.toLong).sum
-      val over = total > cap
+      val got = cappedFetch(df, DropListCap)(_.getLong(0))
       if (dbg) println(
         f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-          (if (over) s"(>$cap drops, anti-join fallback)"
-           else s"($total drops)"))
-      if (over) Right(df) else Left(Array.concat(chunks: _*))
+          got.fold(s"(>$DropListCap drops, anti-join fallback)")(ids =>
+            s"(${ids.length} drops)"))
+      got.toLeft(df)
     }
     def noDrops(drops: Either[Array[Long], DataFrame]): Boolean =
       drops.left.exists(_.isEmpty)
@@ -757,7 +757,7 @@ object Curation {
       val r = org.apache.spark.sql.graft.GraftExec
         .localCheckpointCountedKeyed(
           exactKeepMin(qualityFiltered(clD0)).select(cols: _*),
-          keyOrdinal = 0)
+          keyOrdinal = 0, cap = DropListCap)
       if (dbg) println(
         f"    delta-stage d3_exact: ${(System.nanoTime() - t0) / 1e9}%.2f s (${r._2}%d rows)")
       r
@@ -776,8 +776,9 @@ object Curation {
     // runs instead. Survivor ids are tracked on the driver (drop lists
     // are always Left here: each is a subset of a ≤-cap delta).
     val localDelta =
-      n3 <= math.min(Dedup.DefaultMaxBucket.toLong, DropListCap)
-    var live: Array[Long] = d3Ids
+      n3 <= math.min(Dedup.DefaultMaxBucket.toLong, DropListCap) &&
+        d3Ids.isDefined
+    var live: Array[Long] = d3Ids.getOrElse(Array.empty[Long])
     def applyDrops(drops: Either[Array[Long], DataFrame]): Unit =
       drops match {
         case Left(ids) if ids.nonEmpty =>
@@ -808,24 +809,18 @@ object Curation {
         pairs: DataFrame): Either[Array[Long], DataFrame] = {
       val t0 = System.nanoTime()
       s.sparkContext.setJobDescription(s"graft-drop $name")
-      val cap = DropListCap
-      val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
-      val chunks = pairs.sparkSession.sparkContext.runJob(
-        pairs.queryExecution.toRdd,
-        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
-          it.take(perPart).map(r => (r.getLong(0), r.getLong(1))).toArray)
-      val total = chunks.iterator.map(_.length.toLong).sum
-      if (total > cap) {
-        if (dbg) println(
-          f"    delta-stage $name%s: >$cap pairs, fixpoint fallback")
-        dropIds(name)(componentDrop(s, pairs))
-      } else {
-        val drops = graft.operators.Graph
-          .minRootNonRoots(Array.concat(chunks: _*))
-        if (dbg) println(
-          f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-            f"($total pairs, ${drops.length}%d drops)")
-        Left(drops)
+      cappedFetch(pairs, DropListCap)(r =>
+        (r.getLong(0), r.getLong(1))) match {
+        case None =>
+          if (dbg) println(
+            f"    delta-stage $name%s: >$DropListCap pairs, fixpoint fallback")
+          dropIds(name)(componentDrop(s, pairs))
+        case Some(es) =>
+          val drops = graft.operators.Graph.minRootNonRoots(es)
+          if (dbg) println(
+            f"    delta-stage $name%s: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+              f"(${es.length}%d pairs, ${drops.length}%d drops)")
+          Left(drops)
       }
     }
 

@@ -238,6 +238,25 @@ object CurationStream {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private object Reserved
 
+  // per-store monitor serializing SAME-JVM writer transitions (a
+  // stream starting vs a maintenance op acquiring or releasing): the
+  // lease file is re-entrant for this JVM's token, so only in-process
+  // state can order these — without it, a maintenance op that
+  // observed "not owned" could acquire, and its release could then
+  // delete the lease from under a stream that started (re-entrantly)
+  // during its body
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(c: String): Object =
+    storeLocks.computeIfAbsent(c, _ => new Object)
+
+  // in-flight same-JVM maintenance ops: a stream must not START
+  // mid-maintenance in this process (the shared token makes the lease
+  // blind to that interleaving; cross-process starts are refused by
+  // the lease itself)
+  private val activeMaintenance =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def leasePath(storeDir: String): Path =
     new Path(Dfs.qualified(storeDir), "_lease")
 
@@ -386,22 +405,33 @@ object CurationStream {
     *    on the way out, success or failure.
     */
   private def withMaintenanceLease[T](storeDir: String)(body: => T): T = {
-    requireMaintenanceSafe(storeDir)
-    val p = leasePath(storeDir)
-    val ownedAlready = Dfs.status(p).exists { _ =>
-      (try Dfs.readString(p) catch { case _: Exception => "" })
-        .trim == jvmToken
+    val c = canonical(storeDir)
+    val lock = lockFor(c)
+    // the acquire DECISION is serialized against same-JVM stream
+    // starts (see [[lockFor]]); the body runs outside the monitor
+    val acquiredHere = lock.synchronized {
+      requireMaintenanceSafe(storeDir)
+      val p = leasePath(storeDir)
+      val ownedAlready = Dfs.status(p).exists { _ =>
+        (try Dfs.readString(p) catch { case _: Exception => "" })
+          .trim == jvmToken
+      }
+      if (ownedAlready) Dfs.touch(p) else acquireLease(storeDir)
+      activeMaintenance.add(c)
+      !ownedAlready
     }
-    if (ownedAlready) {
-      Dfs.touch(p)
+    try {
       maintenancePauseHook(storeDir)
       body
-    } else {
-      acquireLease(storeDir)
-      try {
-        maintenancePauseHook(storeDir)
-        body
-      } finally releaseLease(storeDir)
+    } finally lock.synchronized {
+      activeMaintenance.remove(c)
+      // release ONLY a lease this op took itself, and never from under
+      // a stream that registered meanwhile (stream starts are refused
+      // while activeMaintenance holds the store — the registry check
+      // is belt and braces); an unconditional releaseLease here could
+      // unfence the store under a live same-token writer
+      if (acquiredHere && !activeStreams.containsKey(c))
+        deleteLeaseIfOwn(storeDir)
     }
   }
 
@@ -438,6 +468,7 @@ object CurationStream {
     private var side: Curation.StoreSide = null
     private var bands: DataFrame = null
     private var bandCounts: DataFrame = null
+    private var hotBaseLocal: Option[Set[(Int, String)]] = None
     private var recent: List[DataFrame] = Nil
     private var builtAtVersion = -1L
     private var batchesSince = 0
@@ -505,6 +536,10 @@ object CurationStream {
       bands = Dedup.explodedBands(sigs).localCheckpoint(true)
       bandCounts = bands.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      // the BASE hot-key set, collected once per store version: the
+      // local tier's hot probe is then job-free on every empty-window
+      // batch (the first after each rebuild)
+      hotBaseLocal = Curation.collectHotBaseLocal(s, bandCounts)
       builtAtVersion = v
       batchesSince = 0
     }
@@ -531,11 +566,13 @@ object CurationStream {
 
     /** The prepared band artifacts matching [[effectiveSide]]'s sigs. */
     def effectiveBands: Curation.BandSide =
-      if (recent.isEmpty) Curation.BandSide(bands, bandCounts, None)
+      if (recent.isEmpty)
+        Curation.BandSide(bands, bandCounts, None, hotBaseLocal)
       else {
         val r = recent.reduce(_ unionByName _)
         Curation.BandSide(bands, bandCounts,
-          Some(Dedup.explodedBands(Dedup.signatureFrame(r))))
+          Some(Dedup.explodedBands(Dedup.signatureFrame(r))),
+          hotBaseLocal)
       }
 
     def addRecent(rows: DataFrame): Unit = recent = recent :+ rows
@@ -554,29 +591,44 @@ object CurationStream {
       storeDir: String, checkpointDir: String): StreamingQuery = {
     val c = canonical(storeDir)
     // in-process single-writer check (reservation-based, so two racing
-    // ingestStream calls cannot both pass); the lease file below covers
+    // ingestStream calls cannot both pass), serialized against
+    // same-JVM maintenance transitions; the lease file below covers
     // writers in OTHER processes
-    activeStreams.putIfAbsent(c, Reserved) match {
-      case null => ()
-      case q: StreamingQuery if !q.isActive =>
-        if (!activeStreams.replace(c, q, Reserved))
-          throw new IllegalStateException(
-            s"store $c already has an ingest stream starting in this process")
-      case _ =>
+    lockFor(c).synchronized {
+      if (activeMaintenance.contains(c))
         throw new IllegalStateException(
-          s"store $c already has a live ingest stream in this process; " +
-            "two writers would corrupt the swap journal")
+          s"store $c has a maintenance op in flight in this process; " +
+            "start the stream after it completes — an ingest racing the " +
+            "in-flight swap would corrupt the store")
+      activeStreams.putIfAbsent(c, Reserved) match {
+        case null => ()
+        case q: StreamingQuery if !q.isActive =>
+          if (!activeStreams.replace(c, q, Reserved))
+            throw new IllegalStateException(
+              s"store $c already has an ingest stream starting in this process")
+        case _ =>
+          throw new IllegalStateException(
+            s"store $c already has a live ingest stream in this process; " +
+              "two writers would corrupt the swap journal")
+      }
+      try {
+        Dfs.mkdirs(Dfs.qualified(storeDir)) // empty store = empty corpus
+        acquireLease(storeDir)
+      } catch {
+        case t: Throwable => activeStreams.remove(c, Reserved); throw t
+      }
     }
     try {
-      Dfs.mkdirs(Dfs.qualified(storeDir)) // empty store = empty corpus
-      acquireLease(storeDir)
       // heal any maintenance op the previous process died inside of —
       // without this, a restart between a crash and the next compaction
       // would ingest against a store whose live partition still sits in
       // _trash (crash state S1), silently losing its dedup protection
       recoverStore(storeDir)
     } catch {
-      case t: Throwable => activeStreams.remove(c, Reserved); throw t
+      case t: Throwable =>
+        activeStreams.remove(c, Reserved)
+        deleteLeaseIfOwn(storeDir) // a failed start must not leave its
+        throw t                    // fresh lease to age out
     }
     val state = new IngestState(storeDir, emb, trained, holdout)
     val query = deltaStream.writeStream
@@ -627,17 +679,21 @@ object CurationStream {
         // doc_ids all ride ONE fused action (the ids — column 0 of the
         // select — feed the sidecar merge, keeping redaction discovery
         // bounded on never-compacted hot buckets; the emptiness probe
-        // rides the count). Bucket hint: the batch id is a literal, so
-        // the touched bucket is driver arithmetic — no distinct job.
+        // rides the count). The id collection is capped: a
+        // backlog-replay burst over the cap comes back None and the
+        // bucket's sidecar is INVALIDATED instead of merged — the
+        // always-correct scan fallback. Bucket hint: the batch id is a
+        // literal, so the touched bucket is driver arithmetic.
         val (rows, nRows, ids) = ph("localCheckpoint")(
           org.apache.spark.sql.graft.GraftExec.localCheckpointCountedKeyed(
             accepted.select(col("doc_id"), col("lang"), col("source"),
               col("n_chars"), col("text"), tokCount,
-              lit(batchId).as("ingest_batch")), keyOrdinal = 0))
+              lit(batchId).as("ingest_batch")), keyOrdinal = 0,
+            cap = graft.queries.Curation.DropListCap))
         if (nRows > 0) {
           ph("appendStore")(appendStore(rows, storeDir,
             touchedBuckets = Some(Seq(batchId / BatchesPerBucket)),
-            newIds = Some(ids)))
+            newIds = ids))
           state.addRecent(rows)
         }
         ph("clearSigCaches")(Dedup.clearSignatureCaches())
@@ -660,10 +716,16 @@ object CurationStream {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
           activeStreams.remove(c, query)
-          // compare-and-delete: a hung owner whose stale lease was
-          // legitimately reclaimed must NOT delete the new owner's
-          // lease on its eventual termination
-          deleteLeaseIfOwn(storeDir)
+          // compare-and-delete, TWICE over: a hung owner whose stale
+          // lease was reclaimed by another process must not delete the
+          // new owner's lease (token check), and a LATE listener —
+          // termination events are async — must not delete the lease
+          // from under a successor stream started in this same JVM
+          // after the stop (same token, so only the registry can see
+          // it)
+          lockFor(c).synchronized {
+            if (!activeStreams.containsKey(c)) deleteLeaseIfOwn(storeDir)
+          }
           session.streams.removeListener(this)
           ()
         }
@@ -698,6 +760,14 @@ object CurationStream {
   private def idStatsPath(storeDir: String, b: Long): Path =
     new Path(Dfs.qualified(storeDir), s"_idstats/_bucket_$b")
 
+  /** `count` is appended-id OCCURRENCES, not distinct ids: an
+    * at-least-once replay whose first attempt crashed between the
+    * sidecar merge and the data write re-merges the same batch, so the
+    * count can over-state until the next maintenance rebuild
+    * right-sizes it. Discovery pruning deliberately uses only
+    * min/max/bloom (idempotent under re-merge); never use `count` as
+    * an exact cardinality.
+    */
   private[graft] final case class IdStats(count: Long, min: Long,
     max: Long, bloom: org.apache.spark.util.sketch.BloomFilter)
 
@@ -977,10 +1047,13 @@ object CurationStream {
     // count-then-collect recomputed the distinct twice.
     val sortedTomb: Option[Array[Long]] =
       if (stats.valuesIterator.forall(_.isEmpty)) None
+      // a cap at or above Int.MaxValue cannot be driver-collected at
+      // all — treat it as over-cap (full scan) rather than clamping
+      // the limit, which would silently TRUNCATE the tombstone set and
+      // let pruning skip a bucket holding a tail victim
+      else if (RedactCollectCap >= Int.MaxValue.toLong) None
       else {
-        val head = tomb
-          .limit(math.min(RedactCollectCap + 1L, Int.MaxValue.toLong).toInt)
-          .collect()
+        val head = tomb.limit((RedactCollectCap + 1L).toInt).collect()
         if (head.length > RedactCollectCap) None
         else Some(head.map(_.getLong(0)).sorted)
       }

@@ -703,6 +703,44 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(leaseHeld && !Dfs.isFile(lease))
   }
 
+  test("a stream cannot start mid-maintenance in the same JVM; maintenance-acquired leases never vanish from under it") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val storeDir = Files.createTempDirectory("cur_midmaint").toString
+    CurationStream.initStore(
+      mk(Seq(1L -> text("na"), 2L -> text("nb"))), storeDir)
+    val emb = (1L to 2L).map(id =>
+      (id, (0 until 64).map(d => if (d == id % 64) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 2, iters = 1, roundTo = 4)
+    // the same-JVM interleaving the lease file is blind to (shared
+    // token): a stream starting WHILE compactStore runs must be
+    // refused by the in-process maintenance registry
+    @volatile var streamDenied: Option[Throwable] = None
+    CurationStream.maintenancePauseHook = { _ =>
+      try {
+        val in = MemoryStream[(Long, String, String, Long, String)]
+        CurationStream.ingestStream(
+          in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+          emb, trained, mk(Seq.empty), storeDir,
+          Files.createTempDirectory("cur_midmaint_ckpt").toString)
+        streamDenied = None
+      } catch { case e: Throwable => streamDenied = Some(e) }
+    }
+    try CurationStream.compactStore(spark, storeDir, targetFiles = 1)
+    finally CurationStream.maintenancePauseHook = _ => ()
+    assert(streamDenied.exists(
+      _.getMessage.contains("maintenance op in flight")),
+      s"a mid-maintenance stream start must be refused, got $streamDenied")
+    assert(!Dfs.isFile(new Path(Dfs.qualified(storeDir), "_lease")),
+      "the maintenance op must still release its own lease cleanly")
+  }
+
   test("stale-lease reclaim is single-winner: two racing claimants, exactly one proceeds") {
     import org.apache.hadoop.fs.Path
     val storeDir = Files.createTempDirectory("cur_reclaim").toString
