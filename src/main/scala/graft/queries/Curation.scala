@@ -1020,19 +1020,33 @@ object Curation {
 
   def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,
       clDelta: DataFrame, emb: DataFrame,
-      trained: Seq[(Long, Seq[Float])]): DataFrame = {
-    import s.implicits._
-
-    // stages guard–6 against the transient store side
-    val accepted = acceptDelta(s,
+      trained: Seq[(Long, Seq[Float])]): DataFrame =
+    ingestDeltaWith(s, store,
       storeSideOf(s, store, holdout, emb, trained), clDelta, emb, trained)
 
-    // stage 7: pack-append — offsets continue the store's token stream.
-    // The base prefers a materialized n_tok column when the store
-    // carries one (the CurationStream store does, so redacted rows keep
-    // their FROZEN counts and every already-trained offset stays
-    // valid); the q122 batch store frame has no such column and takes
-    // the tokenize path — the gated plan is unchanged.
+  /** [[ingestDelta]] over an explicit [[StoreSide]]: the batch entry
+    * point above derives the side transiently per call; the persisted
+    * serving path ([[persistedIngest]]) reads every store-derived
+    * artifact from the maintained artifact directory instead — same
+    * stages, same rows, zero O(store) re-derivation in the ingest.
+    */
+  private def ingestDeltaWith(s: SparkSession, store: DataFrame,
+      side: StoreSide, clDelta: DataFrame, emb: DataFrame,
+      trained: Seq[(Long, Seq[Float])]): DataFrame =
+    // stages guard–6 against the prepared store side, then pack-append
+    packAppend(s, store, acceptDelta(s, side, clDelta, emb, trained))
+
+  /** Stage 7: pack-append — offsets continue the store's token stream.
+    * The base prefers a materialized n_tok column when the store
+    * carries one (the CurationStream and artifact stores do, so the
+    * base is a one-column scan and redacted rows keep their FROZEN
+    * counts — every already-trained offset stays valid); the q122
+    * batch store frame has no such column and takes the tokenize path
+    * — the gated plan is unchanged.
+    */
+  private def packAppend(s: SparkSession, store: DataFrame,
+      accepted: DataFrame): DataFrame = {
+    import s.implicits._
     val tokCount = coalesce(size(TextStats.tokens($"text")), lit(0))
       .cast("long").as("n_tok")
     val baseCounts =
@@ -1056,49 +1070,128 @@ object Curation {
     * the production steady state [[incrementalIngest]]'s own scaladoc
     * names. q122 rebuilds the whole store inside the timed query (a
     * recorded setup-cost row the bench keeps on purpose); this twin
-    * reads store / frozen holdout / trained centroids from a
-    * fingerprint-keyed artifact directory (built once per corpus
-    * CONTENT — changed data rebuilds instead of serving stale bytes)
-    * and pays ONLY the delta chain + pack-append. Gated against the
-    * SAME q122 oracle string: the persisted round-trip must be
-    * invisible to the answer.
+    * reads the FULL maintained artifact set — store (with n_tok
+    * materialized), trained centroids, signature table, IVF cell
+    * assignments, holdout codes + Bloom — from a fingerprint-keyed
+    * artifact directory (built once per corpus CONTENT — changed data
+    * rebuilds instead of serving stale bytes) and pays ONLY the delta
+    * chain + pack-append: no O(store) re-derivation survives in the
+    * timed ingest. Gated against the SAME q122 oracle string: the
+    * persisted round-trip must be invisible to the answer.
     */
   def persistedIngest(s: SparkSession, d: String): DataFrame = {
     val deltaPred = pmod(col("doc_id"), lit(7L)) === 0L
     val root = storeArtifacts(s, d, deltaPred)
     val store = s.read.parquet(s"$root/store")
-    val holdout = s.read.parquet(s"$root/holdout")
     val trained = s.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val side = preparedStoreSide(s, root, store)
+    // the prepared band artifacts: exploded bands are a narrow map over
+    // the persisted signature table; the per-key counts (the hot-bucket
+    // cap's input) come straight from parquet — the ingest never
+    // re-aggregates the store's band table
+    val bandSide = BandSide(
+      bands = Dedup.explodedBands(side.sigs),
+      counts = Dedup.cached(s.read.parquet(s"$root/band_counts")),
+      recentBands = None)
     val clD = clean(Tables.documents(s, d).filter(deltaPred))
-    ingestDelta(s, store, holdout, clD, Tables.embeddings(s, d), trained)
+    // the STAGED ingest (the streaming hot path's driver): stage
+    // checkpoints + count short-circuits + the driver-local tier — the
+    // production steady-state shape over the maintained artifacts,
+    // spec-pinned equivalent to [[acceptDelta]] and gated against the
+    // same q122 oracle
+    val accepted = acceptDeltaFast(s, side, clD, Tables.embeddings(s, d),
+      trained, Some(bandSide))
+    packAppend(s, store, accepted)
+  }
+
+  /** The [[StoreSide]] read back from a [[storeArtifacts]] directory:
+    * signature table, IVF cell assignments, and holdout codes + Bloom
+    * are parquet round-trips of the derivations [[storeSideOf]] pays
+    * per call — every value is a deterministic integer/float that
+    * parquet preserves bit-exactly, so the prepared side's rows equal
+    * the transient side's by construction (and the q125 gate pins it
+    * against the q122 oracle end-to-end). Only the exact-text guard
+    * still scans the store itself: text equality must compare real
+    * text (hash-only would admit collisions), and that scan is
+    * column-pruned to (doc_id, text).
+    */
+  private def preparedStoreSide(s: SparkSession, root: String,
+      store: DataFrame): StoreSide = {
+    val codes = Dedup.cached(s.read.parquet(s"$root/holdout_codes"))
+    val n = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "holdout_n").toPath), "UTF-8").trim.toLong
+    val bloomF = new java.io.File(root, "holdout_bloom.bin")
+    val bytes =
+      if (bloomF.isFile)
+        Some(java.nio.file.Files.readAllBytes(bloomF.toPath))
+      else None
+    StoreSide(
+      ids = store.select(col("doc_id")),
+      texts = store.select(xxhash64(col("text")).as("__h"), col("text")),
+      sigs = Dedup.cached(s.read.parquet(s"$root/sigs")),
+      cells = Dedup.cached(s.read.parquet(s"$root/cells")),
+      holdout = Dedup.HoldoutCodes(codes, n, bytes))
   }
 
   /** Build (once per corpus content) the persisted artifacts a
     * steady-state ingest maintains out-of-band: the curated store (the
-    * q117 stage-2–6 core over the non-delta corpus), the frozen eval
-    * holdout, and the trained semantic index. The `_READY` marker is
-    * written LAST, so a crashed build re-runs instead of serving a
-    * partial store; float centroids round-trip parquet bit-exactly.
+    * q117 stage-2–6 core over the non-delta corpus, n_tok
+    * materialized), the frozen eval holdout, the trained semantic
+    * index, and the DERIVED store-side tables every ingest consumes —
+    * minhash signature table, IVF cell assignments, holdout shingle
+    * codes + serialized Bloom filter. The `_READY` marker is written
+    * LAST, so a crashed build re-runs instead of serving a partial
+    * store; float centroids/embeddings round-trip parquet bit-exactly.
     */
   private def storeArtifacts(s: SparkSession, d: String,
       deltaPred: Column): String = synchronized {
     import s.implicits._
     val fp = Tables.fingerprint(d, Seq("documents", "embeddings"))
+    // the "v3" layout adds the derived store-side artifacts (sigs,
+    // cells, holdout codes + Bloom, materialized n_tok) — versioning
+    // the directory name makes a pre-upgrade cache rebuild instead of
+    // serving a layout the reader no longer matches
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_curation_store_$fp").toString
+      s"graft_curation_store_v3_$fp").toString
     if (!new java.io.File(root, "_READY").isFile) {
       val cl = Dedup.cached(clean(Tables.documents(s, d)))
       val clS = cl.filter(!deltaPred)
       val emb = Tables.embeddings(s, d)
       val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
         roundTo = 4)
+      // n_tok materialized at build time: the ingest's pack base then
+      // reads ONE small column instead of re-tokenizing the store
       curatedSurvivors(s, clS, emb, Some(trained))
+        .withColumn("n_tok",
+          coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))
         .write.mode("overwrite").parquet(s"$root/store")
       clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
         .write.mode("overwrite").parquet(s"$root/holdout")
       trained.toDF("cell_id", "centroid")
         .write.mode("overwrite").parquet(s"$root/centroids")
+      // the derived store-side artifacts a steady-state ingest
+      // maintains out-of-band (the streaming store derives these once
+      // per store VERSION; the serving twin persists them): derived
+      // from the WRITTEN store bytes, so reader and derivation can
+      // never disagree about the store contents
+      val storeBack = s.read.parquet(s"$root/store")
+      Dedup.signatureFrame(storeBack)
+        .write.mode("overwrite").parquet(s"$root/sigs")
+      Dedup.explodedBands(s.read.parquet(s"$root/sigs"))
+        .groupBy($"band", $"key").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/band_counts")
+      Similarity.ivfAssign(
+          emb.join(storeBack.select($"doc_id".as("vec_id")), Seq("vec_id")),
+          trained)
+        .write.mode("overwrite").parquet(s"$root/cells")
+      val h = Dedup.prepareHoldout(s.read.parquet(s"$root/holdout"))
+      h.codes.write.mode("overwrite").parquet(s"$root/holdout_codes")
+      java.nio.file.Files.write(
+        new java.io.File(root, "holdout_n").toPath,
+        h.n.toString.getBytes("UTF-8"))
+      h.bloomBytes.foreach(bytes => java.nio.file.Files.write(
+        new java.io.File(root, "holdout_bloom.bin").toPath, bytes))
       Dedup.clearSignatureCaches()
       java.nio.file.Files.write(
         new java.io.File(root, "_READY").toPath, Array.empty[Byte])

@@ -253,4 +253,23 @@ class IncrementalCurationSpec extends AnyFunSuite {
       pmod(col("doc_id"), lit(7L)) === 0L)
     assert(out.count() === 0L, "re-ingesting curated content must be a no-op")
   }
+
+  test("persisted ingest (q125) equals in-memory ingest (q122) row for row") {
+    // the serving twin reads every store-side artifact (store + n_tok,
+    // sigs, cells, holdout codes + Bloom) back from parquet; the
+    // round-trip must be invisible — same manifest as the q122 path
+    // that derives everything transiently
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir, "documents.parquet").exists)
+    val deltaPred = pmod(col("doc_id"), lit(7L)) === 0L
+    def key(df: DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val persisted = key(Curation.persistedIngest(spark, dir))
+    val inMemory = key(Curation.incrementalIngest(spark,
+      graft.Tables.documents(spark, dir),
+      graft.Tables.embeddings(spark, dir), deltaPred))
+    assert(persisted.nonEmpty, "fixture delta must accept at least one doc")
+    assert(persisted === inMemory,
+      "parquet artifact round-trip changed the ingest result")
+  }
 }
