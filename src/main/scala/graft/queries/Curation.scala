@@ -377,14 +377,24 @@ object Curation {
   final case class StoreSide(ids: DataFrame, texts: DataFrame,
       sigs: DataFrame, cells: DataFrame, holdout: Dedup.HoldoutCodes)
 
+  /** The id-guard and exact-text-guard frames of a store — ONE
+    * definition shared by the transient ([[storeSideOf]]) and persisted
+    * ([[preparedStoreSide]]) side builders, so the guard shapes can
+    * never drift between the q122 and q125 paths.
+    */
+  private def storeGuards(store: DataFrame): (DataFrame, DataFrame) = (
+    store.select(col("doc_id")),
+    store.select(xxhash64(col("text")).as("__h"), col("text")))
+
   /** The transient per-call [[StoreSide]] (batch paths). */
   private def storeSideOf(s: SparkSession, store: DataFrame,
       holdout: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): StoreSide = {
     import s.implicits._
+    val (gIds, gTexts) = storeGuards(store)
     StoreSide(
-      ids = store.select($"doc_id"),
-      texts = store.select(xxhash64($"text").as("__h"), $"text"),
+      ids = gIds,
+      texts = gTexts,
       sigs = Dedup.cached(Dedup.signatureFrame(store)),
       cells = Dedup.cached(Similarity.ivfAssign(
         emb.join(store.select($"doc_id".as("vec_id")), Seq("vec_id")),
@@ -1021,20 +1031,9 @@ object Curation {
   def ingestDelta(s: SparkSession, store: DataFrame, holdout: DataFrame,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): DataFrame =
-    ingestDeltaWith(s, store,
-      storeSideOf(s, store, holdout, emb, trained), clDelta, emb, trained)
-
-  /** [[ingestDelta]] over an explicit [[StoreSide]]: the batch entry
-    * point above derives the side transiently per call; the persisted
-    * serving path ([[persistedIngest]]) reads every store-derived
-    * artifact from the maintained artifact directory instead — same
-    * stages, same rows, zero O(store) re-derivation in the ingest.
-    */
-  private def ingestDeltaWith(s: SparkSession, store: DataFrame,
-      side: StoreSide, clDelta: DataFrame, emb: DataFrame,
-      trained: Seq[(Long, Seq[Float])]): DataFrame =
-    // stages guard–6 against the prepared store side, then pack-append
-    packAppend(s, store, acceptDelta(s, side, clDelta, emb, trained))
+    // stages guard–6 against the transient store side, then pack-append
+    packAppend(s, store, acceptDelta(s,
+      storeSideOf(s, store, holdout, emb, trained), clDelta, emb, trained))
 
   /** Stage 7: pack-append — offsets continue the store's token stream.
     * The base prefers a materialized n_tok column when the store
@@ -1079,6 +1078,19 @@ object Curation {
     * timed ingest. Gated against the SAME q122 oracle string: the
     * persisted round-trip must be invisible to the answer.
     */
+  /** Max RAW delta docs the persisted serve routes through the staged
+    * [[acceptDeltaFast]] chain. The staged form force-broadcasts its
+    * delta-sized build sides — the right plan for micro-batch and
+    * serving-sized deltas, and exactly wrong for a corpus-proportional
+    * one (an explicit `broadcast()` bypasses the size threshold and
+    * collects the relation to the driver). Over the cap the serve
+    * takes the shuffle-join batch chain over the SAME prepared
+    * artifacts: [[acceptDelta]] is the spec-pinned equivalent, its
+    * joins all scale-safe. `@volatile var` so a spec can force the
+    * batch route on a tiny delta.
+    */
+  @volatile private[graft] var ServeStagedDeltaCap: Long = 100000L
+
   def persistedIngest(s: SparkSession, d: String): DataFrame = {
     val deltaPred = pmod(col("doc_id"), lit(7L)) === 0L
     val root = storeArtifacts(s, d, deltaPred)
@@ -1086,22 +1098,30 @@ object Curation {
     val trained = s.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
     val side = preparedStoreSide(s, root, store)
-    // the prepared band artifacts: exploded bands are a narrow map over
-    // the persisted signature table; the per-key counts (the hot-bucket
-    // cap's input) come straight from parquet — the ingest never
-    // re-aggregates the store's band table
-    val bandSide = BandSide(
-      bands = Dedup.explodedBands(side.sigs),
-      counts = Dedup.cached(s.read.parquet(s"$root/band_counts")),
-      recentBands = None)
     val clD = clean(Tables.documents(s, d).filter(deltaPred))
-    // the STAGED ingest (the streaming hot path's driver): stage
-    // checkpoints + count short-circuits + the driver-local tier — the
-    // production steady-state shape over the maintained artifacts,
-    // spec-pinned equivalent to [[acceptDelta]] and gated against the
-    // same q122 oracle
-    val accepted = acceptDeltaFast(s, side, clD, Tables.embeddings(s, d),
-      trained, Some(bandSide))
+    // route on the RAW delta size (a pushed-filter count over the one
+    // delta-pruned scan): staged chain under the cap, batch chain over
+    // it — identical rows either way, different join physics
+    val rawDelta = Tables.documents(s, d).filter(deltaPred)
+      .select(col("doc_id")).count()
+    val accepted =
+      if (rawDelta <= ServeStagedDeltaCap) {
+        // the prepared band artifacts: exploded bands are a narrow map
+        // over the persisted signature table; the per-key counts (the
+        // hot-bucket cap's input) come straight from parquet — the
+        // ingest never re-aggregates the store's band table
+        val bandSide = BandSide(
+          bands = Dedup.explodedBands(side.sigs),
+          counts = Dedup.cached(s.read.parquet(s"$root/band_counts")),
+          recentBands = None)
+        // the STAGED ingest (the streaming hot path's driver): stage
+        // checkpoints + count short-circuits + the driver-local tier —
+        // the production steady-state shape over the maintained
+        // artifacts, spec-pinned equivalent to [[acceptDelta]] and
+        // gated against the same q122 oracle
+        acceptDeltaFast(s, side, clD, Tables.embeddings(s, d),
+          trained, Some(bandSide))
+      } else acceptDelta(s, side, clD, Tables.embeddings(s, d), trained)
     packAppend(s, store, accepted)
   }
 
@@ -1126,9 +1146,10 @@ object Curation {
       if (bloomF.isFile)
         Some(java.nio.file.Files.readAllBytes(bloomF.toPath))
       else None
+    val (gIds, gTexts) = storeGuards(store)
     StoreSide(
-      ids = store.select(col("doc_id")),
-      texts = store.select(xxhash64(col("text")).as("__h"), col("text")),
+      ids = gIds,
+      texts = gTexts,
       sigs = Dedup.cached(s.read.parquet(s"$root/sigs")),
       cells = Dedup.cached(s.read.parquet(s"$root/cells")),
       holdout = Dedup.HoldoutCodes(codes, n, bytes))
@@ -1144,17 +1165,66 @@ object Curation {
     * LAST, so a crashed build re-runs instead of serving a partial
     * store; float centroids/embeddings round-trip parquet bit-exactly.
     */
+  /** The artifact-layout tag: the layout version PLUS a hash of every
+    * derivation constant the persisted artifacts bake in — the minhash
+    * geometry and seed arrays, the token/shingle prime, the curation
+    * thresholds, the trained-index shape. The corpus fingerprint keys
+    * on DATA content only, so without this any constant edit would
+    * leave a warm cache serving artifacts derived under the OLD
+    * constants against a serve-time chain using the new ones (band
+    * keys that never collide, drops silently missed); folding the
+    * constants into the directory name makes such a cache rebuild
+    * instead.
+    */
+  private lazy val artifactLayoutTag: String = {
+    val consts = Seq[Any](
+      "v3", Dedup.Bands, Dedup.Rows,
+      Dedup.A.mkString(","), Dedup.B.mkString(","),
+      TextStats.P, Dedup.DefaultMaxBucket,
+      MinTokens, MinQuality, MaxTopTokRatio, MinDistinctRatio,
+      MinJaccard, MinCos, HoldoutBucket, TokenBudget, SeqLen,
+      16, 1, 4 // trained-index shape: kmeans k / iters / roundTo
+    ).mkString(":")
+    val crc = new java.util.zip.CRC32()
+    crc.update(consts.getBytes("UTF-8"))
+    f"v3_${crc.getValue}%08x"
+  }
+
   private def storeArtifacts(s: SparkSession, d: String,
       deltaPred: Column): String = synchronized {
     import s.implicits._
     val fp = Tables.fingerprint(d, Seq("documents", "embeddings"))
-    // the "v3" layout adds the derived store-side artifacts (sigs,
-    // cells, holdout codes + Bloom, materialized n_tok) — versioning
-    // the directory name makes a pre-upgrade cache rebuild instead of
-    // serving a layout the reader no longer matches
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_curation_store_v3_$fp").toString
-    if (!new java.io.File(root, "_READY").isFile) {
+    val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_curation_store_${artifactLayoutTag}_"
+    val rootF = new java.io.File(tmpdir, s"$prefix$fp")
+    val root = rootF.toString
+    if (!new java.io.File(rootF, "_READY").isFile) {
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      // prune stale-LAYOUT trees (old versions / changed constants —
+      // unreadable by this code, never again served) and crashed
+      // builders' leftover build dirs; never a current-layout sibling
+      // (other corpora legitimately coexist under the same tag)
+      Option(tmpdir.listFiles).foreach(_.foreach { f =>
+        val n = f.getName
+        val staleLayout = n.startsWith("graft_curation_store") &&
+          !n.startsWith(prefix)
+        val deadBuild = n.startsWith(prefix) && n.contains(".build.") &&
+          f.lastModified < System.currentTimeMillis - 2L * 3600 * 1000
+        if (staleLayout || deadBuild) rmTree(f)
+      })
+      // build into a claimant-unique directory, publish with ONE
+      // atomic rename: `synchronized` covers only this JVM, so a
+      // concurrent builder in another process either wins the rename
+      // or finds the target taken — a VISIBLE root is always a
+      // complete artifact set, and two builders can never interleave
+      // writes into one directory (the pre-rename layout wrote nine
+      // artifacts straight into the served path)
+      val bld = new java.io.File(tmpdir,
+        s"$prefix$fp.build.${java.util.UUID.randomUUID().toString.take(8)}")
+      val broot = bld.toString
       val cl = Dedup.cached(clean(Tables.documents(s, d)))
       val clS = cl.filter(!deltaPred)
       val emb = Tables.embeddings(s, d)
@@ -1165,37 +1235,48 @@ object Curation {
       curatedSurvivors(s, clS, emb, Some(trained))
         .withColumn("n_tok",
           coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))
-        .write.mode("overwrite").parquet(s"$root/store")
+        .write.mode("overwrite").parquet(s"$broot/store")
       clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
-        .write.mode("overwrite").parquet(s"$root/holdout")
+        .write.mode("overwrite").parquet(s"$broot/holdout")
       trained.toDF("cell_id", "centroid")
-        .write.mode("overwrite").parquet(s"$root/centroids")
+        .write.mode("overwrite").parquet(s"$broot/centroids")
       // the derived store-side artifacts a steady-state ingest
       // maintains out-of-band (the streaming store derives these once
       // per store VERSION; the serving twin persists them): derived
       // from the WRITTEN store bytes, so reader and derivation can
       // never disagree about the store contents
-      val storeBack = s.read.parquet(s"$root/store")
+      val storeBack = s.read.parquet(s"$broot/store")
       Dedup.signatureFrame(storeBack)
-        .write.mode("overwrite").parquet(s"$root/sigs")
-      Dedup.explodedBands(s.read.parquet(s"$root/sigs"))
+        .write.mode("overwrite").parquet(s"$broot/sigs")
+      Dedup.explodedBands(s.read.parquet(s"$broot/sigs"))
         .groupBy($"band", $"key").agg(count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(s"$root/band_counts")
+        .write.mode("overwrite").parquet(s"$broot/band_counts")
       Similarity.ivfAssign(
           emb.join(storeBack.select($"doc_id".as("vec_id")), Seq("vec_id")),
           trained)
-        .write.mode("overwrite").parquet(s"$root/cells")
-      val h = Dedup.prepareHoldout(s.read.parquet(s"$root/holdout"))
-      h.codes.write.mode("overwrite").parquet(s"$root/holdout_codes")
+        .write.mode("overwrite").parquet(s"$broot/cells")
+      val h = Dedup.prepareHoldout(s.read.parquet(s"$broot/holdout"))
+      h.codes.write.mode("overwrite").parquet(s"$broot/holdout_codes")
       java.nio.file.Files.write(
-        new java.io.File(root, "holdout_n").toPath,
+        new java.io.File(bld, "holdout_n").toPath,
         h.n.toString.getBytes("UTF-8"))
       h.bloomBytes.foreach(bytes => java.nio.file.Files.write(
-        new java.io.File(root, "holdout_bloom.bin").toPath, bytes))
+        new java.io.File(bld, "holdout_bloom.bin").toPath, bytes))
       Dedup.clearSignatureCaches()
+      // _READY is written INSIDE the build dir before the publish, so
+      // even a copied/moved tree carries its completeness marker
       java.nio.file.Files.write(
-        new java.io.File(root, "_READY").toPath, Array.empty[Byte])
-      ()
+        new java.io.File(bld, "_READY").toPath, Array.empty[Byte])
+      if (!bld.renameTo(rootF)) {
+        // lost the publish race: discard this build and serve the
+        // winner's tree — which is complete by construction, because
+        // a root can only ever APPEAR via this rename
+        rmTree(bld)
+        if (!new java.io.File(rootF, "_READY").isFile)
+          throw new IllegalStateException(
+            s"artifact publish failed and $root is not a complete " +
+              "artifact directory")
+      }
     }
     root
   }

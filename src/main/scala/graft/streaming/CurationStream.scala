@@ -287,6 +287,14 @@ object CurationStream {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             // lost the create race — re-check as an existing lease
             acquireLease(storeDir)
+          case _: java.io.IOException =>
+            // the local scheme's create is create-then-chmod (two
+            // steps): a concurrent delete/rename landing between them
+            // fails OUR create with a generic IO error, not
+            // FileAlreadyExists. That is interference, not ownership —
+            // re-evaluate from scratch; a genuine conflict still
+            // denies through the normal path.
+            acquireLease(storeDir)
         }
       case Some(st) =>
         val owner =
@@ -294,6 +302,7 @@ object CurationStream {
         val age = System.currentTimeMillis() - st.getModificationTime
         if (owner == jvmToken) { Dfs.writeStringAtomic(p, jvmToken); return }
         if (age < LeaseStaleMs) denied(owner, age)
+        reclaimPauseHook(storeDir)
         val claimed = new Path(p.getParent, s"_lease.stale." +
           java.util.UUID.randomUUID().toString.take(8))
         try Dfs.rename(p, claimed)
@@ -304,8 +313,34 @@ object CurationStream {
           case _: java.io.FileNotFoundException =>
             return acquireLease(storeDir)
         }
-        Dfs.delete(claimed, recursive = false)
-        acquireLease(storeDir)
+        // VERIFY the claim took the lease we examined: between the
+        // staleness read and the rename, a faster claimant can have
+        // completed its WHOLE reclaim+acquire cycle, in which case the
+        // rename above just stole that claimant's FRESH lease (the
+        // rename is atomic but claims whatever file is current, and
+        // the 20-round lockstep race spec never produced this offset
+        // interleaving — a full-suite flake did). The claimed file
+        // must still carry the stale owner's token we decided to
+        // reclaim; anything else is a stolen fresh lease.
+        val claimedOwner =
+          (try Dfs.readString(claimed) catch { case _: Exception => "" })
+            .trim
+        if (claimedOwner == owner) {
+          Dfs.delete(claimed, recursive = false)
+          acquireLease(storeDir)
+        } else {
+          // stolen fresh lease: put it back and re-evaluate (the
+          // rightful owner never notices). The rename-back can only
+          // fail if a third acquirer created a new lease meanwhile —
+          // then the copy is dropped and the stolen owner's next
+          // heartbeat FENCES it, the same net outcome as a genuine
+          // reclaim of that writer.
+          try Dfs.rename(claimed, p)
+          catch { case _: Exception =>
+            Dfs.delete(claimed, recursive = false); ()
+          }
+          acquireLease(storeDir)
+        }
     }
   }
 
@@ -358,6 +393,11 @@ object CurationStream {
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             heartbeatLease(storeDir)
+          case _: java.io.IOException =>
+            // torn local create (create-then-chmod raced by a
+            // delete/rename — see acquireLease): interference, not
+            // ownership; re-evaluate
+            heartbeatLease(storeDir)
         }
     }
   }
@@ -389,6 +429,13 @@ object CurationStream {
     * against the held lease and assert the loud refusal.
     */
   private[graft] var maintenancePauseHook: String => Unit = _ => ()
+
+  /** TEST-ONLY seam, fired between a reclaim's staleness decision and
+    * its rename-aside — the window in which a faster claimant can
+    * complete its whole reclaim+acquire cycle (the stolen-fresh-lease
+    * interleaving the verify-after-claim below repairs).
+    */
+  private[graft] var reclaimPauseHook: String => Unit = _ => ()
 
   /** Run a maintenance body under the writer lease. Maintenance used to
     * only CHECK for a foreign fresh lease and then run UNLEASED on an

@@ -778,6 +778,56 @@ class CurationStreamSpec extends AnyFunSuite {
       "the winner must clean up the moved-aside stale lease")
   }
 
+  test("a slow reclaimer never steals a faster claimant's fresh lease") {
+    import org.apache.hadoop.fs.Path
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val storeDir = Files.createTempDirectory("cur_steal").toString
+    CurationStream.recoverStore(storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    Dfs.writeString(lease, "dead-owner:1")
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    // the slow claimant pauses BETWEEN its staleness decision and its
+    // rename-aside; the fast claimant completes its WHOLE
+    // reclaim+acquire cycle inside that window — the slow rename then
+    // claims the fast claimant's FRESH lease, and the verify-after-
+    // claim must hand it back instead of proceeding as a second writer
+    val entered = new CountDownLatch(1)
+    val fastDone = new CountDownLatch(1)
+    @volatile var slowOutcome: Option[Throwable] = null
+    CurationStream.reclaimPauseHook = _ =>
+      if (CurationStream.tokenOverride.get == "slow@proc:1") {
+        entered.countDown()
+        assert(fastDone.await(30, TimeUnit.SECONDS)); ()
+      }
+    val slow = new Thread(() => {
+      CurationStream.tokenOverride.set("slow@proc:1")
+      try { CurationStream.acquireLease(storeDir); slowOutcome = None }
+      catch { case e: Throwable => slowOutcome = Some(e) }
+      finally CurationStream.tokenOverride.remove()
+      ()
+    })
+    try {
+      slow.start()
+      assert(entered.await(30, TimeUnit.SECONDS), "slow claimant never paused")
+      CurationStream.tokenOverride.set("fast@proc:1")
+      try CurationStream.acquireLease(storeDir)
+      finally CurationStream.tokenOverride.remove()
+      assert(Dfs.readString(lease).trim === "fast@proc:1")
+      fastDone.countDown()
+      slow.join(30000)
+      assert(!slow.isAlive, "slow claimant hung")
+    } finally CurationStream.reclaimPauseHook = _ => ()
+    assert(slowOutcome.exists(_.isInstanceOf[IllegalStateException]) &&
+      slowOutcome.exists(_.getMessage.contains("leased by another writer")),
+      s"the slow claimant must be denied by the fresh lease, got $slowOutcome")
+    assert(Dfs.readString(lease).trim === "fast@proc:1",
+      "the fast claimant's fresh lease must survive the slow reclaim intact")
+    assert(!Dfs.list(Dfs.qualified(storeDir))
+      .exists(_.getPath.getName.startsWith("_lease.stale")),
+      "no reclaim debris")
+    Dfs.delete(lease, recursive = false)
+  }
+
   test("a fenced-off writer fails its heartbeat; release never deletes the new owner's lease") {
     import org.apache.hadoop.fs.Path
     val storeDir = Files.createTempDirectory("cur_fence").toString

@@ -271,5 +271,15 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(persisted.nonEmpty, "fixture delta must accept at least one doc")
     assert(persisted === inMemory,
       "parquet artifact round-trip changed the ingest result")
+    // over-cap route: a corpus-proportional delta must take the
+    // shuffle-join batch chain over the SAME prepared artifacts —
+    // force it on this tiny delta and pin identical rows
+    val capBefore = Curation.ServeStagedDeltaCap
+    Curation.ServeStagedDeltaCap = 0L
+    try {
+      val batchRoute = key(Curation.persistedIngest(spark, dir))
+      assert(batchRoute === inMemory,
+        "the batch route over prepared artifacts diverged")
+    } finally Curation.ServeStagedDeltaCap = capBefore
   }
 }
