@@ -632,6 +632,18 @@ object CurationStream {
     * of the store ([[manifestView]]), so the stream skips the q122
     * pack-append stage (store-wide token sum + two-phase prefix scan)
     * entirely.
+    *
+    * Delta-sizing contract: the staged hot path force-broadcasts its
+    * delta-sized build sides (the measured 21-jobs/batch floor depends
+    * on it under the scoped AQE-off), so the CALLER owns keeping
+    * micro-batches micro — bound a restart's backlog replay at the
+    * source (`maxFilesPerTrigger` / rate limits). Driver-side memory
+    * is independently protected (every collect is capped by
+    * [[Curation.DropListCap]], falling back to distributed forms),
+    * and the batch-serving twin routes corpus-proportional deltas to
+    * the shuffle-join chain (`Curation.ServeStagedDeltaCap`) — but an
+    * unthrottled multi-gigabyte batch would still pay oversized
+    * broadcast builds here.
     */
   def ingestStream(deltaStream: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])], holdout: DataFrame,
