@@ -71,6 +71,14 @@ object Curation {
   val TokenBudget = 3000L
   val SeqLen = 2048L
 
+  // the maintained semantic index's trained shape (q101's trainer) —
+  // named ONCE: the training call sites and the artifact-layout tag
+  // all reference these, so tuning the index can never leave a warm
+  // artifact cache serving centroids trained under the old shape
+  val IndexK = 16
+  val IndexIters = 1
+  val IndexRound = 4
+
   /** q57's cleaning transform, applied corpus-wide (stage 1). */
   private def cleaned(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "[0-9]+", "<NUM>"), " +", " "))
@@ -210,7 +218,8 @@ object Curation {
     // (filtering the embedding side first is equivalent: cell
     // assignment is a pure per-vector map)
     val trained = trainedOpt.getOrElse(
-      Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4))
+      Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
+        roundTo = IndexRound))
     val embS4 = emb.join(s4.select($"doc_id".as("vec_id")), Seq("vec_id"))
     val drop5 = Dedup.semanticDropList(embS4, s4, trained, MinCos)
       .select($"doc_id")
@@ -329,7 +338,8 @@ object Curation {
     // index (k = n/targetCell, hash-spread seeds) — the gated default
     // is the q101-trained k=16 the oracle replays.
     val trained = centroidsOpt.getOrElse(
-      Similarity.kmeansCentroids(emb, k = 16, iters = 1, roundTo = 4))
+      Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
+        roundTo = IndexRound))
 
     // the frozen store: the batch curation core over the store corpus.
     // EAGER localCheckpoint (the Graph.scala lineage discipline): the
@@ -1099,11 +1109,13 @@ object Curation {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
     val side = preparedStoreSide(s, root, store)
     val clD = clean(Tables.documents(s, d).filter(deltaPred))
-    // route on the RAW delta size (a pushed-filter count over the one
-    // delta-pruned scan): staged chain under the cap, batch chain over
-    // it — identical rows either way, different join physics
-    val rawDelta = Tables.documents(s, d).filter(deltaPred)
-      .select(col("doc_id")).count()
+    // route on the RAW delta size — constant per corpus fingerprint,
+    // persisted at build time so the decision costs a file read, not a
+    // scan (the pmod predicate cannot prune parquet row groups):
+    // staged chain under the cap, batch chain over it — identical rows
+    // either way, different join physics
+    val rawDelta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "delta_count").toPath), "UTF-8").trim.toLong
     val accepted =
       if (rawDelta <= ServeStagedDeltaCap) {
         // the prepared band artifacts: exploded bands are a narrow map
@@ -1178,16 +1190,16 @@ object Curation {
     */
   private lazy val artifactLayoutTag: String = {
     val consts = Seq[Any](
-      "v3", Dedup.Bands, Dedup.Rows,
+      "v4", Dedup.Bands, Dedup.Rows,
       Dedup.A.mkString(","), Dedup.B.mkString(","),
       TextStats.P, Dedup.DefaultMaxBucket,
       MinTokens, MinQuality, MaxTopTokRatio, MinDistinctRatio,
       MinJaccard, MinCos, HoldoutBucket, TokenBudget, SeqLen,
-      16, 1, 4 // trained-index shape: kmeans k / iters / roundTo
+      IndexK, IndexIters, IndexRound
     ).mkString(":")
     val crc = new java.util.zip.CRC32()
     crc.update(consts.getBytes("UTF-8"))
-    f"v3_${crc.getValue}%08x"
+    f"v4_${crc.getValue}%08x"
   }
 
   private def storeArtifacts(s: SparkSession, d: String,
@@ -1203,17 +1215,31 @@ object Curation {
         if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
         f.delete(); ()
       }
+      // the NEWEST mtime anywhere in the tree — a directory's own
+      // mtime only moves on direct-child creation, so a long store
+      // write leaves the tree root looking hours old while files are
+      // actively landing deep inside it; age decisions must look at
+      // the deepest recent write, or they kill live builds
+      def newestMtime(f: java.io.File): Long = {
+        val own = f.lastModified
+        if (!f.isDirectory) own
+        else Option(f.listFiles).map(_.foldLeft(own)((m, c) =>
+          math.max(m, newestMtime(c)))).getOrElse(own)
+      }
       // prune stale-LAYOUT trees (old versions / changed constants —
       // unreadable by this code, never again served) and crashed
       // builders' leftover build dirs; never a current-layout sibling
-      // (other corpora legitimately coexist under the same tag)
+      // (other corpora legitimately coexist under the same tag), and
+      // never a tree with ANY write in the last 2 h — a concurrently
+      // running binary compiled with different constants may still be
+      // building or serving its own layout (co-residency beyond that
+      // overlap is not supported on one tmpdir)
+      val pruneAge = System.currentTimeMillis - 2L * 3600 * 1000
       Option(tmpdir.listFiles).foreach(_.foreach { f =>
         val n = f.getName
-        val staleLayout = n.startsWith("graft_curation_store") &&
-          !n.startsWith(prefix)
-        val deadBuild = n.startsWith(prefix) && n.contains(".build.") &&
-          f.lastModified < System.currentTimeMillis - 2L * 3600 * 1000
-        if (staleLayout || deadBuild) rmTree(f)
+        val prunable = n.startsWith("graft_curation_store") &&
+          (!n.startsWith(prefix) || n.contains(".build."))
+        if (prunable && newestMtime(f) < pruneAge) rmTree(f)
       })
       // build into a claimant-unique directory, publish with ONE
       // atomic rename: `synchronized` covers only this JVM, so a
@@ -1228,8 +1254,8 @@ object Curation {
       val cl = Dedup.cached(clean(Tables.documents(s, d)))
       val clS = cl.filter(!deltaPred)
       val emb = Tables.embeddings(s, d)
-      val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
-        roundTo = 4)
+      val trained = Similarity.kmeansCentroids(emb, k = IndexK,
+        iters = IndexIters, roundTo = IndexRound)
       // n_tok materialized at build time: the ingest's pack base then
       // reads ONE small column instead of re-tokenizing the store
       curatedSurvivors(s, clS, emb, Some(trained))
@@ -1260,6 +1286,12 @@ object Curation {
       java.nio.file.Files.write(
         new java.io.File(bld, "holdout_n").toPath,
         h.n.toString.getBytes("UTF-8"))
+      // the raw delta size, constant per corpus fingerprint — persisted
+      // so the serve-time route decision is a file read, not a scan
+      java.nio.file.Files.write(
+        new java.io.File(bld, "delta_count").toPath,
+        Tables.documents(s, d).filter(deltaPred).count()
+          .toString.getBytes("UTF-8"))
       h.bloomBytes.foreach(bytes => java.nio.file.Files.write(
         new java.io.File(bld, "holdout_bloom.bin").toPath, bytes))
       Dedup.clearSignatureCaches()

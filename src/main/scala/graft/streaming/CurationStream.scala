@@ -272,7 +272,10 @@ object CurationStream {
     * overwrite let two processes that both observed the stale lease
     * both write their token and both proceed as writers.
     */
-  private[graft] def acquireLease(storeDir: String): Unit = {
+  private[graft] def acquireLease(storeDir: String): Unit =
+    acquireLease(storeDir, tornRetries = 0)
+
+  private def acquireLease(storeDir: String, tornRetries: Int): Unit = {
     val p = leasePath(storeDir)
     def denied(owner: String, age: Long): Nothing =
       throw new IllegalStateException(
@@ -286,15 +289,16 @@ object CurationStream {
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             // lost the create race — re-check as an existing lease
-            acquireLease(storeDir)
-          case _: java.io.IOException =>
+            acquireLease(storeDir, tornRetries)
+          case e: java.io.IOException =>
             // the local scheme's create is create-then-chmod (two
             // steps): a concurrent delete/rename landing between them
             // fails OUR create with a generic IO error, not
-            // FileAlreadyExists. That is interference, not ownership —
-            // re-evaluate from scratch; a genuine conflict still
-            // denies through the normal path.
-            acquireLease(storeDir)
+            // FileAlreadyExists. Interference is transient, so retry —
+            // BOUNDED: a persistent IO failure (disk full, EACCES,
+            // read-only fs) must propagate loud, not spin the stack.
+            if (tornRetries >= 5) throw e
+            acquireLease(storeDir, tornRetries + 1)
         }
       case Some(st) =>
         val owner =
@@ -311,7 +315,7 @@ object CurationStream {
           // the winner's fresh lease will deny us through the normal
           // path (any other IO failure propagates, never retries)
           case _: java.io.FileNotFoundException =>
-            return acquireLease(storeDir)
+            return acquireLease(storeDir, tornRetries)
         }
         // VERIFY the claim took the lease we examined: between the
         // staleness read and the rename, a faster claimant can have
@@ -320,26 +324,34 @@ object CurationStream {
         // rename is atomic but claims whatever file is current, and
         // the 20-round lockstep race spec never produced this offset
         // interleaving — a full-suite flake did). The claimed file
-        // must still carry the stale owner's token we decided to
-        // reclaim; anything else is a stolen fresh lease.
+        // must still carry the stale owner's TOKEN we decided to
+        // reclaim AND the mtime we judged stale — a matching token
+        // with a NEWER mtime is a live owner whose delayed heartbeat
+        // landed inside our window (a long GC pause), not a corpse.
         val claimedOwner =
           (try Dfs.readString(claimed) catch { case _: Exception => "" })
             .trim
-        if (claimedOwner == owner) {
+        val claimedMtime = Dfs.status(claimed)
+          .map(_.getModificationTime).getOrElse(-1L)
+        if (claimedOwner == owner && claimedMtime == st.getModificationTime) {
           Dfs.delete(claimed, recursive = false)
-          acquireLease(storeDir)
+          acquireLease(storeDir, tornRetries)
         } else {
-          // stolen fresh lease: put it back and re-evaluate (the
-          // rightful owner never notices). The rename-back can only
-          // fail if a third acquirer created a new lease meanwhile —
-          // then the copy is dropped and the stolen owner's next
-          // heartbeat FENCES it, the same net outcome as a genuine
-          // reclaim of that writer.
+          // stolen LIVE lease (fresh acquirer, or the presumed-dead
+          // owner's delayed heartbeat): put it back and re-evaluate —
+          // the rightful owner usually never notices. Residual window,
+          // documented: between the rename-aside and this rename-back
+          // there is no lease file at `p`, so a third acquirer can win
+          // create-exclusive in that gap — the rename-back then fails,
+          // the copy is dropped, and the stolen owner's NEXT heartbeat
+          // fences it. Two live writers can therefore overlap for at
+          // most one heartbeat interval; closing that fully needs
+          // epoch fencing in the data writes, not a lease file.
           try Dfs.rename(claimed, p)
           catch { case _: Exception =>
             Dfs.delete(claimed, recursive = false); ()
           }
-          acquireLease(storeDir)
+          acquireLease(storeDir, tornRetries)
         }
     }
   }
@@ -375,7 +387,10 @@ object CurationStream {
     * restored (create-exclusive; losing that race is the same fencing
     * case).
     */
-  private[graft] def heartbeatLease(storeDir: String): Unit = {
+  private[graft] def heartbeatLease(storeDir: String): Unit =
+    heartbeatLease(storeDir, tornRetries = 0)
+
+  private def heartbeatLease(storeDir: String, tornRetries: Int): Unit = {
     val p = leasePath(storeDir)
     def fenced(owner: String): Nothing =
       throw new IllegalStateException(
@@ -392,12 +407,14 @@ object CurationStream {
         try Dfs.writeString(p, jvmToken, overwrite = false)
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            heartbeatLease(storeDir)
-          case _: java.io.IOException =>
+            heartbeatLease(storeDir, tornRetries)
+          case e: java.io.IOException =>
             // torn local create (create-then-chmod raced by a
-            // delete/rename — see acquireLease): interference, not
-            // ownership; re-evaluate
-            heartbeatLease(storeDir)
+            // delete/rename — see acquireLease): transient
+            // interference retries, BOUNDED so a persistent IO
+            // failure propagates loud instead of spinning
+            if (tornRetries >= 5) throw e
+            heartbeatLease(storeDir, tornRetries + 1)
         }
     }
   }

@@ -970,6 +970,17 @@ class CurationStreamSpec extends AnyFunSuite {
         // live moved to trash, staged copy + marker present)
         stopAndWait(q)
         val lease = new Path(Dfs.qualified(storeDir), "_lease")
+        // the stopped query's TERMINATION LISTENER releases the lease
+        // asynchronously (compare-and-delete on the event bus) — wait
+        // it out before manufacturing the dead owner's state, or the
+        // late delete lands mid-way through OUR create below (the
+        // local scheme's create-then-chmod window; seen as a chmod
+        // ExitCodeException in this spec)
+        val waitUntil = System.currentTimeMillis + 10000
+        while (Dfs.isFile(lease) && System.currentTimeMillis < waitUntil)
+          Thread.sleep(20)
+        assert(!Dfs.isFile(lease),
+          "the stopped stream's listener never released the lease")
         Dfs.writeString(lease, "6666@deadhost:1")
         assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
         val root = new java.io.File(storeDir)
