@@ -1180,22 +1180,25 @@ object Curation {
   /** The artifact-layout tag: the layout version PLUS a hash of every
     * derivation constant the persisted artifacts bake in — the minhash
     * geometry and seed arrays, the token/shingle prime, the curation
-    * thresholds, the trained-index shape. The corpus fingerprint keys
-    * on DATA content only, so without this any constant edit would
-    * leave a warm cache serving artifacts derived under the OLD
+    * thresholds, the trained-index shape, and the DELTA PREDICATE's
+    * canonical SQL (the store/delta split is baked into the persisted
+    * store and its recorded delta_count, so a predicate edit with
+    * unchanged data must also miss the cache). The corpus fingerprint
+    * keys on DATA content only, so without this any constant edit
+    * would leave a warm cache serving artifacts derived under the OLD
     * constants against a serve-time chain using the new ones (band
     * keys that never collide, drops silently missed); folding the
     * constants into the directory name makes such a cache rebuild
     * instead.
     */
-  private lazy val artifactLayoutTag: String = {
+  private def artifactLayoutTag(deltaPredSql: String): String = {
     val consts = Seq[Any](
       "v4", Dedup.Bands, Dedup.Rows,
       Dedup.A.mkString(","), Dedup.B.mkString(","),
       TextStats.P, Dedup.DefaultMaxBucket,
       MinTokens, MinQuality, MaxTopTokRatio, MinDistinctRatio,
       MinJaccard, MinCos, HoldoutBucket, TokenBudget, SeqLen,
-      IndexK, IndexIters, IndexRound
+      IndexK, IndexIters, IndexRound, deltaPredSql
     ).mkString(":")
     val crc = new java.util.zip.CRC32()
     crc.update(consts.getBytes("UTF-8"))
@@ -1207,9 +1210,22 @@ object Curation {
     import s.implicits._
     val fp = Tables.fingerprint(d, Seq("documents", "embeddings"))
     val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft_curation_store_${artifactLayoutTag}_"
+    // Column.toString renders the UNRESOLVED expression tree — stable
+    // across sessions (no expr-ids before analysis), which is all the
+    // constants hash needs
+    val prefix =
+      s"graft_curation_store_${artifactLayoutTag(deltaPred.toString)}_"
     val rootF = new java.io.File(tmpdir, s"$prefix$fp")
     val root = rootF.toString
+    val readyF = new java.io.File(rootF, "_READY")
+    // mark the tree READ on every cache-hit serve: plain reads don't
+    // move mtimes, so without this a co-resident binary actively
+    // SERVING an older-layout tree looks idle to the 2 h prune guard
+    // below and could lose its artifacts mid-query. Binaries carrying
+    // this touch keep their trees visibly live; co-residency with
+    // binaries older than it stays unsupported on one tmpdir.
+    if (readyF.isFile) { readyF.setLastModified(
+      System.currentTimeMillis); () }
     if (!new java.io.File(rootF, "_READY").isFile) {
       def rmTree(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
@@ -114,6 +114,10 @@ object CurationStream {
   def appendStore(rows: DataFrame, storeDir: String,
       mode: String = "append", touchedBuckets: Option[Seq[Long]] = None,
       newIds: Option[Array[Long]] = None): Unit = {
+    // epoch fence BEFORE the sidecar merge and the data write: a
+    // writer whose lease was reclaimed mid-batch is rejected at the
+    // write itself, not at its next heartbeat
+    verifyWriteFence(storeDir)
     val bucketed = rows.withColumn("batch_bucket", batchBucket)
     // sidecar discipline BEFORE the data write: merge when the caller
     // proved (bucket, ids) — the stream's case — otherwise invalidate
@@ -260,17 +264,77 @@ object CurationStream {
   private def leasePath(storeDir: String): Path =
     new Path(Dfs.qualified(storeDir), "_lease")
 
+  /** Lease file content: `token\nepoch`. The epoch is the store's
+    * monotonic acquisition GENERATION — bumped on every fresh acquire
+    * and every reclaim — and is what [[verifyWriteFence]] compares at
+    * the data writes, so no lease-file anomaly (a delayed heartbeat, a
+    * same-token re-acquisition on another thread) can let a superseded
+    * writer land an append. A legacy single-line lease parses as
+    * epoch 0 (foreign tokens written by older tooling still deny/fence
+    * exactly as before).
+    */
+  private final case class LeaseInfo(token: String, epoch: Long)
+  private def leaseBody(token: String, epoch: Long): String =
+    s"$token\n$epoch"
+  private def parseLease(s: String): LeaseInfo = {
+    val lines = s.split("\n", 3)
+    LeaseInfo(lines(0).trim,
+      if (lines.length > 1) lines(1).trim.toLongOption.getOrElse(0L)
+      else 0L)
+  }
+  private def readLeaseInfo(p: Path): LeaseInfo =
+    parseLease(try Dfs.readString(p) catch { case _: Exception => "" })
+
+  /** The persistent generation watermark (`_lease.gen`): survives clean
+    * releases (which delete `_lease` and would otherwise lose the
+    * count), so a fresh acquire after a release still gets a STRICTLY
+    * larger epoch than every prior acquisition. Written only while
+    * holding the lease (create-exclusive win or claim-arbitrated
+    * reclaim), so the read-increment-write cannot race; a crash
+    * between the lease write and the gen write understates it by one,
+    * which the reclaim path's `max(gen, stale epoch) + 1` heals.
+    */
+  private def genPath(storeDir: String): Path =
+    new Path(Dfs.qualified(storeDir), "_lease.gen")
+  private def readGen(storeDir: String): Long = {
+    val p = genPath(storeDir)
+    if (!Dfs.isFile(p)) 0L
+    else (try Dfs.readString(p) catch { case _: Exception => "" })
+      .trim.toLongOption.getOrElse(0L)
+  }
+
+  // the acquisition epoch each (store, token) writer in this JVM
+  // currently holds — the in-memory half of the write fence
+  private val ownedEpochs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private def recordEpoch(storeDir: String, epoch: Long): Unit = {
+    ownedEpochs.put((canonical(storeDir), jvmToken), epoch); ()
+  }
+  private[graft] def recordedEpoch(storeDir: String): Option[Long] =
+    Option(ownedEpochs.get((canonical(storeDir), jvmToken)))
+
+  /** Age beyond which a `_lease.claim` arbitration marker is considered
+    * a crashed claimant's husk. The claim window is job-free (one
+    * verify read plus two small control writes), so a minute is already
+    * ~6 orders of magnitude above its expected hold time.
+    */
+  @volatile var ClaimStaleMs: Long = 60000L
+
+  private def claimPath(storeDir: String): Path =
+    new Path(Dfs.qualified(storeDir), "_lease.claim")
+
   /** Acquire the store's writer lease file for this JVM. Fail-loud when
     * a DIFFERENT live writer holds it; re-entrant for this JVM (the
     * in-process double-stream case is caught by [[activeStreams]]).
     * Create-exclusive first, so two fresh acquirers cannot both win.
-    * A STALE foreign lease (crashed owner) reclaims SINGLE-WINNER: the
-    * stale file is moved aside by an atomic rename to a claimant-unique
-    * name — only one claimant's rename can succeed, the loser's source
-    * is already gone — and the winner then takes the lease through the
-    * same create-exclusive as a fresh acquirer. The previous in-place
-    * overwrite let two processes that both observed the stale lease
-    * both write their token and both proceed as writers.
+    * A STALE lease (crashed owner) is taken over through
+    * [[reclaimStale]]'s claim-marker arbitration — the lease file is
+    * never moved aside or deleted during a reclaim, so at every
+    * instant an acquirer finds either a fresh lease (denied) or a
+    * stale one (routed through the same arbitration). The round-15
+    * move-aside reclaim had a gap here: between its rename-aside and
+    * rename-back there was NO lease file, and a third acquirer could
+    * win create-exclusive inside it.
     */
   private[graft] def acquireLease(storeDir: String): Unit =
     acquireLease(storeDir, tornRetries = 0)
@@ -285,75 +349,119 @@ object CurationStream {
           s"owner) is reclaimable after LeaseStaleMs=$LeaseStaleMs ms.")
     Dfs.status(p) match {
       case None =>
-        try Dfs.writeString(p, jvmToken, overwrite = false)
+        val epoch = readGen(storeDir) + 1L
+        // writeStringExclusive is the ATOMIC create-exclusive (O_EXCL
+        // on local; server-side exclusivity elsewhere): of N racing
+        // fresh acquirers exactly one's create lands — the Hadoop
+        // local create's check-then-create TOCTOU let two both "win"
+        try Dfs.writeStringExclusive(p, leaseBody(jvmToken, epoch))
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             // lost the create race — re-check as an existing lease
-            acquireLease(storeDir, tornRetries)
-          case e: java.io.IOException =>
-            // the local scheme's create is create-then-chmod (two
-            // steps): a concurrent delete/rename landing between them
-            // fails OUR create with a generic IO error, not
-            // FileAlreadyExists. Interference is transient, so retry —
-            // BOUNDED: a persistent IO failure (disk full, EACCES,
-            // read-only fs) must propagate loud, not spin the stack.
-            if (tornRetries >= 5) throw e
-            acquireLease(storeDir, tornRetries + 1)
-        }
-      case Some(st) =>
-        val owner =
-          (try Dfs.readString(p) catch { case _: Exception => "" }).trim
-        val age = System.currentTimeMillis() - st.getModificationTime
-        if (owner == jvmToken) { Dfs.writeStringAtomic(p, jvmToken); return }
-        if (age < LeaseStaleMs) denied(owner, age)
-        reclaimPauseHook(storeDir)
-        val claimed = new Path(p.getParent, s"_lease.stale." +
-          java.util.UUID.randomUUID().toString.take(8))
-        try Dfs.rename(p, claimed)
-        catch {
-          // another claimant moved it first: re-evaluate from scratch —
-          // the winner's fresh lease will deny us through the normal
-          // path (any other IO failure propagates, never retries)
-          case _: java.io.FileNotFoundException =>
             return acquireLease(storeDir, tornRetries)
+          case e: java.io.IOException =>
+            // a non-local scheme whose create is multi-step can fail
+            // with a generic IO error under concurrent delete/rename
+            // interference. Transient, so retry — BOUNDED: a
+            // persistent IO failure (disk full, EACCES, read-only fs)
+            // must propagate loud, not spin the stack.
+            if (tornRetries >= 5) throw e
+            return acquireLease(storeDir, tornRetries + 1)
         }
-        // VERIFY the claim took the lease we examined: between the
-        // staleness read and the rename, a faster claimant can have
-        // completed its WHOLE reclaim+acquire cycle, in which case the
-        // rename above just stole that claimant's FRESH lease (the
-        // rename is atomic but claims whatever file is current, and
-        // the 20-round lockstep race spec never produced this offset
-        // interleaving — a full-suite flake did). The claimed file
-        // must still carry the stale owner's TOKEN we decided to
-        // reclaim AND the mtime we judged stale — a matching token
-        // with a NEWER mtime is a live owner whose delayed heartbeat
-        // landed inside our window (a long GC pause), not a corpse.
-        val claimedOwner =
-          (try Dfs.readString(claimed) catch { case _: Exception => "" })
-            .trim
-        val claimedMtime = Dfs.status(claimed)
-          .map(_.getModificationTime).getOrElse(-1L)
-        if (claimedOwner == owner && claimedMtime == st.getModificationTime) {
-          Dfs.delete(claimed, recursive = false)
-          acquireLease(storeDir, tornRetries)
-        } else {
-          // stolen LIVE lease (fresh acquirer, or the presumed-dead
-          // owner's delayed heartbeat): put it back and re-evaluate —
-          // the rightful owner usually never notices. Residual window,
-          // documented: between the rename-aside and this rename-back
-          // there is no lease file at `p`, so a third acquirer can win
-          // create-exclusive in that gap — the rename-back then fails,
-          // the copy is dropped, and the stolen owner's NEXT heartbeat
-          // fences it. Two live writers can therefore overlap for at
-          // most one heartbeat interval; closing that fully needs
-          // epoch fencing in the data writes, not a lease file.
-          try Dfs.rename(claimed, p)
-          catch { case _: Exception =>
-            Dfs.delete(claimed, recursive = false); ()
-          }
-          acquireLease(storeDir, tornRetries)
+        Dfs.writeStringAtomic(genPath(storeDir), epoch.toString)
+        recordEpoch(storeDir, epoch)
+      case Some(st) =>
+        val info = readLeaseInfo(p)
+        val age = System.currentTimeMillis() - st.getModificationTime
+        if (info.token == jvmToken) {
+          // re-entrant refresh: keep the file's epoch (this JVM's
+          // current acquisition) and adopt it in the registry
+          Dfs.writeStringAtomic(p, leaseBody(jvmToken, info.epoch))
+          recordEpoch(storeDir, info.epoch)
+          return
         }
+        if (age < LeaseStaleMs) denied(info.token, age)
+        if (!reclaimStale(storeDir, p, info, st))
+          // takeover did not happen (arbitration lost, owner's delayed
+          // heartbeat landed, lease replaced): re-evaluate from scratch
+          // — a now-fresh lease denies through the normal path
+          acquireLease(storeDir, tornRetries)
     }
+  }
+
+  /** Single-winner takeover of a lease already judged stale, arbitrated
+    * by a create-exclusive `_lease.claim` marker and executed as an
+    * in-place atomic REPLACE of the lease file. The lease is never
+    * absent during arbitration: a concurrent acquirer always finds a
+    * file at `_lease` — fresh denies it, stale routes it into this
+    * same claim gate, where the marker admits exactly one claimant.
+    * Under the claim the lease is re-verified to be EXACTLY the corpse
+    * we judged — same token, same epoch, same heartbeat mtime. A moved
+    * mtime is a live owner whose delayed heartbeat landed inside our
+    * window (a long GC pause); a changed token/epoch is a takeover
+    * that already happened. Either way the lease file was never
+    * touched and the claimant backs off. Returns true iff THIS
+    * claimant now owns the lease.
+    */
+  private def reclaimStale(storeDir: String, p: Path, stale: LeaseInfo,
+      st: FileStatus): Boolean = {
+    reclaimPauseHook(storeDir)
+    val claim = claimPath(storeDir)
+    var created = false
+    var torn = 0
+    while (!created) {
+      // the ATOMIC create-exclusive: the claim gate's single-winner
+      // property IS this call (the Hadoop local create's check-then-
+      // create TOCTOU let two claimants both pass and both take over)
+      try { Dfs.writeStringExclusive(claim, jvmToken)
+        created = true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          Dfs.status(claim) match {
+            case Some(cs) if System.currentTimeMillis() -
+                cs.getModificationTime >= ClaimStaleMs =>
+              // a claimant crashed inside its (job-free, microseconds)
+              // arbitration window: remove the husk SINGLE-WINNER —
+              // rename-aside first, so two removers cannot both
+              // "delete" and then both create — and re-evaluate
+              val gone = new Path(p.getParent, s"_lease.claim.gone." +
+                java.util.UUID.randomUUID().toString.take(8))
+              try { Dfs.rename(claim, gone)
+                Dfs.delete(gone, recursive = false); () }
+              catch { case _: java.io.FileNotFoundException => () }
+              return false
+            case Some(_) =>
+              val who = try Dfs.readString(claim).trim
+                catch { case _: Exception => "?" }
+              throw new IllegalStateException(
+                s"store ${canonical(storeDir)}: a stale-lease reclaim " +
+                  s"is already being arbitrated by $who; retry after " +
+                  "it settles (the claim marker outlives a crashed " +
+                  s"claimant for at most ClaimStaleMs=$ClaimStaleMs ms)")
+            case None => return false // claim vanished: re-evaluate
+          }
+        case e: java.io.IOException =>
+          // torn local create (see acquireLease) — bounded retry
+          torn += 1
+          if (torn > 5) throw e
+      }
+    }
+    try {
+      claimPauseHook(storeDir)
+      val curSt = Dfs.status(p)
+      val cur = curSt.map(_ => readLeaseInfo(p))
+      val unchanged =
+        curSt.exists(_.getModificationTime == st.getModificationTime) &&
+          cur.exists(i => i.token == stale.token && i.epoch == stale.epoch)
+      if (!unchanged) false
+      else {
+        val epoch = math.max(readGen(storeDir), stale.epoch) + 1L
+        Dfs.writeStringAtomic(p, leaseBody(jvmToken, epoch))
+        Dfs.writeStringAtomic(genPath(storeDir), epoch.toString)
+        recordEpoch(storeDir, epoch)
+        true
+      }
+    } finally { Dfs.delete(claim, recursive = false); () }
   }
 
   /** Delete the lease ONLY if it still carries this JVM's token. An
@@ -367,10 +475,7 @@ object CurationStream {
     */
   private def deleteLeaseIfOwn(storeDir: String): Unit = {
     val p = leasePath(storeDir)
-    val own = Dfs.status(p).exists { _ =>
-      (try Dfs.readString(p) catch { case _: Exception => "" })
-        .trim == jvmToken
-    }
+    val own = Dfs.status(p).exists(_ => readLeaseInfo(p).token == jvmToken)
     if (own) { Dfs.delete(p, recursive = false); () }
   }
 
@@ -399,23 +504,83 @@ object CurationStream {
           "reclaimed); stopping rather than double-writing.")
     Dfs.status(p) match {
       case Some(_) =>
-        val owner =
-          (try Dfs.readString(p) catch { case _: Exception => "" }).trim
-        if (owner != jvmToken) fenced(owner)
+        val info = readLeaseInfo(p)
+        if (info.token != jvmToken) fenced(info.token)
+        recordedEpoch(storeDir) match {
+          case Some(e) if e != info.epoch =>
+            // same token, different acquisition: this JVM re-acquired
+            // (or was reclaimed and re-released) since this writer's
+            // acquire — a superseded writer must not refresh it
+            fenced(s"${info.token} at epoch ${info.epoch} " +
+              s"(this writer holds epoch $e)")
+          case _ => ()
+        }
         Dfs.touch(p)
       case None =>
-        try Dfs.writeString(p, jvmToken, overwrite = false)
+        // restore with the RECORDED epoch — ownership continuity, not
+        // a new acquisition (a writer with no recorded epoch has never
+        // acquired here; give it a fresh generation)
+        val epoch = recordedEpoch(storeDir)
+          .getOrElse(readGen(storeDir) + 1L)
+        try Dfs.writeStringExclusive(p, leaseBody(jvmToken, epoch))
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            heartbeatLease(storeDir, tornRetries)
+            return heartbeatLease(storeDir, tornRetries)
           case e: java.io.IOException =>
-            // torn local create (create-then-chmod raced by a
-            // delete/rename — see acquireLease): transient
-            // interference retries, BOUNDED so a persistent IO
-            // failure propagates loud instead of spinning
+            // non-local multi-step create raced by a delete/rename —
+            // see acquireLease: transient interference retries,
+            // BOUNDED so a persistent IO failure propagates loud
+            // instead of spinning
             if (tornRetries >= 5) throw e
-            heartbeatLease(storeDir, tornRetries + 1)
+            return heartbeatLease(storeDir, tornRetries + 1)
         }
+        if (recordedEpoch(storeDir).isEmpty) {
+          Dfs.writeStringAtomic(genPath(storeDir), epoch.toString)
+          recordEpoch(storeDir, epoch)
+        }
+    }
+  }
+
+  /** Data-write fence, called at the commit-adjacent point of every
+    * store mutation ([[appendStore]] entry, [[swapBucket]] just before
+    * its journal marker). An existing lease must carry THIS writer's
+    * token — and, once this JVM recorded its acquisition epoch, the
+    * same epoch — or the write is rejected HERE rather than at the
+    * next heartbeat: a writer whose stale lease was legitimately
+    * reclaimed mid-batch can no longer land its in-flight append. No
+    * lease file at all is the unleased single-user batch mode
+    * (seeding, one-shot jobs, tests) and stays writable exactly as
+    * before. The cost is one control-file read per store mutation; the
+    * residual race is the instants between this read and the physical
+    * commit — one syscall sequence, vs a full heartbeat interval
+    * without it. Closing even that needs storage-enforced conditional
+    * writes (HDFS lease recovery, object-store conditional puts) — the
+    * MIGRATION.md deployment note.
+    */
+  private[graft] def verifyWriteFence(storeDir: String): Unit = {
+    val p = leasePath(storeDir)
+    if (Dfs.status(p).isEmpty) return
+    val info = readLeaseInfo(p)
+    // an unreadable lease that is GONE on re-check was released mid-
+    // check (clean stop racing a last append) — that is the unleased
+    // mode, not a fence
+    if (info.token.isEmpty && Dfs.status(p).isEmpty) return
+    def fenced(detail: String): Nothing =
+      throw new IllegalStateException(
+        s"write fenced off ${canonical(storeDir)}: $detail — this " +
+          "writer was superseded; aborting the store write instead of " +
+          "double-writing.")
+    if (info.token != jvmToken)
+      fenced(s"the lease belongs to ${info.token}")
+    recordedEpoch(storeDir) match {
+      case Some(e) if e != info.epoch =>
+        fenced(s"the lease is at epoch ${info.epoch}, this writer " +
+          s"holds epoch $e")
+      case None =>
+        // a lease this JVM holds but never recorded (hand-written in a
+        // test, a legacy single-line file): adopt its epoch
+        recordEpoch(storeDir, info.epoch)
+      case _ => ()
     }
   }
 
@@ -429,8 +594,7 @@ object CurationStream {
   private def requireMaintenanceSafe(storeDir: String): Unit = {
     val p = leasePath(storeDir)
     Dfs.status(p).foreach { st =>
-      val owner =
-        (try Dfs.readString(p) catch { case _: Exception => "" }).trim
+      val owner = readLeaseInfo(p).token
       val age = System.currentTimeMillis() - st.getModificationTime
       if (owner != jvmToken && age < LeaseStaleMs)
         throw new IllegalStateException(
@@ -448,11 +612,20 @@ object CurationStream {
   private[graft] var maintenancePauseHook: String => Unit = _ => ()
 
   /** TEST-ONLY seam, fired between a reclaim's staleness decision and
-    * its rename-aside — the window in which a faster claimant can
-    * complete its whole reclaim+acquire cycle (the stolen-fresh-lease
-    * interleaving the verify-after-claim below repairs).
+    * its claim-marker create — the window in which a faster claimant
+    * can complete its whole reclaim+acquire cycle (the stolen-fresh-
+    * lease interleaving the verify-under-claim repairs without ever
+    * touching the lease file).
     */
   private[graft] var reclaimPauseHook: String => Unit = _ => ()
+
+  /** TEST-ONLY seam, fired while a claimant HOLDS the `_lease.claim`
+    * arbitration marker, before its verify-and-takeover — a spec can
+    * hammer [[acquireLease]] from a third writer throughout a
+    * mistaken-reclaim interleaving and assert it never wins (the lease
+    * file exists at every instant, and the claim gate admits one).
+    */
+  private[graft] var claimPauseHook: String => Unit = _ => ()
 
   /** Run a maintenance body under the writer lease. Maintenance used to
     * only CHECK for a foreign fresh lease and then run UNLEASED on an
@@ -476,10 +649,8 @@ object CurationStream {
     val acquiredHere = lock.synchronized {
       requireMaintenanceSafe(storeDir)
       val p = leasePath(storeDir)
-      val ownedAlready = Dfs.status(p).exists { _ =>
-        (try Dfs.readString(p) catch { case _: Exception => "" })
-          .trim == jvmToken
-      }
+      val ownedAlready =
+        Dfs.status(p).exists(_ => readLeaseInfo(p).token == jvmToken)
       if (ownedAlready) Dfs.touch(p) else acquireLease(storeDir)
       activeMaintenance.add(c)
       !ownedAlready
@@ -841,32 +1012,69 @@ object CurationStream {
     * sidecar merge and the data write re-merges the same batch, so the
     * count can over-state until the next maintenance rebuild
     * right-sizes it. Discovery pruning deliberately uses only
-    * min/max/bloom (idempotent under re-merge); never use `count` as
+    * min/max/blooms (idempotent under re-merge); never use `count` as
     * an exact cardinality.
+    *
+    * `blooms`/`inserts` are parallel: every bloom but the last is
+    * SEALED at its design capacity (its 1% false-positive bound holds
+    * forever); the last is the open bloom new ids land in, with
+    * `inserts.last` tracking how full it is. A long-lived hot bucket
+    * whose FIRST micro-batch was skewed small therefore no longer
+    * saturates one under-sized filter toward fp→1: the open bloom
+    * seals when full and a doubled successor takes over (see
+    * [[mergeIdStats]]), so the sidecar's aggregate false-positive rate
+    * stays ≤ 0.01 × blooms.size with blooms.size growing only
+    * logarithmically in the bucket's total ids.
     */
   private[graft] final case class IdStats(count: Long, min: Long,
-    max: Long, bloom: org.apache.spark.util.sketch.BloomFilter)
+      max: Long, blooms: Seq[org.apache.spark.util.sketch.BloomFilter],
+      inserts: Seq[Long]) {
+    def mightContain(id: Long): Boolean =
+      blooms.exists(_.mightContainLong(id))
+  }
+
+  /** The item count a bloom was sized for at fpp 0.01 (≈9.585 bits per
+    * item, the optimal-m formula `create` rounds up from) — past it the
+    * design false-positive bound no longer holds and the filter must be
+    * sealed, not fed further.
+    */
+  private def bloomDesignCapacity(
+      bf: org.apache.spark.util.sketch.BloomFilter): Long =
+    math.max(4096L, (bf.bitSize() / 9.585).toLong)
 
   private[graft] def readIdStats(storeDir: String,
       b: Long): Option[IdStats] = {
     val p = idStatsPath(storeDir, b)
     if (!Dfs.isFile(p)) None
     else try {
-      val lines = Dfs.readString(p).split("\n", 4)
-      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(
-          java.util.Base64.getDecoder.decode(lines(3).trim)))
-      Some(IdStats(lines(0).trim.toLong, lines(1).trim.toLong,
-        lines(2).trim.toLong, bloom))
+      val lines = Dfs.readString(p).split("\n")
+      val count = lines(0).trim.toLong
+      val parsed = lines.drop(3).filter(_.nonEmpty).map { l =>
+        // `inserts:base64`; a legacy line is bare base64 with UNKNOWN
+        // inserts — assume the filter is at the total count (the safe
+        // direction: it seals on the next merge and growth takes over)
+        val (ins, b64) = l.indexOf(':') match {
+          case -1 => (count, l.trim)
+          case i => (l.take(i).trim.toLong, l.drop(i + 1).trim)
+        }
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64))), ins)
+      }.toSeq
+      if (parsed.isEmpty) None
+      else Some(IdStats(count, lines(1).trim.toLong,
+        lines(2).trim.toLong, parsed.map(_._1), parsed.map(_._2)))
     } catch { case _: Exception => None } // torn/garbled sidecar = scan
   }
 
   private def writeIdStats(storeDir: String, b: Long, st: IdStats): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    st.bloom.writeTo(bos)
+    val bloomLines = st.blooms.zip(st.inserts).map { case (bf, ins) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s"$ins:" + java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
     Dfs.writeStringAtomic(idStatsPath(storeDir, b),
-      s"${st.count}\n${st.min}\n${st.max}\n" +
-        java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+      s"${st.count}\n${st.min}\n${st.max}\n" + bloomLines.mkString("\n"))
   }
 
   /** Fold a micro-batch's ids into its bucket's sidecar BEFORE the data
@@ -877,23 +1085,42 @@ object CurationStream {
     * victim). This is what keeps redaction discovery bounded on a store
     * that has NEVER been compacted: hot buckets are covered from their
     * first append, not from the first maintenance pass. A fresh
-    * sidecar's Bloom is sized with a bucket's worth of headroom
-    * (over-filling only raises its false-positive rate — more candidate
-    * scans, never a miss); maintenance rebuilds right-size it.
+    * sidecar's open Bloom is sized with a bucket's worth of headroom;
+    * when merges fill it past its design capacity it is SEALED (its 1%
+    * fp bound intact) and a successor sized at twice that capacity —
+    * or the incoming batch × [[BatchesPerBucket]], whichever is larger
+    * — takes the inserts, so a skewed first micro-batch can no longer
+    * saturate the filter toward fp→1 between maintenance passes.
+    * Maintenance rebuilds still collapse the chain to one right-sized
+    * filter.
     */
-  private def mergeIdStats(storeDir: String, b: Long,
+  private[graft] def mergeIdStats(storeDir: String, b: Long,
       ids: Array[Long]): Unit = {
     if (ids.isEmpty) return
     val merged = readIdStats(storeDir, b) match {
       case Some(st) =>
-        ids.foreach(st.bloom.putLong)
+        val open = st.blooms.last
+        val cap = bloomDesignCapacity(open)
+        val (blooms, inserts) =
+          if (st.inserts.last + ids.length <= cap) {
+            ids.foreach(open.putLong)
+            (st.blooms,
+              st.inserts.init :+ (st.inserts.last + ids.length))
+          } else {
+            val next = org.apache.spark.util.sketch.BloomFilter.create(
+              math.max(cap * 2L,
+                ids.length.toLong * BatchesPerBucket), 0.01)
+            ids.foreach(next.putLong)
+            (st.blooms :+ next, st.inserts :+ ids.length.toLong)
+          }
         IdStats(st.count + ids.length, math.min(st.min, ids.min),
-          math.max(st.max, ids.max), st.bloom)
+          math.max(st.max, ids.max), blooms, inserts)
       case None =>
         val bloom = org.apache.spark.util.sketch.BloomFilter.create(
           math.max(ids.length.toLong * BatchesPerBucket, 4096L), 0.01)
         ids.foreach(bloom.putLong)
-        IdStats(ids.length.toLong, ids.min, ids.max, bloom)
+        IdStats(ids.length.toLong, ids.min, ids.max, Seq(bloom),
+          Seq(ids.length.toLong))
     }
     writeIdStats(storeDir, b, merged)
   }
@@ -924,7 +1151,8 @@ object CurationStream {
         val n = agg.getLong(0)
         if (n > 0)
           writeIdStats(storeDir, b, IdStats(n, agg.getLong(1),
-            agg.getLong(2), ids.stat.bloomFilter("doc_id", n, 0.01)))
+            agg.getLong(2),
+            Seq(ids.stat.bloomFilter("doc_id", n, 0.01)), Seq(n)))
       }
     }
 
@@ -997,6 +1225,11 @@ object CurationStream {
     val trash = new Path(root, s"_trash/batch_bucket=$bucket")
     val marker = new Path(root, s"_swap_$bucket")
     require(Dfs.isDirectory(staging), s"staging missing for bucket $bucket")
+    // epoch fence at the commit point: the journal marker is the swap's
+    // point of no return — a maintenance op superseded mid-rewrite
+    // (its stale lease reclaimed during the staging write) must not
+    // commit its swap into the new owner's store
+    verifyWriteFence(storeDir)
     Dfs.mkdirs(new Path(root, "_trash"))
     if (Dfs.exists(trash)) Dfs.delete(trash)
     Dfs.writeString(marker, bucket.toString)
@@ -1143,7 +1376,7 @@ object CurationStream {
             if (i < 0) i = -i - 1
             var hit = false
             while (!hit && i < arr.length && arr(i) <= st.max) {
-              hit = st.bloom.mightContainLong(arr(i)); i += 1
+              hit = st.mightContain(arr(i)); i += 1
             }
             hit
         }

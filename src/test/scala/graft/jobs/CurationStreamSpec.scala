@@ -812,7 +812,8 @@ class CurationStreamSpec extends AnyFunSuite {
       CurationStream.tokenOverride.set("fast@proc:1")
       try CurationStream.acquireLease(storeDir)
       finally CurationStream.tokenOverride.remove()
-      assert(Dfs.readString(lease).trim === "fast@proc:1")
+      assert(Dfs.readString(lease).linesIterator.next().trim
+        === "fast@proc:1")
       fastDone.countDown()
       slow.join(30000)
       assert(!slow.isAlive, "slow claimant hung")
@@ -820,10 +821,12 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(slowOutcome.exists(_.isInstanceOf[IllegalStateException]) &&
       slowOutcome.exists(_.getMessage.contains("leased by another writer")),
       s"the slow claimant must be denied by the fresh lease, got $slowOutcome")
-    assert(Dfs.readString(lease).trim === "fast@proc:1",
+    assert(Dfs.readString(lease).linesIterator.next().trim
+      === "fast@proc:1",
       "the fast claimant's fresh lease must survive the slow reclaim intact")
     assert(!Dfs.list(Dfs.qualified(storeDir))
-      .exists(_.getPath.getName.startsWith("_lease.stale")),
+      .exists(f => f.getPath.getName.startsWith("_lease.stale") ||
+        f.getPath.getName.startsWith("_lease.claim")),
       "no reclaim debris")
     Dfs.delete(lease, recursive = false)
   }
@@ -911,7 +914,7 @@ class CurationStreamSpec extends AnyFunSuite {
     val st0 = CurationStream.readIdStats(storeDir, 0L)
       .getOrElse(fail("the hot bucket must be sidecar'd from its appends"))
     assert(st0.count === 40L && st0.min === 1000L && st0.max === 1039L)
-    assert((1000L until 1040L).forall(st0.bloom.mightContainLong),
+    assert((1000L until 1040L).forall(st0.mightContain),
       "the merged Bloom must admit every appended id")
     // redaction on the NEVER-compacted store stays exact, victims in
     // both the seed bucket and the hot bucket
@@ -1048,5 +1051,402 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(accepted === Set(freshId),
       "an id collision must be rejected at the ingest boundary — " +
         "duplicate doc_ids would fan out every manifest join")
+  }
+
+  private def withToken[T](token: String)(body: => T): T = {
+    val t = new Thread(null, null: Runnable, "tok", 0) {
+      @volatile var out: Either[Throwable, T] = null
+      override def run(): Unit = {
+        CurationStream.tokenOverride.set(token)
+        try out = Right(body)
+        catch { case e: Throwable => out = Left(e) }
+        finally CurationStream.tokenOverride.remove()
+      }
+    }
+    t.start(); t.join(60000)
+    assert(!t.isAlive, s"impersonated-writer body hung (token $token)")
+    t.out match { case Right(v) => v case Left(e) => throw e }
+  }
+
+  private def leaseTokenOf(lease: org.apache.hadoop.fs.Path): String =
+    Dfs.readString(lease).linesIterator.next().trim
+  private def leaseEpochOf(lease: org.apache.hadoop.fs.Path): Long =
+    Dfs.readString(lease).split("\n")(1).trim.toLong
+
+  test("arbitrated reclaim: the lease never vanishes, and a third acquirer hammering the window never wins while the owner lives") {
+    import org.apache.hadoop.fs.Path
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val storeDir = Files.createTempDirectory("cur_arb").toString
+    CurationStream.recoverStore(storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    // the rightful owner: a LIVE writer whose heartbeat is delayed (a
+    // long GC pause) — its lease looks stale but the process breathes
+    withToken("owner@proc:1")(CurationStream.acquireLease(storeDir))
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    val inClaim = new CountDownLatch(1)
+    val ownerBack = new CountDownLatch(1)
+    CurationStream.claimPauseHook = _ => {
+      inClaim.countDown()
+      assert(ownerBack.await(30, TimeUnit.SECONDS)); ()
+    }
+    @volatile var claimantOutcome: Option[Throwable] = null
+    val claimant = new Thread(() => {
+      CurationStream.tokenOverride.set("claimant@proc:2")
+      try { CurationStream.acquireLease(storeDir); claimantOutcome = None }
+      catch { case e: Throwable => claimantOutcome = Some(e) }
+      finally CurationStream.tokenOverride.remove()
+      ()
+    })
+    try {
+      claimant.start()
+      assert(inClaim.await(30, TimeUnit.SECONDS), "claimant never paused")
+      // the round-15 move-aside reclaim had NO lease file at exactly
+      // this instant, and a third acquirer could win create-exclusive
+      // in the gap; now the lease exists at every instant and the
+      // claim gate turns the third acquirer away every single time
+      var thirdWins = 0
+      withToken("third@proc:3") {
+        (1 to 50).foreach { _ =>
+          assert(Dfs.isFile(lease),
+            "the lease file must exist at EVERY instant of arbitration")
+          try { CurationStream.acquireLease(storeDir); thirdWins += 1 }
+          catch { case _: IllegalStateException => () }
+        }
+      }
+      assert(thirdWins === 0,
+        "a third acquirer must never win during arbitration")
+      // the presumed-dead owner's delayed heartbeat lands INSIDE the
+      // claimant's window: the verify-under-claim must back off
+      // without ever having touched the lease file
+      withToken("owner@proc:1")(CurationStream.heartbeatLease(storeDir))
+      ownerBack.countDown()
+      claimant.join(30000)
+      assert(!claimant.isAlive, "claimant hung")
+    } finally CurationStream.claimPauseHook = _ => ()
+    assert(claimantOutcome.exists(e =>
+      e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("leased by another writer")),
+      s"the claimant must be denied by the refreshed lease, got $claimantOutcome")
+    assert(leaseTokenOf(lease) === "owner@proc:1",
+      "the live owner must still hold its lease after the whole dance")
+    assert(!Dfs.list(Dfs.qualified(storeDir))
+      .exists(_.getPath.getName.startsWith("_lease.claim")),
+      "no arbitration debris")
+    Dfs.delete(lease, recursive = false)
+  }
+
+  test("generation fence: a superseded writer's in-flight append is rejected at the write, not at the next heartbeat") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("cur_wfence").toString
+    val seed = spark.range(4L).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit("web").as("source"), lit(9L).as("n_chars"),
+      concat(lit("seed body "), $"id".cast("string")).as("text"))
+    CurationStream.initStore(seed, storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    CurationStream.acquireLease(storeDir) // this writer, epoch e1
+    val myToken = leaseTokenOf(lease)
+    val e1 = leaseEpochOf(lease)
+    val rows = Seq((100L, "en", "web", 9L, "new body", 2L, 0L))
+      .toDF("doc_id", "lang", "source", "n_chars", "text", "n_tok",
+        "ingest_batch")
+    CurationStream.appendStore(rows, storeDir) // own fresh lease: fine
+    val n0 = CurationStream.readStore(spark, storeDir).count()
+    // the writer stalls; its lease goes stale; another process
+    // legitimately reclaims
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    withToken("thief@proc:9")(CurationStream.acquireLease(storeDir))
+    assert(leaseTokenOf(lease) === "thief@proc:9")
+    assert(leaseEpochOf(lease) === e1 + 1L, "a reclaim must bump the epoch")
+    // the stalled writer wakes up mid-batch: the append itself rejects
+    val ex = intercept[IllegalStateException](
+      CurationStream.appendStore(rows.withColumn("doc_id", lit(101L)),
+        storeDir))
+    assert(ex.getMessage.contains("fenced"),
+      s"the write must fence, got: ${ex.getMessage}")
+    assert(CurationStream.readStore(spark, storeDir).count() === n0,
+      "a fenced append must not have written anything")
+    // epoch leg: even the SAME token under a different epoch fences —
+    // a lease-file anomaly that token comparison alone cannot see
+    Dfs.writeStringAtomic(lease, s"$myToken\n${e1 + 7L}")
+    val ex2 = intercept[IllegalStateException](
+      CurationStream.appendStore(rows.withColumn("doc_id", lit(102L)),
+        storeDir))
+    assert(ex2.getMessage.contains("epoch"),
+      s"an epoch mismatch must fence, got: ${ex2.getMessage}")
+    assert(CurationStream.readStore(spark, storeDir).count() === n0)
+    Dfs.delete(lease, recursive = false)
+  }
+
+  test("generation fence: a superseded maintenance op cannot commit its bucket swap") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("cur_sfence").toString
+    val mk = (b: Long) => spark.range(4L).select(($"id" + b * 10L)
+      .as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      lit(9L).as("n_chars"), concat(lit("body "), $"id".cast("string"))
+        .as("text"), lit(2L).as("n_tok"), lit(b).as("ingest_batch"))
+    CurationStream.appendStore(mk(0L), storeDir, mode = "overwrite")
+    CurationStream.appendStore(mk(1L), storeDir) // 2nd file set: bucket
+    CurationStream.appendStore(mk(2L), storeDir) // 0 now needs compaction
+    val n0 = CurationStream.readStore(spark, storeDir).count()
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    // mid-maintenance (lease held, before any rewrite) the op's lease
+    // is replaced by a new owner's — the swap COMMIT must refuse
+    CurationStream.maintenancePauseHook = _ =>
+      Dfs.writeStringAtomic(lease, "usurper@proc:4\n99")
+    val ex = try intercept[IllegalStateException](
+      CurationStream.compactStore(spark, storeDir, targetFiles = 1))
+    finally CurationStream.maintenancePauseHook = _ => ()
+    assert(ex.getMessage.contains("fenced"),
+      s"the swap commit must fence, got: ${ex.getMessage}")
+    assert(!Dfs.list(Dfs.qualified(storeDir))
+      .exists(_.getPath.getName.startsWith("_swap_")),
+      "a fenced swap must not leave a journal marker")
+    assert(CurationStream.readStore(spark, storeDir).count() === n0,
+      "the live partitions must be untouched by the fenced maintenance")
+    Dfs.delete(lease, recursive = false)
+  }
+
+  test("a live stream whose lease is reclaimed fails its next batch at the write") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "web", t.length.toLong, t) }
+        .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val sIds = pickIds(2, id => bucketOf(id) < 80)
+    val dIds = pickIds(2, id => bucketOf(id) < 80, from = sIds.max + 1)
+    val allIds = sIds ++ dIds
+    val dims = allIds.zipWithIndex.toMap
+    val emb = allIds.map { id =>
+      (id, (0 until 64).map(x => if (x == dims(id) % 64) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val trained = graft.ext.Similarity
+      .kmeansCentroids(emb, k = 4, iters = 1, roundTo = 4)
+    val storeDir = Files.createTempDirectory("cur_streamfence").toString
+    CurationStream.initStore(mk(sIds.zipWithIndex.map { case (id, i) =>
+      (id, text(s"w${('a' + i).toChar}")) }), storeDir)
+    val in = MemoryStream[(Long, String, String, Long, String)]
+    val q = CurationStream.ingestStream(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars", "text"),
+      emb, trained, mk(Seq.empty), storeDir,
+      Files.createTempDirectory("cur_streamfence_ckpt").toString)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    try {
+      in.addData((dIds(0), "en", "web", 1L, text("wx")))
+      q.processAllAvailable() // batch 0 lands under the stream's lease
+      assert(CurationStream.readStore(spark, storeDir)
+        .filter($"ingest_batch" >= 0L).count() === 1L)
+      // the stream stalls long enough for its lease to age out and be
+      // reclaimed elsewhere — the next batch's APPEND must fail loud,
+      // one batch earlier than the heartbeat-only fence caught it
+      assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+      withToken("thief@proc:5")(CurationStream.acquireLease(storeDir))
+      in.addData((dIds(1), "en", "web", 1L, text("wy")))
+      val ex = intercept[Exception](q.processAllAvailable())
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10).map(_.toString).toSeq
+      assert(chain.exists(_.contains("fenced")),
+        s"the reclaimed stream's append must fence, got: $chain")
+      assert(leaseTokenOf(lease) === "thief@proc:5",
+        "the new owner's lease must survive the fenced stream's failure")
+      assert(CurationStream.readStore(spark, storeDir)
+        .filter($"ingest_batch" >= 0L).count() === 1L,
+        "the fenced batch must not have appended")
+    } finally {
+      if (q.isActive) try stopAndWait(q) catch { case _: Exception => () }
+      Dfs.delete(lease, recursive = false)
+      CurationStream.releaseLease(storeDir)
+    }
+  }
+
+  test("claim-marker lifecycle: a fresh claim blocks acquirers loud; a crashed claimant's husk self-heals") {
+    import org.apache.hadoop.fs.Path
+    val storeDir = Files.createTempDirectory("cur_claim").toString
+    CurationStream.recoverStore(storeDir)
+    val root = Dfs.qualified(storeDir)
+    val lease = new Path(root, "_lease")
+    val claim = new Path(root, "_lease.claim")
+    // a dead owner AND a claimant that crashed mid-arbitration long ago
+    Dfs.writeString(lease, "dead@proc:1\n3")
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    Dfs.writeString(claim, "crashed@proc:2")
+    assert(new java.io.File(storeDir, "_lease.claim")
+      .setLastModified(1000L))
+    // the husk self-heals: the next acquirer removes it, wins the
+    // arbitration, and takes the lease at an epoch past the corpse's
+    CurationStream.acquireLease(storeDir)
+    assert(leaseTokenOf(lease) !== "dead@proc:1")
+    assert(leaseEpochOf(lease) === 4L,
+      "takeover epoch must be max(gen, stale epoch) + 1")
+    assert(!Dfs.list(root).exists(
+      _.getPath.getName.startsWith("_lease.claim")), "husk removed")
+    CurationStream.releaseLease(storeDir)
+    // a FRESH claim (live arbitration elsewhere) blocks acquirers with
+    // a loud, specific refusal — and the lease file is never touched
+    Dfs.writeString(lease, "dead@proc:1\n9")
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    Dfs.writeString(claim, "busy@proc:3")
+    val e = intercept[IllegalStateException](
+      CurationStream.acquireLease(storeDir))
+    assert(e.getMessage.contains("arbitrated by busy@proc:3"),
+      s"a live claim must name its holder, got: ${e.getMessage}")
+    assert(Dfs.readString(lease) === "dead@proc:1\n9",
+      "a blocked acquirer must leave the lease byte-identical")
+    Dfs.delete(claim, recursive = false)
+    Dfs.delete(lease, recursive = false)
+  }
+
+  test("swap journal under the copy+delete rename shim: a crash mid-'rename' breaks the marker contract and roll-forward installs a partial partition; the real scheme is exact") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    def mk(b: Long) = spark.range(4L).select(($"id" + b * 10L)
+      .as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      lit(9L).as("n_chars"), concat(lit("body "), $"id".cast("string"))
+        .as("text"), lit(2L).as("n_tok"), lit(b).as("ingest_batch"))
+    def seed(storeDir: String): Long = {
+      CurationStream.appendStore(mk(0L), storeDir, mode = "overwrite")
+      CurationStream.appendStore(mk(1L), storeDir)
+      CurationStream.appendStore(mk(2L), storeDir)
+      CurationStream.readStore(spark, storeDir).count()
+    }
+    def copyTree(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) {
+        d.mkdirs()
+        Option(s.listFiles).foreach(_.foreach(c =>
+          copyTree(c, new java.io.File(d, c.getName))))
+      } else {
+        java.nio.file.Files.copy(s.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+
+    // CONTROL leg — the real file:// rename: the same compaction is
+    // exact and leaves no journal debris (zero behavior change with
+    // the shim unset)
+    val ctl = Files.createTempDirectory("cur_swapreal").toString
+    val nCtl = seed(ctl)
+    CurationStream.compactStore(spark, ctl, targetFiles = 1)
+    assert(CurationStream.readStore(spark, ctl).count() === nCtl,
+      "a real-scheme compaction must preserve every row")
+    assert(!Dfs.list(Dfs.qualified(ctl)).exists(
+      _.getPath.getName.startsWith("_swap_")),
+      "a completed swap must leave no journal marker")
+
+    // NEGATIVE leg — the emulated object-store DIRECTORY rename
+    // (recursive copy, then per-file delete) crashing in the delete
+    // phase of the staging->live commit: the `_swap_` marker's
+    // "staging is complete" contract is broken, because a partially
+    // deleted staging directory still EXISTS — something an atomic
+    // rename makes impossible
+    val storeDir = Files.createTempDirectory("cur_swapshim").toString
+    val n0 = seed(storeDir)
+    assert(n0 === 12L)
+    var renames = 0
+    Dfs.nonAtomicDirRenameShim = Some { (src, dst) =>
+      renames += 1
+      val s = new java.io.File(src.toUri.getPath)
+      val d = new java.io.File(dst.toUri.getPath)
+      copyTree(s, d)
+      if (renames == 2) {
+        // the staging->live commit: copy landed, now the delete phase
+        // removes staging's DATA files and the process dies
+        Option(s.listFiles).foreach(_.filter(f =>
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach(f => rmTree(f)))
+        throw new RuntimeException(
+          "emulated crash mid copy+delete rename")
+      }
+      rmTree(s)
+    }
+    val crashed = try intercept[Exception](
+      CurationStream.compactStore(spark, storeDir, targetFiles = 1))
+    finally Dfs.nonAtomicDirRenameShim = None
+    assert(Iterator.iterate(crashed: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage)
+        .exists(_.contains("emulated crash"))),
+      s"the injected crash must surface, got $crashed")
+    assert(Dfs.isFile(new Path(Dfs.qualified(storeDir), "_swap_0")),
+      "the crash must strand the journal marker")
+    // roll-forward on the REAL scheme: the marker says staging is
+    // complete, but the shim left it partial — recovery installs it
+    // anyway and the bucket's rows are LOST. This executed violation
+    // is the pinned reason the journal demands an atomic-rename
+    // scheme (file://, HDFS) and MIGRATION.md routes object stores
+    // through a table format instead.
+    CurationStream.recoverStore(storeDir)
+    spark.catalog.refreshByPath(storeDir)
+    assert(!Dfs.list(Dfs.qualified(storeDir)).exists(
+      _.getPath.getName.startsWith("_swap_")),
+      "recovery must consume the journal marker either way")
+    val after = CurationStream.readStore(spark, storeDir).count()
+    assert(after < n0,
+      s"roll-forward over the broken marker contract must have " +
+        s"installed the partial staging copy (got $after of $n0 rows) " +
+        "— if this ever equals n0 the negative leg is not exercising " +
+        "the violation")
+  }
+
+  test("sidecar Blooms stay fp-bounded across skewed merges: a tiny first batch never saturates a long-lived hot bucket's filter") {
+    val storeDir = Files.createTempDirectory("cur_bloomgrow").toString
+    // skewed first micro-batch: 4 ids size the initial open bloom at
+    // its 4096 floor — then 20 merges of 1000 ids each pour 20k ids
+    // into the bucket between maintenance passes
+    CurationStream.mergeIdStats(storeDir, 0L, Array(1L, 2L, 3L, 4L))
+    val inserted = scala.collection.mutable.ArrayBuffer(1L, 2L, 3L, 4L)
+    (0 until 20).foreach { m =>
+      val ids = (0 until 1000).map(i => 10000L + m * 1000L + i).toArray
+      inserted ++= ids
+      CurationStream.mergeIdStats(storeDir, 0L, ids)
+    }
+    val st = CurationStream.readIdStats(storeDir, 0L)
+      .getOrElse(fail("sidecar must exist"))
+    assert(st.count === inserted.size.toLong)
+    assert(inserted.forall(st.mightContain),
+      "a sidecar may never false-negative an appended id")
+    // the chain grows LOGARITHMICALLY (seal at design capacity, double
+    // the successor), so 20k ids after a 4-id first batch is a handful
+    // of filters, not one saturated one
+    assert(st.blooms.size >= 2 && st.blooms.size <= 5,
+      s"expected a short sealed chain, got ${st.blooms.size} filters")
+    // aggregate false-positive rate stays near the 1%-per-filter
+    // design bound; the pre-growth single 4096-capacity filter held
+    // 20k ids (5x over capacity) and false-positived the majority of
+    // absent probes
+    val absentHits = (0 until 20000)
+      .map(i => 9000000L + i).count(st.mightContain)
+    assert(absentHits < 20000 * 5 / 100,
+      s"aggregate fp must stay bounded, got $absentHits/20000 " +
+        s"(${st.blooms.size} filters)")
+    // round-trip: what was written is what discovery will read
+    assert(st.blooms.zip(st.inserts).forall { case (bf, ins) =>
+      ins <= math.max(4096L, (bf.bitSize() / 9.585).toLong)
+    }, "no filter may hold more inserts than its design capacity")
+  }
+
+  test("lease epochs are strictly monotonic across release, re-acquire and reclaim") {
+    import org.apache.hadoop.fs.Path
+    val storeDir = Files.createTempDirectory("cur_epoch").toString
+    CurationStream.recoverStore(storeDir)
+    val lease = new Path(Dfs.qualified(storeDir), "_lease")
+    CurationStream.acquireLease(storeDir)
+    assert(leaseEpochOf(lease) === 1L)
+    CurationStream.releaseLease(storeDir)
+    assert(!Dfs.isFile(lease))
+    // the generation watermark survives the release: a re-acquire can
+    // never reuse a spent epoch
+    CurationStream.acquireLease(storeDir)
+    assert(leaseEpochOf(lease) === 2L)
+    assert(new java.io.File(storeDir, "_lease").setLastModified(1000L))
+    withToken("next@proc:6")(CurationStream.acquireLease(storeDir))
+    assert(leaseEpochOf(lease) === 3L)
+    assert(leaseTokenOf(lease) === "next@proc:6")
+    Dfs.delete(lease, recursive = false)
   }
 }
