@@ -608,6 +608,21 @@ object Curation {
     * per-batch prefix scan and store-wide token sum are never paid on
     * the hot path).
     */
+  /** Stage-boundary lineage truncation for the BATCH delta chain: a
+    * local checkpoint replaces the plan with a leaf (LogicalRDD), where
+    * a `Dedup.cached` boundary keeps the full child plan nested inside
+    * the InMemoryRelation. Each delta stage references the previous
+    * stage's frame 2–4×, so over the ~8-stage chain a cached-boundary
+    * composition nests MULTIPLICATIVELY — the gated q122 plan reached
+    * ~34k nested relation nodes (a 26 MB formatted plan), and the
+    * driver's per-Dataset analysis / cache-lookup canonicalization over
+    * that shared-DAG-walked-as-a-tree dominated the query's wall-clock.
+    * A leaf at every boundary keeps each stage's plan O(stage).
+    * Blocks are executor-resident like the cache was; rows identical
+    * (checkpoint is a materialization boundary, not a transform).
+    */
+  private def stageLeaf(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
   private[graft] def acceptDelta(s: SparkSession, side: StoreSide,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): DataFrame = {
@@ -620,16 +635,16 @@ object Curation {
 
     // stage 3: exact vs store survivor texts, then keep-min within
     // delta — the [[textAntiJoin]] / [[exactKeepMin]] hash-led shapes
-    val d3 = clocked("d3_exact")(Dedup.cached(
+    val d3 = clocked("d3_exact")(stageLeaf(
       exactKeepMin(exactVsStore(side, d2))
         .select($"doc_id", $"lang", $"source", $"n_chars", $"text")))
 
     // stage 4: near-dup vs store (q76's asymmetric band join), then
     // components over the remaining delta's internal pairs
     val d4a = clocked("d4a_minhash_vs_store")(
-      Dedup.cached(d3.join(minhashVsStoreDrop(side, d3),
+      stageLeaf(d3.join(minhashVsStoreDrop(side, d3),
         Seq("doc_id"), "left_anti")))
-    val pairsD = Dedup.cached(Dedup.minhashPairs(d4a, MinJaccard)
+    val pairsD = stageLeaf(Dedup.minhashPairs(d4a, MinJaccard)
       .select($"doc1".as("src"), $"doc2".as("dst")))
     // a delta with no internal near-dup pairs (the common micro-batch
     // case) skips the component fixpoint AND drops the anti-join stage
@@ -638,14 +653,14 @@ object Curation {
     // delta-sized job
     val d4 = clocked("d4_minhash_within")(
       if (pairsD.isEmpty) d4a
-      else Dedup.cached(d4a.join(componentDrop(s, pairsD),
+      else stageLeaf(d4a.join(componentDrop(s, pairsD),
         Seq("doc_id"), "left_anti")))
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min
-    val aD = Dedup.cached(deltaCells(emb, d4, trained))
+    val aD = stageLeaf(deltaCells(emb, d4, trained))
     val d5a = clocked("d5a_semantic_vs_store")(
-      Dedup.cached(d4.join(semanticVsStoreDrop(side, aD),
+      stageLeaf(d4.join(semanticVsStoreDrop(side, aD),
         Seq("doc_id"), "left_anti")))
     val aD5 = aD.join(d5a.select($"doc_id".as("vec_id")), Seq("vec_id"))
     val d5 = clocked("d5_semantic_within")(
@@ -653,11 +668,11 @@ object Curation {
 
     // stage 6: decontaminate against the STORE corpus' frozen holdout;
     // eval-bucket delta docs are eval data, never ingested
-    val dTrain = Dedup.cached(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
+    val dTrain = stageLeaf(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationAgainst(dTrain, side.holdout)
       .select($"doc_id")
     clocked("d6_decontaminate")(
-      Dedup.cached(dTrain.join(cont, Seq("doc_id"), "left_anti")))
+      stageLeaf(dTrain.join(cont, Seq("doc_id"), "left_anti")))
   }
 
   /** [[acceptDelta]] for the STREAMING hot path: the same stage
