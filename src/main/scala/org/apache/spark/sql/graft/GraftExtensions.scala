@@ -332,6 +332,25 @@ object GraftExtensions {
     if (!spark.sparkContext.conf.contains(skewKey) &&
         !spark.sessionState.conf.contains(skewKey))
       spark.conf.set(skewKey, "true")
+    // Second graft-required AQE setting (same respect-explicit-intent
+    // rule): the curation/dedup chains materialize intermediates
+    // through `Dedup.cached`, and with this at its false default AQE
+    // partition coalescing is DISABLED inside every cached-plan
+    // materialization — each cache stage runs the full static shuffle
+    // partition count however small its data. Measured on the composed
+    // pipeline (q117, sf0.1, local[32]): 1584 tasks / 111 s summed task
+    // time -> 95 tasks / 4.5 s with the flag on, identical rows. At
+    // cluster scale the same flag sizes cached partitions by
+    // `advisoryPartitionSizeInBytes` instead of the static count —
+    // scale-adaptive in both directions. Cost: a consumer that could
+    // have reused the cache's exact hash partitioning may re-shuffle,
+    // but every such consumer here re-exchanges anyway (stage
+    // boundaries are anti-joins/aggregations on different keys).
+    val cacheAqeKey =
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    if (!spark.sparkContext.conf.contains(cacheAqeKey) &&
+        !spark.sessionState.conf.contains(cacheAqeKey))
+      spark.conf.set(cacheAqeKey, "true")
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
