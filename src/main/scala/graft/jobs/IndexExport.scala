@@ -61,6 +61,26 @@ object IndexExport {
 
   val DefaultBuckets = 64
 
+  /** Scale-adaptive bucket count for [[exportBm25]]'s default (guide
+    * §6: size output partitions from the data, not a constant): one
+    * bucket per [[BucketTokenTarget]] tokens of corpus (`sum_dl` is an
+    * exact driver long the index already carries — zero extra jobs),
+    * clamped to [4, [[MaxAdaptiveBuckets]]]. A fixed 64 wrote 64
+    * near-empty directories per table at test scale (128 write tasks +
+    * commit rounds for a few hundred KB) and would under-split a
+    * genuinely large corpus; the token-proportional rule keeps every
+    * bucket's postings bounded (~tens of MB at the target) at any
+    * scale. Lookups read the bucket count from the export's meta row,
+    * so the rule can evolve without a layout version bump; explicit
+    * `nBuckets` callers are unaffected.
+    */
+  val BucketTokenTarget = 2000000L
+  val MaxAdaptiveBuckets = 4096
+
+  def adaptiveBuckets(sumDl: Long): Int =
+    math.max(4L, math.min(MaxAdaptiveBuckets.toLong,
+      (sumDl + BucketTokenTarget - 1) / BucketTokenTarget)).toInt
+
   /** Epochs retained after an export: the live one plus its
     * predecessor, so one re-export never deletes files out from under
     * a reader opened moments before the swap. Epochs OLDER than the
@@ -244,22 +264,25 @@ object IndexExport {
     * writer-side re-sort.
     */
   def exportBm25(idx: Bm25Index, outDir: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+      nBuckets: Int = 0): Unit = {
+    // 0 (the default) = derive from the corpus' exact token count
+    val buckets =
+      if (nBuckets == 0) adaptiveBuckets(idx.sumDl) else nBuckets
+    require(buckets > 0, s"nBuckets must be positive, got $buckets")
     val epoch = nextEpochDir(outDir)
     idx.postings
-      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
-      .repartition(nBuckets, col("bucket"))
+      .withColumn("bucket", termBucketCol(col("term"), buckets))
+      .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$epoch/postings")
     idx.dfTable
-      .withColumn("bucket", termBucketCol(col("term"), nBuckets))
-      .repartition(nBuckets, col("bucket"))
+      .withColumn("bucket", termBucketCol(col("term"), buckets))
+      .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$epoch/df")
-    idx.stats.withColumn("n_buckets", lit(nBuckets))
+    idx.stats.withColumn("n_buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$epoch/meta")
     swapPointer(outDir, epoch.getName)
     pruneEpochs(outDir)
