@@ -20,6 +20,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, so it must land before session creation: the
+      // default 100-entry codegen class cache thrashes under this
+      // workload (144 queries x ~20 codegen units/query per pass), so
+      // every timed pass re-Janino-compiles every stage. A long-lived
+      // engine session serving many distinct query shapes wants the
+      // cache sized to its working set at ANY data scale; env-tunable
+      // like the other harness knobs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.install(spark)
