@@ -78,8 +78,9 @@ object IndexExport {
   val MaxAdaptiveBuckets = 4096
 
   def adaptiveBuckets(sumDl: Long): Int =
-    math.max(4L, math.min(MaxAdaptiveBuckets.toLong,
-      (sumDl + BucketTokenTarget - 1) / BucketTokenTarget)).toInt
+    sys.env.get("SPARK_GRAFT_BM25_BUCKETS").map(_.toInt).getOrElse(
+      math.max(4L, math.min(MaxAdaptiveBuckets.toLong,
+        (sumDl + BucketTokenTarget - 1) / BucketTokenTarget)).toInt)
 
   /** Epochs retained after an export: the live one plus its
     * predecessor, so one re-export never deletes files out from under
@@ -270,20 +271,36 @@ object IndexExport {
       if (nBuckets == 0) adaptiveBuckets(idx.sumDl) else nBuckets
     require(buckets > 0, s"nBuckets must be positive, got $buckets")
     val epoch = nextEpochDir(outDir)
-    idx.postings
-      .withColumn("bucket", termBucketCol(col("term"), buckets))
-      .repartition(buckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$epoch/postings")
-    idx.dfTable
-      .withColumn("bucket", termBucketCol(col("term"), buckets))
-      .repartition(buckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$epoch/df")
-    idx.stats.withColumn("n_buckets", lit(buckets))
-      .write.mode("overwrite").parquet(s"$epoch/meta")
+    // the three artifact writes are independent (disjoint outputs from
+    // already-materialized cached inputs), so they run as overlapped
+    // jobs (guide §2.6): the small df/meta writes back-fill the tail of
+    // the postings write instead of queueing behind it. The epoch only
+    // publishes (swapPointer) after ALL THREE complete — a failed write
+    // fails the export before the pointer moves, exactly as before.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wPostings = Future {
+      idx.postings
+        .withColumn("bucket", termBucketCol(col("term"), buckets))
+        .repartition(buckets, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$epoch/postings")
+    }
+    val wDf = Future {
+      idx.dfTable
+        .withColumn("bucket", termBucketCol(col("term"), buckets))
+        .repartition(buckets, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$epoch/df")
+    }
+    val wMeta = Future {
+      idx.stats.withColumn("n_buckets", lit(buckets))
+        .write.mode("overwrite").parquet(s"$epoch/meta")
+    }
+    Seq(wPostings, wDf, wMeta).foreach(Await.result(_, Duration.Inf))
     swapPointer(outDir, epoch.getName)
     pruneEpochs(outDir)
   }
