@@ -657,8 +657,12 @@ object Curation {
         Seq("doc_id"), "left_anti")))
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
-    // pairs within a cell first, then within-delta keep-min
-    val aD = stageLeaf(deltaCells(emb, d4, trained))
+    // pairs within a cell first, then within-delta keep-min. aD stays
+    // a plain frame, not a leaf: it is a shuffle-free narrow map over
+    // the d4 leaf (scan ⋈ broadcast + per-row cell assignment), so
+    // inlining it twice costs less than a checkpoint's own job, and
+    // the plan stays O(stage) either way
+    val aD = deltaCells(emb, d4, trained)
     val d5a = clocked("d5a_semantic_vs_store")(
       stageLeaf(d4.join(semanticVsStoreDrop(side, aD),
         Seq("doc_id"), "left_anti")))
