@@ -15,23 +15,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // static conf, so it must land before session creation: the
-      // default 100-entry codegen class cache thrashes under this
-      // workload (144 queries x ~20 codegen units/query per pass), so
-      // every timed pass re-Janino-compiles every stage. A long-lived
-      // engine session serving many distinct query shapes wants the
-      // cache sized to its working set at ANY data scale; env-tunable
-      // like the other harness knobs.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+    // the shared engine session factory (Sessions.build): master/
+    // shuffle-partitions from SPARK_GRAFT_CPUS, codegen cache sized to
+    // the workload — the SAME session shape Verify and QueryProbe run,
+    // so no engine conf is bench-only (round-16 verdict item).
+    val spark = Sessions.build(cpus)
 
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       // one query per table/kernel family, so JIT + reader warm-up cost
@@ -250,7 +238,13 @@ object Bench {
     // must be short and self-contained (total + 5 slowest + controls).
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"control_sec":${r3(controlSec)},"control2_sec":${r3(control2Sec)},"control2_spread":${r3(control2Spread)}$controlFields,"queries":$slowest,"sf":"$sfDir"}""")
+    // "cpus" echoed so the driver's scaling heuristic can verify the
+    // core count was honored instead of inferring it from flat ratios
+    // (round-16 false positive). Numeric when it parses (the driver
+    // contract), quoted otherwise (e.g. a "local[*]"-style override)
+    // so the machine line stays valid JSON either way.
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"cpus":$cpusJson,"control_sec":${r3(controlSec)},"control2_sec":${r3(control2Sec)},"control2_spread":${r3(control2Spread)}$controlFields,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

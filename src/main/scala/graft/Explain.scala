@@ -16,14 +16,10 @@ object Explain {
       .getOrElse(Seq("q1_agg"))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared engine session factory — plan dumps carry the same session
+    // shape the bench and the correctness harness run
+    val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    org.apache.spark.sql.graft.GraftExtensions.install(spark)
     if (names == Seq("--audit")) audit(spark, sfDir)
     else names.foreach { n =>
       SparkEntry.queries.get(n) match {

@@ -26,18 +26,18 @@ object QueryProbe {
     // code change per trial.
     val extra = sys.env.get("SPARK_GRAFT_PROBE_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
-    val b0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    val spark = extra.foldLeft(b0)((b, kv) => b.config(kv._1, kv._2))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => (k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_PROBE_CONF: malformed entry '$kv' (want k=v)")
+        }
+      }
+    // shared engine session factory (+ the probe's A/B conf overrides)
+    val spark = Sessions.build(cpus, extraConfs = extra)
 
-    final case class J(id: Int, site: String, start: Long, var end: Long = -1L)
+    final case class J(id: Int, site: String, start: Long, var end: Long = -1L,
+      var nTasks: Int = 0)
     val jobs = new ConcurrentLinkedQueue[J]()
     val byId = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -45,11 +45,21 @@ object QueryProbe {
     val nStages = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // attribution: job description if set, else the SQL execution id
+        // plus the job's leaf-stage name (the AQE stage being
+        // materialized) — "?" told us nothing about WHICH of a query's
+        // 60+ AQE stage-jobs carry the floor
+        val execId = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .getOrElse("-")
+        val stageName = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '('))
+          .getOrElse("?").trim
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))
-            .orElse(Option(p.getProperty("callSite.short"))))
-          .getOrElse("?")
-        val r = J(js.jobId, site, js.time)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .getOrElse(s"exec=$execId $stageName")
+        val r = J(js.jobId, site, js.time,
+          nTasks = js.stageInfos.map(_.numTasks).sum)
         jobs.add(r); byId.put(js.jobId, r); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -79,11 +89,12 @@ object QueryProbe {
               .map(j => math.max(0L, j.end - j.start)).sum / 1e3
             val top = js.groupBy(_.site).view
               .mapValues(a => (a.length,
-                a.iterator.map(j => math.max(0L, j.end - j.start)).sum))
-              .toSeq.sortBy(-_._2._2).take(12)
+                a.iterator.map(j => math.max(0L, j.end - j.start)).sum,
+                a.iterator.map(_.nTasks).sum))
+              .toSeq.sortBy(-_._2._2).take(40)
             println(f"""== $n%s rep$rep: wall=$wall%.2fs jobs=${js.length}%d stages=${nStages.get}%d tasks=${nTasks.get}%d jobWall=$jobWall%.2fs taskTime=${taskTime.get / 1e3}%.2fs""")
-            top.foreach { case (site, (cnt, ms)) =>
-              println(f"   ${ms / 1e3}%7.2fs x$cnt%-4d $site%s")
+            top.foreach { case (site, (cnt, ms, tk)) =>
+              println(f"   ${ms / 1e3}%7.2fs x$cnt%-4d ($tk%d tasks) $site%s")
             }
             graft.ext.Dedup.clearSignatureCaches(blocking = true)
             graft.streaming.StreamOps.clearStaticIndexes(blocking = true)

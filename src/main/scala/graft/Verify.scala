@@ -16,14 +16,10 @@ object Verify {
     val outDir = args(1)
     val subset = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    org.apache.spark.sql.graft.GraftExtensions.install(spark)
+    // shared engine session factory: the correctness harness runs the
+    // SAME session shape as Bench/QueryProbe (incl. the codegen class
+    // cache sizing — previously bench-only; round-16 verdict item)
+    val spark = Sessions.build(cpus)
     new java.io.File(outDir).mkdirs()
     // a typo'd subset name would otherwise produce an EMPTY oracle json
     // and check.py would report "0 pass / 0 fail" with exit 0 — a
