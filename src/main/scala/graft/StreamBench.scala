@@ -297,9 +297,16 @@ object StreamBench {
     val viaLocalParity = graft.jobs.LocalLookup
       .bm25Single(out, parityTerms, 10)
       .map(t => Seq[Any](t._1, t._2, t._3))
-    val viaSingleRows = graft.jobs.IndexExport
-      .bm25LookupSingle(spark, out, parityTerms, 10)
-      .collect().map(_.toSeq).toSeq
+    // the Spark plan FORCED (cap −1): the default route is the local
+    // tier, and local-vs-local would pin nothing
+    val viaSingleRows = {
+      val prev = graft.jobs.IndexExport.LocalLookupCap
+      graft.jobs.IndexExport.LocalLookupCap = -1L
+      try graft.jobs.IndexExport
+        .bm25LookupSingle(spark, out, parityTerms, 10)
+        .collect().map(_.toSeq).toSeq
+      finally graft.jobs.IndexExport.LocalLookupCap = prev
+    }
     require(viaLocalParity == viaSingleRows,
       s"local/spark lookup divergence:\n$viaLocalParity\nvs\n$viaSingleRows")
     (0 until 3).foreach { _ =>

@@ -225,6 +225,19 @@ object Dedup {
   /** Number of signature tables currently registered (not yet released). */
   def registeredSignatureCacheCount: Int = cachedSigTables.snapshot.size
 
+  /** Extra release actions run by [[clearSignatureCaches]] — the ONE
+    * query-scoped release lifecycle the harness mains already call.
+    * Stage-boundary CHECKPOINT leaves register here
+    * ([[graft.queries.Curation]]): `Dataset.unpersist` never frees
+    * checkpoint blocks (only the cache manager's entries), so without
+    * an explicit hook they accumulate until GC'd via ContextCleaner —
+    * nondeterministic in a long-lived session.
+    */
+  private val clearHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[Boolean => Unit]()
+
+  def registerClearHook(hook: Boolean => Unit): Unit = { clearHooks.add(hook); () }
+
   /** Unpersist every signature table the pair generators have cached.
     * Safe while results are outstanding — an unpersisted dependency is
     * recomputed, not lost. `blocking = true` waits until the blocks are
@@ -232,8 +245,10 @@ object Dedup {
     * cost lands between timed queries instead of as surprise GC/eviction
     * pressure inside the next one (the round-5 bench drift).
     */
-  def clearSignatureCaches(blocking: Boolean = false): Unit =
+  def clearSignatureCaches(blocking: Boolean = false): Unit = {
     cachedSigTables.clear(blocking)
+    clearHooks.forEach(h => h(blocking))
+  }
 
   /** (doc_id, bg, k1, k2) bigram-signature table for q22-style n-gram
     * near-dup: one kernel pass per row.

@@ -67,16 +67,27 @@ object Packing {
   /** [[packPlan]] over already-computed per-doc token counts (doc_id,
     * n_tok) — the form a pipeline whose upstream stages already
     * tokenized uses, so the corpus is not re-tokenized just to pack.
+    *
+    * `keep` names extra attribution columns of `counts` to CARRY
+    * through the scan into the output (after the standard pack
+    * columns): per-doc metadata (lang, source) rides the two linear
+    * passes instead of being re-attached by a manifest-sized join
+    * afterwards. Row-identical to the join form — the pack emits one
+    * row per n_tok > 0 doc and the carried values are that row's own.
+    * Empty `keep` (every pre-existing caller) leaves the plan
+    * byte-identical.
     */
-  def packPlanFromCounts(counts: DataFrame, seqLen: Long): DataFrame = {
+  def packPlanFromCounts(counts: DataFrame, seqLen: Long,
+      keep: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val base = counts.select(lit(0L).as("__k"), col("doc_id"),
-      col("n_tok").cast("long").as("n_tok"))
+    val base = counts.select(lit(0L).as("__k") +: col("doc_id") +:
+      col("n_tok").cast("long").as("n_tok") +: keep.map(col): _*)
     val cum = graft.operators.PrefixSum
       .cumSumByKey(base, "__k", Seq("doc_id"), "n_tok")
     withSeqFields(cum.filter(col("n_tok") > 0)
-      .select(col("doc_id"), col("n_tok"),
-        (col("cum") - col("n_tok")).as("start_tok")), seqLen)
+      .select(col("doc_id") +: col("n_tok") +:
+        (col("cum") - col("n_tok")).as("start_tok") +: keep.map(col): _*),
+      seqLen, keep)
   }
 
   /** The derived sequence fields from (doc_id, n_tok, start_tok) — ONE

@@ -276,31 +276,63 @@ object IndexExport {
     // jobs (guide §2.6): the small df/meta writes back-fill the tail of
     // the postings write instead of queueing behind it. The epoch only
     // publishes (swapPointer) after ALL THREE complete — a failed write
-    // fails the export before the pointer moves, exactly as before.
+    // fails the export before the pointer moves. FAIL-FAST discipline
+    // (round-16 review): the writes run on the dedicated
+    // [[graft.ext.DriverPool]] (caller's Spark local properties
+    // captured per task — a reused global-pool thread could carry a
+    // stale job group and escape cancellation) under ONE export-scoped
+    // job group in a named scheduler pool; the FIRST failure cancels
+    // the group, so sibling jobs stop instead of running a doomed
+    // epoch to completion, and every outcome is awaited before the
+    // original failure is rethrown — no write outlives the thrown
+    // export (IndexExportSpec's poisoned-write case pins all three
+    // properties: error propagated, no pointer move, siblings
+    // cancelled).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val wPostings = Future {
-      idx.postings
-        .withColumn("bucket", termBucketCol(col("term"), buckets))
-        .repartition(buckets, col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$epoch/postings")
-    }
-    val wDf = Future {
-      idx.dfTable
-        .withColumn("bucket", termBucketCol(col("term"), buckets))
-        .repartition(buckets, col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("term"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$epoch/df")
-    }
-    val wMeta = Future {
-      idx.stats.withColumn("n_buckets", lit(buckets))
-        .write.mode("overwrite").parquet(s"$epoch/meta")
-    }
-    Seq(wPostings, wDf, wMeta).foreach(Await.result(_, Duration.Inf))
+    import scala.util.Try
+    val spark = idx.postings.sparkSession
+    val sc = spark.sparkContext
+    val group = s"graft-bm25-export-${epoch.getName}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    def overlapped(label: String)(body: => Unit): Future[Try[Unit]] =
+      graft.ext.DriverPool.submit(spark) {
+        sc.setJobGroup(group, s"graft bm25 export: $label",
+          interruptOnCancel = true)
+        sc.setLocalProperty("spark.scheduler.pool", "graft-export")
+        val r = Try(body)
+        if (r.isFailure) sc.cancelJobGroup(group)
+        r
+      }
+    val writes = Seq(
+      overlapped("postings") {
+        idx.postings
+          .withColumn("bucket", termBucketCol(col("term"), buckets))
+          .repartition(buckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$epoch/postings")
+      },
+      overlapped("df") {
+        idx.dfTable
+          .withColumn("bucket", termBucketCol(col("term"), buckets))
+          .repartition(buckets, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$epoch/df")
+      },
+      overlapped("meta") {
+        idx.stats.withColumn("n_buckets", lit(buckets))
+          .write.mode("overwrite").parquet(s"$epoch/meta")
+      })
+    // collect ALL outcomes (no write outlives the throw), then rethrow
+    // the ROOT failure — a sibling cancelled BY the fail-fast reads as
+    // "cancelled"; surfacing it would mask the write that actually
+    // poisoned the export
+    val failures = writes.map(Await.result(_, Duration.Inf))
+      .collect { case scala.util.Failure(e) => e }
+    failures.find(e => !Option(e.getMessage).exists(_.contains("cancelled")))
+      .orElse(failures.headOption).foreach(e => throw e)
     swapPointer(outDir, epoch.getName)
     pruneEpochs(outDir)
   }
@@ -346,44 +378,101 @@ object IndexExport {
         meta.getAs[Long]("n"), sumDl, meta.getAs[Int]("n_buckets"))
     }
 
-  /** Serve queries `(query_id, terms)` through the exported layout:
-    * prune to the terms' buckets (computed driver-side), push the term
-    * filter into the sorted scans, and run the SAME
-    * [[Retrieval.bm25TopKIndexed]] serving plan over the pruned index.
-    * One query = the point lookup; a small batch shares one pass.
+  /** Max matched postings a lookup may serve through the driver-local
+    * tier ([[LocalLookup]]): the summed df of the query's terms, known
+    * from the resident df maps before any postings page is read. Under
+    * the cap a point lookup is driver arithmetic over its own pages —
+    * zero Spark jobs, the latency the serving tier exists for; over it
+    * (a flood term whose postings are corpus-proportional) the lookup
+    * runs the distributed pruned-scan plan, identical rows by the
+    * LocalLookup parity contract. `@volatile var` so a spec can force
+    * the distributed route on a tiny query.
+    */
+  @volatile var LocalLookupCap: Long =
+    sys.env.get("SPARK_GRAFT_LOCAL_LOOKUP_CAP").map(_.toLong)
+      .getOrElse(100000L)
+
+  private val SingleSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_terms",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private val BatchSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rank",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def localFrame(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** Serve queries `(query_id, terms)` through the exported layout.
+    * Under [[LocalLookupCap]] the rows come from the no-Spark local
+    * tier ([[LocalLookup.bm25BatchLocal]] — driver page reads +
+    * driver arithmetic, zero jobs; the verdict-sanctioned routing for
+    * tiny probe sets); over the cap, or when a matched posting carries
+    * a NULL doc_id, the distributed plan runs: prune to the terms'
+    * buckets (computed driver-side), push the term filter into the
+    * sorted scans, and run the SAME [[Retrieval.bm25TopKIndexed]]
+    * serving plan over the pruned index. Identical rows either way
+    * (LocalLookupSpec parity + the shared q105-oracle gate).
     */
   def bm25Lookup(spark: SparkSession, outDir: String,
       queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     import spark.implicits._
-    val r = bm25Reader(spark, outDir)
-    val terms = queries.flatMap(_._2).filter(_ != null).distinct
-    val buckets = terms.map(termBucket(_, r.nBuckets)).distinct
-    def pruned(base: DataFrame, cols: Seq[String]): DataFrame =
-      base.filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-        .select(cols.map(col): _*)
-    val idx = Bm25Index(
-      pruned(r.postings, Seq("doc_id", "dl", "term", "tf")),
-      pruned(r.dfTable, Seq("term", "df")), r.n, r.sumDl)
-    Retrieval.bm25TopKIndexed(idx, queries.toDF("query_id", "terms"), k)
+    LocalLookup.bm25BatchLocal(outDir, queries, k, LocalLookupCap) match {
+      case Some(rows) =>
+        localFrame(spark, rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), BatchSchema)
+      case None =>
+        val r = bm25Reader(spark, outDir)
+        val terms = queries.flatMap(_._2).filter(_ != null).distinct
+        val buckets = terms.map(termBucket(_, r.nBuckets)).distinct
+        def pruned(base: DataFrame, cols: Seq[String]): DataFrame =
+          base.filter(col("bucket").isin(buckets: _*) &&
+            col("term").isin(terms: _*)).select(cols.map(col): _*)
+        val idx = Bm25Index(
+          pruned(r.postings, Seq("doc_id", "dl", "term", "tf")),
+          pruned(r.dfTable, Seq("term", "df")), r.n, r.sumDl)
+        Retrieval.bm25TopKIndexed(idx, queries.toDF("query_id", "terms"), k)
+    }
   }
 
-  /** The SINGLE-query point lookup: terms as driver constants, bucket
-    * pruning + pushed term filter on the long-lived reader's scans, and
+  /** The SINGLE-query point lookup. Under [[LocalLookupCap]] the rows
+    * come from [[LocalLookup.bm25SingleCapped]] (zero Spark jobs; the
+    * same rows by the bit-parity contract [[Retrieval.scoreSingleLocal]]
+    * pins); over it: terms as driver constants, bucket pruning + pushed
+    * term filter on the long-lived reader's scans, and
     * [[Retrieval.bm25ScoreSingle]]'s one-shuffle plan. Output
     * (doc_id, n_terms, score) — the [[Retrieval.bm25TopK]] shape,
     * scores bit-identical to every other bm25 path (q121 gate).
     */
   def bm25LookupSingle(spark: SparkSession, outDir: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val r = bm25Reader(spark, outDir)
-    val ts = terms.filter(_ != null).distinct
-    val buckets = ts.map(termBucket(_, r.nBuckets)).distinct
-    def pruned(base: DataFrame, cols: Seq[String]): DataFrame =
-      base.filter(col("bucket").isin(buckets: _*) && col("term").isin(ts: _*))
-        .select(cols.map(col): _*)
-    Retrieval.bm25ScoreSingle(
-      pruned(r.postings, Seq("doc_id", "dl", "term", "tf")),
-      pruned(r.dfTable, Seq("term", "df")), r.n, r.sumDl, k)
+    LocalLookup.bm25SingleCapped(outDir, terms, k, LocalLookupCap) match {
+      case Some(rows) =>
+        localFrame(spark, rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), SingleSchema)
+      case None =>
+        val r = bm25Reader(spark, outDir)
+        val ts = terms.filter(_ != null).distinct
+        val buckets = ts.map(termBucket(_, r.nBuckets)).distinct
+        def pruned(base: DataFrame, cols: Seq[String]): DataFrame =
+          base.filter(col("bucket").isin(buckets: _*) &&
+            col("term").isin(ts: _*)).select(cols.map(col): _*)
+        Retrieval.bm25ScoreSingle(
+          pruned(r.postings, Seq("doc_id", "dl", "term", "tf")),
+          pruned(r.dfTable, Seq("term", "df")), r.n, r.sumDl, k)
+    }
   }
 
   /** Write PQ codes partitioned by IVF cell into a fresh epoch:

@@ -177,6 +177,58 @@ object LocalLookup {
     l.files.computeIfAbsent(s"$table/$bucket",
       _ => dataFiles(l.fs, new Path(l.dir, s"$table/bucket=$bucket")))
 
+  /** A query's matched posting rows (doc_id, dl, tf, df) read straight
+    * from the export layout — the shared fetch behind [[bm25Single]]
+    * and the capped batch twin. Returns None when the terms' summed df
+    * (known from the resident df maps BEFORE any postings file is
+    * opened) exceeds `maxPostings` — the cap that keeps the
+    * driver-local tier delta-sized like every other driver-resident
+    * form; None callers fall back to the distributed plan.
+    */
+  private def matchedPostings(l: Bm25Layout, ts: Seq[String],
+      maxPostings: Long):
+      Option[ArrayBuffer[(java.lang.Long, Long, Long, Long)]] = {
+    val byBucket = ts.groupBy(IndexExport.termBucket(_, l.nBuckets))
+    // df from the resident per-bucket maps — loaded (dictionary-sized)
+    // before any postings page is touched, so the cap decision costs
+    // no posting I/O
+    val dfs = byBucket.map { case (bucket, _) =>
+      bucket -> l.dfCache.computeIfAbsent(bucket, { b =>
+        val m = new java.util.HashMap[String, Long]
+        bucketFiles(l, "df", b).foreach { f =>
+          readGroups(f, None) { g =>
+            m.put(g.getBinary("term", 0).toStringUsingUTF8,
+              g.getLong("df", 0))
+          }
+        }
+        m
+      })
+    }
+    val totalDf = byBucket.iterator.flatMap { case (bucket, bucketTerms) =>
+      bucketTerms.iterator.map(t =>
+        Option(dfs(bucket).get(t)).map(_.longValue()).getOrElse(0L))
+    }.sum
+    if (totalDf > maxPostings) None
+    else {
+      val postings = ArrayBuffer.empty[(java.lang.Long, Long, Long, Long)]
+      byBucket.foreach { case (bucket, bucketTerms) =>
+        val pred = Some(termPred(bucketTerms))
+        val df = dfs(bucket)
+        bucketFiles(l, "postings", bucket).foreach { f =>
+          readGroups(f, pred) { g =>
+            val docId: java.lang.Long =
+              if (g.getFieldRepetitionCount("doc_id") == 0) null
+              else java.lang.Long.valueOf(g.getLong("doc_id", 0))
+            val term = g.getBinary("term", 0).toStringUsingUTF8
+            postings += ((docId, g.getLong("dl", 0), g.getLong("tf", 0),
+              df.get(term)))
+          }
+        }
+      }
+      Some(postings)
+    }
+  }
+
   /** Single-query BM25 point lookup over an [[IndexExport.exportBm25]]
     * layout — rows (doc_id, n_terms, score) identical to
     * [[IndexExport.bm25LookupSingle]] (and therefore to every other
@@ -190,36 +242,65 @@ object LocalLookup {
     val l = bm25Layout(epoch)
     val ts = terms.filter(_ != null).distinct
     if (ts.isEmpty || l.n == 0) Seq.empty else {
-    val byBucket = ts.groupBy(IndexExport.termBucket(_, l.nBuckets))
-    // df from the resident per-bucket maps, postings from the bucket's
-    // sorted files: a term's rows live in exactly one bucket directory
-    // of each table
-    val postings = ArrayBuffer.empty[(java.lang.Long, Long, Long, Long)]
-    byBucket.foreach { case (bucket, bucketTerms) =>
-      val pred = Some(termPred(bucketTerms))
-      val df = l.dfCache.computeIfAbsent(bucket, { b =>
-        val m = new java.util.HashMap[String, Long]
-        bucketFiles(l, "df", b).foreach { f =>
-          readGroups(f, None) { g =>
-            m.put(g.getBinary("term", 0).toStringUsingUTF8,
-              g.getLong("df", 0))
-          }
-        }
-        m
-      })
-      bucketFiles(l, "postings", bucket).foreach { f =>
-        readGroups(f, pred) { g =>
-          val docId: java.lang.Long =
-            if (g.getFieldRepetitionCount("doc_id") == 0) null
-            else java.lang.Long.valueOf(g.getLong("doc_id", 0))
-          val term = g.getBinary("term", 0).toStringUsingUTF8
-          postings += ((docId, g.getLong("dl", 0), g.getLong("tf", 0),
-            df.get(term)))
-        }
-      }
-    }
+    val postings = matchedPostings(l, ts, Long.MaxValue).get
     Retrieval.scoreSingleLocal(postings, l.n, l.sumDl, k)
   }}
+
+  /** [[bm25Single]] with the driver-resident cap: None when the query's
+    * matched postings would exceed `maxPostings` (callers run the
+    * distributed plan instead). The row set of a Some is [[bm25Single]]'s
+    * exactly.
+    */
+  def bm25SingleCapped(outDir: String, terms: Seq[String], k: Int,
+      maxPostings: Long): Option[Seq[(java.lang.Long, Long, Double)]] =
+    IndexExport.withPinnedEpoch(outDir) { epoch =>
+      val l = bm25Layout(epoch)
+      val ts = terms.filter(_ != null).distinct
+      if (ts.isEmpty || l.n == 0) Some(Seq.empty)
+      else matchedPostings(l, ts, maxPostings)
+        .map(Retrieval.scoreSingleLocal(_, l.n, l.sumDl, k))
+    }
+
+  /** Driver-side twin of the BATCH lookup shape
+    * ([[IndexExport.bm25Lookup]] → [[Retrieval.bm25TopKIndexed]]):
+    * rows (query_id, rank, doc_id, score) per query, identical to the
+    * Spark plan by shared arithmetic —
+    *  - per-(doc, term) s4 partials and the per-doc score are
+    *    [[Retrieval.scoreSingleLocal]]'s expressions (bit-parity pinned
+    *    there term by term);
+    *  - the top-k order mirrors [[graft.ext.TopKByScore]]: score desc
+    *    (java.lang.Double.compare), doc_id asc; rank = 1-based position;
+    *  - repeated terms within a query score once and rows sharing a
+    *    query_id merge (the qterms DISTINCT), NULL terms never match,
+    *    a query with no matches emits no rows.
+    * None when any query's matched postings exceed `maxPostings`, or a
+    * matched posting carries a NULL doc_id (the batch udaf path boxes
+    * doc_id through a primitive-long tuple encoder; rather than mirror
+    * that coercion, the twin declines and the Spark plan serves it).
+    */
+  def bm25BatchLocal(outDir: String, queries: Seq[(Long, Seq[String])],
+      k: Int, maxPostings: Long): Option[Seq[(Long, Long, Long, Double)]] =
+    IndexExport.withPinnedEpoch(outDir) { epoch =>
+      val l = bm25Layout(epoch)
+      val byQuery = queries.groupMapReduce(_._1)(_._2)(_ ++ _)
+        .view.mapValues(_.filter(_ != null).distinct).toSeq.sortBy(_._1)
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      val ok = byQuery.forall { case (qid, ts) =>
+        if (ts.isEmpty || l.n == 0) true
+        else matchedPostings(l, ts, maxPostings) match {
+          case None => false
+          case Some(postings) if postings.exists(_._1 == null) => false
+          case Some(postings) =>
+            val scored = Retrieval
+              .scoreSingleLocal(postings, l.n, l.sumDl, k)
+            scored.iterator.zipWithIndex.foreach { case ((d, _, sc), i) =>
+              out += ((qid, (i + 1).toLong, d.longValue(), sc))
+            }
+            true
+        }
+      }
+      if (ok) Some(out.result()) else None
+    }
 
   /** Single-query IVF-PQ point lookup over an
     * [[IndexExport.exportPqCells]] layout — rows (vec_id, pq_dist_s6)

@@ -212,6 +212,44 @@ object Graph {
       .distinct.filter(n => find(n) != n)
   }
 
+  /** The dedup drop list — every node that is NOT its component's
+    * minimum — with ONE Spark action on the common path. The callers
+    * (batch curation stage 4, the incremental delta's within-batch
+    * components) all run `connectedComponents(...).filter(node =!=
+    * component)` over a pair list that is dup-density-sized, which at
+    * bench scale took THREE actions before any drop was known: cache +
+    * count (the tier gate), collect (tier 0), plus the caller's own
+    * isEmpty probe. Here the pair list is fetched CAPPED in one job
+    * (each partition yields at most cap+1 pairs, so the driver holds
+    * ≤ (cap+1)·partitions transiently and a Some is complete — the
+    * [[graft.queries.Curation]] cappedFetch discipline), union-find
+    * runs on the driver ([[minRootNonRoots]], equal by construction to
+    * the cc filter), and an empty pair list costs exactly the one
+    * probe job. Over the cap the caller gets Right(distributed drop
+    * frame) over the STILL-CACHED edge table — the
+    * [[connectedComponents]] fixpoint, identical drop set.
+    */
+  def componentNonRootsCapped(spark: SparkSession, edges: DataFrame,
+      cap: Long = 500000L): Either[Array[Long], DataFrame] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    // cached FIRST so the capped fetch materializes it and an over-cap
+    // fallback re-reads blocks instead of re-running the (expensive)
+    // pair-generation pipeline; registered query-scoped like the other
+    // signature caches
+    val e = graft.ext.Dedup.cached(edges.select(col("src"), col("dst")))
+    val perPart = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val chunks = spark.sparkContext.runJob(
+      e.queryExecution.toRdd,
+      (it: Iterator[InternalRow]) =>
+        it.take(perPart).map(r => (r.getLong(0), r.getLong(1))).toArray)
+    val total = chunks.iterator.map(_.length.toLong).sum
+    if (total > cap)
+      Right(connectedComponents(spark, e)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id")))
+    else Left(minRootNonRoots(Array.concat(chunks.toIndexedSeq: _*)))
+  }
+
   /** Connected components over undirected `edges(src, dst)`: every node
     * appearing in an edge is assigned its component's MINIMUM node id.
     * The dedup endgame — LSH pair lists become duplicate clusters with

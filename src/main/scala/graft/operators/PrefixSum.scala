@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -27,6 +29,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * sorted intermediate is cached (registered under the dedup
   * signature-cache lifecycle) so pass 2 replays the cache, not the
   * sort, and both passes see the identical partition layout.
+  *
+  * Both passes run over the INTERNAL row format
+  * (`queryExecution.toRdd` + an unsafe projection for the appended
+  * column) — the earlier `.rdd`/`createDataFrame(Row)` form paid an
+  * interpreted external-Row decode of every field in pass 1 and a full
+  * encode back in pass 2 (guide §1.4's warned conversion cost), pure
+  * per-row overhead for two passes that only touch the key and one
+  * long.
   *
   * **This operator is for LOW-cardinality keys** (languages, sources,
   * shards): the driver state is (partitions × keys). Keyed by `doc_id`
@@ -63,6 +73,7 @@ object PrefixSum {
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
     val keyIdx = schema.fieldIndex(keyCol)
+    val keyType = schema(keyIdx).dataType
     val valIdx = schema.fieldIndex(valCol)
     val maxKeys = maxKeysPerPartition
 
@@ -71,14 +82,16 @@ object PrefixSum {
     // reproduce SQL window-sum null semantics exactly: `sum() OVER` is
     // NULL until the frame holds its first non-null value — a key whose
     // leading rows are all null must emit NULL cums, not 0, even when
-    // those rows span partitions.
+    // those rows span partitions. Keys are catalyst values copied out
+    // of the (reused) scan rows; only the key and the long value are
+    // ever read — no full-row decode.
     val partials: Array[(Int, Long, Seq[(Any, (Long, Boolean))])] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val acc =
           scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Boolean)]
         var n = 0L
         it.foreach { r =>
-          val k = r.get(keyIdx)
+          val k = InternalRow.copyValue(r.get(keyIdx, keyType))
           if (!acc.contains(k) && acc.size >= maxKeys)
             throw new IllegalStateException(
               s"PrefixSum.cumSumByKey: partition $pid holds > $maxKeys " +
@@ -113,49 +126,59 @@ object PrefixSum {
     // pass 2: map-side running sum seeded from the offsets; the count
     // check detects a partition layout that diverged from pass 1
     // (cache dropped + non-deterministic lineage) before wrong cums
-    // could escape silently
-    val outRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var curKey: Any = null
-      var started = false
-      var run = 0L
-      var seen = false
-      var n = 0L
-      val expected = expectedCounts.value.getOrElse(pid, 0L)
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && n != expected)
-            throw new IllegalStateException(
-              s"PrefixSum.cumSumByKey: partition $pid saw $n rows in " +
-                s"pass 2 but $expected in pass 1 — the partition layout " +
-                "changed between passes (cached intermediate dropped over " +
-                "a non-deterministic input?). Re-run with a deterministic " +
-                "input; offsets cannot be trusted.")
-          h
-        }
-        def next(): Row = {
-          val r = it.next()
-          val k = r.get(keyIdx)
-          if (!started || k != curKey) {
-            curKey = k
-            started = true
-            val (off, seenBefore) =
-              bcOffsets.value.getOrElse((pid, k), (0L, false))
-            run = off
-            seen = seenBefore
+    // could escape silently. Output rows are the input row + cum,
+    // assembled by an unsafe projection (one memcpy per row — the
+    // .copy() is required because internalCreateDataFrame consumers
+    // may buffer rows the projection would otherwise reuse).
+    val outSchema =
+      StructType(schema.fields :+ StructField(cumCol, LongType, nullable = true))
+    val outRows = sorted.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var curKey: Any = null
+        var started = false
+        var run = 0L
+        var seen = false
+        var n = 0L
+        val expected = expectedCounts.value.getOrElse(pid, 0L)
+        val proj = UnsafeProjection.create(outSchema)
+        val cumRow = new GenericInternalRow(1)
+        val joined = new JoinedRow()
+        new Iterator[InternalRow] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && n != expected)
+              throw new IllegalStateException(
+                s"PrefixSum.cumSumByKey: partition $pid saw $n rows in " +
+                  s"pass 2 but $expected in pass 1 — the partition layout " +
+                  "changed between passes (cached intermediate dropped over " +
+                  "a non-deterministic input?). Re-run with a deterministic " +
+                  "input; offsets cannot be trusted.")
+            h
           }
-          if (!r.isNullAt(valIdx)) {
-            run += r.getLong(valIdx)
-            seen = true
+          def next(): InternalRow = {
+            val r = it.next()
+            val k = r.get(keyIdx, keyType)
+            if (!started || k != curKey) {
+              curKey = InternalRow.copyValue(k)
+              started = true
+              val (off, seenBefore) =
+                bcOffsets.value.getOrElse((pid, curKey), (0L, false))
+              run = off
+              seen = seenBefore
+            }
+            if (!r.isNullAt(valIdx)) {
+              run += r.getLong(valIdx)
+              seen = true
+            }
+            n += 1
+            // SQL window-sum null semantics: NULL until the key's frame
+            // holds its first non-null value, then nulls are ignored
+            if (seen) cumRow.update(0, run) else cumRow.update(0, null)
+            proj(joined(r, cumRow)).copy()
           }
-          n += 1
-          // SQL window-sum null semantics: NULL until the key's frame
-          // holds its first non-null value, then nulls are ignored
-          Row.fromSeq(r.toSeq :+ (if (seen) run else null))
         }
       }
-    }
-    spark.createDataFrame(outRows,
-      StructType(schema.fields :+ StructField(cumCol, LongType, nullable = true)))
+    org.apache.spark.sql.graft.GraftExec
+      .internalRowsToDf(spark, outRows, outSchema)
   }
 }

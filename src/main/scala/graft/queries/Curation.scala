@@ -163,6 +163,24 @@ object Curation {
         Seq("__h", "text"), "left_anti")
       .drop("__h")
 
+  /** Apply a DRIVER-RESIDENT drop list to `df` by doc_id: a literal
+    * NOT-isin for small lists (no build job at all), a LocalRelation
+    * anti-join past [[IsinLiteralMax]] (a many-thousand-entry In
+    * literal is a pathological expression tree — the DropListCap
+    * lesson). Both equal the left_anti on non-null doc_id, which
+    * doc_id is by schema.
+    */
+  private val IsinLiteralMax = 10000
+  private def minusDropIds(df: DataFrame, drops: Array[Long]): DataFrame =
+    if (drops.length <= IsinLiteralMax)
+      df.filter(!col("doc_id").isin(drops.toIndexedSeq: _*))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      df.join(broadcast(drops.toIndexedSeq.toDF("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
+
   /** Stage 2: quality + repetition filter on cleaned text. The ratio
     * denominators are nullif'd (q67's form) so a zero-token doc fails
     * the filter by NULL on both engines regardless of conjunct order;
@@ -193,7 +211,7 @@ object Curation {
     */
   private def curatedSurvivors(s: SparkSession, cl: DataFrame,
       emb: DataFrame,
-      trainedOpt: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+      trainedOpt: Option[() => Seq[(Long, Seq[Float])]] = None): DataFrame = {
     import s.implicits._
 
     val s2 = qualityFiltered(cl)
@@ -203,21 +221,32 @@ object Curation {
     val s3 = Dedup.cached(exactKeepMin(s2))
 
     // stage 4: MinHash-LSH near-dup drop list among survivors (q21's
-    // pair generator on the survivor frame, q73's keep-min-id policy)
+    // pair generator on the survivor frame, q73's keep-min-id policy).
+    // The drop list comes back through the size-tiered fused fetch
+    // (ONE action for pairs-pipeline materialization + union-find; the
+    // old cache/count/collect triple paid two extra job rounds), and a
+    // driver-resident list applies as a literal/local-frame filter —
+    // no broadcast-build job. NOT-isin ≡ left_anti on non-null doc_id.
     val pairs4 = Dedup.minhashPairs(s3, MinJaccard)
       .select($"doc1".as("src"), $"doc2".as("dst"))
-    val drop4 = graft.operators.Graph.connectedComponents(s, pairs4)
-      .filter($"node" =!= $"component")
-      .select($"node".as("doc_id"))
-    val s4 = Dedup.cached(s3.join(drop4, Seq("doc_id"), "left_anti"))
+    val s4 = graft.operators.Graph.componentNonRootsCapped(s, pairs4) match {
+      // no drops: s4 IS s3 (already cached — re-wrapping would just
+      // double-register the same entry)
+      case Left(drops) if drops.isEmpty => s3
+      case Left(drops) => Dedup.cached(minusDropIds(s3, drops))
+      case Right(dropDf) =>
+        Dedup.cached(s3.join(dropDf, Seq("doc_id"), "left_anti"))
+    }
 
     // stage 5: semantic dedup — index trained on the FULL embedding
     // table (q101's trainer; [[incrementalIngest]] passes its already-
-    // trained index in — ONE maintained index, trained once), pairs
-    // generated strictly within a cell and only between survivors
-    // (filtering the embedding side first is equivalent: cell
-    // assignment is a pure per-vector map)
-    val trained = trainedOpt.getOrElse(
+    // trained index in — ONE maintained index, trained once; the
+    // thunk lets callers OVERLAP training with the docs-side stages,
+    // awaited only here where stage 5 needs it), pairs generated
+    // strictly within a cell and only between survivors (filtering the
+    // embedding side first is equivalent: cell assignment is a pure
+    // per-vector map)
+    val trained = trainedOpt.map(_.apply()).getOrElse(
       Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
         roundTo = IndexRound))
     val embS4 = emb.join(s4.select($"doc_id".as("vec_id")), Seq("vec_id"))
@@ -244,8 +273,17 @@ object Curation {
     // stage 1: clean — the ONE corpus scan everything derives from
     val cl = Dedup.cached(clean(docs0))
 
+    // the semantic index trains on the embeddings table only — run it
+    // OVERLAPPED with the docs-side stages 2–4 (guide §2.6) and await
+    // inside stage 5, where it is first needed
+    val trainedF = graft.ext.DriverPool.submit(s)(
+      Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
+        roundTo = IndexRound))
+
     // stages 2–6: the shared batch curation core
-    val s6 = curatedSurvivors(s, cl, emb)
+    val s6 = curatedSurvivors(s, cl, emb, Some(() =>
+      scala.concurrent.Await.result(trainedF,
+        scala.concurrent.duration.Duration.Inf)))
 
     // stage 7: domain mix — q68's uniform-share thresholds computed
     // from SURVIVOR counts (scalar totals broadcast, q92's form)
@@ -271,9 +309,14 @@ object Curation {
       .select($"lang", $"source", $"doc_id", $"n_tok"))
 
     // stage 9: pack the final survivors into the contiguous token
-    // stream (q112) and attach attribution
-    Packing.packPlanFromCounts(s8.select($"doc_id", $"n_tok"), SeqLen)
-      .join(s8.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+    // stream (q112). Attribution (lang, source) RIDES the prefix scan
+    // as keep-columns instead of being joined back on afterwards — the
+    // join was 1:1 on doc_id (s8 is one row per doc, the pack keeps
+    // its n_tok > 0 subset), so carrying the columns is row-identical
+    // and removes a manifest-sized join + its broadcast build.
+    Packing.packPlanFromCounts(
+        s8.select($"doc_id", $"n_tok", $"lang", $"source"), SeqLen,
+        keep = Seq("lang", "source"))
       .select($"doc_id", $"lang", $"source", $"n_tok", $"start_tok",
         $"start_seq", $"start_off", $"end_seq", $"n_seqs")
   }
@@ -334,25 +377,38 @@ object Curation {
 
     // ONE maintained semantic index (q117's full-table training),
     // trained once and shared by the store chain and the delta stages.
-    // `centroidsOpt` lets ScaleProbe substitute the production k-rule
-    // index (k = n/targetCell, hash-spread seeds) — the gated default
-    // is the q101-trained k=16 the oracle replays.
-    val trained = centroidsOpt.getOrElse(
-      Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
-        roundTo = IndexRound))
+    // Training reads only the embeddings table, so it runs OVERLAPPED
+    // (guide §2.6) with the docs-side store stages and is awaited where
+    // stage 5 first needs it. `centroidsOpt` lets ScaleProbe substitute
+    // the production k-rule index (k = n/targetCell, hash-spread seeds)
+    // — the gated default is the q101-trained k=16 the oracle replays.
+    val trainedF = centroidsOpt match {
+      case Some(c) => scala.concurrent.Future.successful(c)
+      case None => graft.ext.DriverPool.submit(s)(
+        Similarity.kmeansCentroids(emb, k = IndexK, iters = IndexIters,
+          roundTo = IndexRound))
+    }
+    def awaitTrained(): Seq[(Long, Seq[Float])] =
+      scala.concurrent.Await.result(trainedF,
+        scala.concurrent.duration.Duration.Inf)
 
-    // the frozen store: the batch curation core over the store corpus.
-    // EAGER localCheckpoint (the Graph.scala lineage discipline): the
-    // store is referenced by four delta stages, and nesting the full
-    // store lineage into each would grow the composed plan
-    // multiplicatively (observed: a >2 GB plan string before Spark even
-    // scheduled). Production reads the store from a persisted table;
-    // the checkpoint IS that boundary.
-    val store = clocked("store_build")(
-      curatedSurvivors(s, clS, emb, Some(trained)).localCheckpoint(true))
+    // the frozen store: the batch curation core over the store corpus,
+    // checkpointed at the boundary ([[stageLeaf]] — lazy, FT-aware,
+    // tracked): the store is referenced by four delta stages, and
+    // nesting the full store lineage into each would grow the composed
+    // plan multiplicatively (observed: a >2 GB plan string before Spark
+    // even scheduled). Production reads the store from a persisted
+    // table; the checkpoint IS that boundary. `n_tok` is materialized
+    // INTO the leaf (the artifact-store discipline): the pack-append
+    // base then reads one small column instead of re-tokenizing the
+    // whole store a second time — same sum by the same expression.
+    val store = clocked("store_build")(stageLeaf(
+      curatedSurvivors(s, clS, emb, Some(() => awaitTrained()))
+        .withColumn("n_tok",
+          coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))))
     val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
 
-    ingestDelta(s, store, holdout, clD, emb, trained)
+    ingestDelta(s, store, holdout, clD, emb, awaitTrained())
   }
 
   /** ONE ingest round against an EXPLICIT store — the store-in /
@@ -600,6 +656,57 @@ object Curation {
       (r.getInt(0), r.getUTF8String(1).toString)).map(_.toSet)
   }
 
+  /** Stage-boundary lineage truncation for the BATCH chains (the store
+    * leaf and every delta-stage boundary): a checkpoint replaces the
+    * plan with a leaf (LogicalRDD), where a `Dedup.cached` boundary
+    * keeps the full child plan nested inside the InMemoryRelation.
+    * Each delta stage references the previous stage's frame 2–4×, so
+    * over the ~8-stage chain a cached-boundary composition nests
+    * MULTIPLICATIVELY — the gated q122 plan reached ~34k nested
+    * relation nodes (a 26 MB formatted plan), and the driver's
+    * per-Dataset analysis / cache-lookup canonicalization over that
+    * shared-DAG-walked-as-a-tree dominated the query's wall-clock.
+    * A leaf at every boundary keeps each stage's plan O(stage). Rows
+    * identical (checkpoint is a materialization boundary, not a
+    * transform); the checkpoint is LAZY — the first consuming action
+    * materializes it, so no dedicated count job per boundary.
+    *
+    * Fault-tolerance knob: `localCheckpoint` stores blocks
+    * executor-resident AND discards lineage, so on a real cluster an
+    * executor loss (or dynamic-allocation decommission) FAILS the
+    * query where a cached boundary would recompute — fine on
+    * local[N], wrong for a 100 TB deployment. When the session has a
+    * RELIABLE checkpoint directory configured
+    * (`sc.setCheckpointDir`, the standard Spark knob), every stage
+    * boundary checkpoints there instead: recoverable after any
+    * executor loss, same rows, same leaf-per-stage plan shape
+    * (CheckpointModeSpec drives the batch ingest through both modes).
+    *
+    * Block lifecycle: `Dataset.unpersist` never frees checkpoint
+    * blocks, so each leaf's RDD is tracked here and released by
+    * [[Dedup.clearSignatureCaches]] — the same query-scoped lifecycle
+    * the caches it replaced lived under (Bench/Verify/QueryProbe call
+    * it between queries). Releasing is safe at that point for the
+    * local mode: the query's action has completed and the next run
+    * rebuilds its own leaves. Reliable-mode checkpoint FILES follow
+    * the deployment's `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * policy, as for any reliable checkpoint.
+    */
+  private val stageLeafRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  Dedup.registerClearHook { blocking =>
+    var r = stageLeafRdds.poll()
+    while (r != null) { r.unpersist(blocking); r = stageLeafRdds.poll() }
+  }
+  private def stageLeaf(df: DataFrame): DataFrame = {
+    val reliable =
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val ck = if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    org.apache.spark.sql.graft.GraftExec.leafRdd(ck)
+      .foreach(r => { stageLeafRdds.add(r); () })
+    ck
+  }
+
   /** Delta stages guard–6 against a prepared [[StoreSide]]: returns the
     * ACCEPTED delta docs (doc_id, lang, source, n_chars, text) — the
     * rows an ingest appends to the store. [[ingestDelta]] adds the
@@ -608,21 +715,6 @@ object Curation {
     * per-batch prefix scan and store-wide token sum are never paid on
     * the hot path).
     */
-  /** Stage-boundary lineage truncation for the BATCH delta chain: a
-    * local checkpoint replaces the plan with a leaf (LogicalRDD), where
-    * a `Dedup.cached` boundary keeps the full child plan nested inside
-    * the InMemoryRelation. Each delta stage references the previous
-    * stage's frame 2–4×, so over the ~8-stage chain a cached-boundary
-    * composition nests MULTIPLICATIVELY — the gated q122 plan reached
-    * ~34k nested relation nodes (a 26 MB formatted plan), and the
-    * driver's per-Dataset analysis / cache-lookup canonicalization over
-    * that shared-DAG-walked-as-a-tree dominated the query's wall-clock.
-    * A leaf at every boundary keeps each stage's plan O(stage).
-    * Blocks are executor-resident like the cache was; rows identical
-    * (checkpoint is a materialization boundary, not a transform).
-    */
-  private def stageLeaf(df: DataFrame): DataFrame = df.localCheckpoint(false)
-
   private[graft] def acceptDelta(s: SparkSession, side: StoreSide,
       clDelta: DataFrame, emb: DataFrame,
       trained: Seq[(Long, Seq[Float])]): DataFrame = {
@@ -644,17 +736,22 @@ object Curation {
     val d4a = clocked("d4a_minhash_vs_store")(
       stageLeaf(d3.join(minhashVsStoreDrop(side, d3),
         Seq("doc_id"), "left_anti")))
-    val pairsD = stageLeaf(Dedup.minhashPairs(d4a, MinJaccard)
-      .select($"doc1".as("src"), $"doc2".as("dst")))
-    // a delta with no internal near-dup pairs (the common micro-batch
-    // case) skips the component fixpoint AND drops the anti-join stage
-    // from the plan — equivalent by construction (empty pairs ⇒ empty
-    // drop list ⇒ no-op anti-join), and the emptiness probe is one
-    // delta-sized job
+    val pairsD = Dedup.minhashPairs(d4a, MinJaccard)
+      .select($"doc1".as("src"), $"doc2".as("dst"))
+    // within-delta components through the size-tiered fused fetch
+    // (Graph.componentNonRootsCapped): ONE action yields the drop list
+    // where the old shape paid an isEmpty probe + the fixpoint's
+    // cache/count/collect; an empty list (the common case) skips the
+    // stage entirely — equivalent by construction (empty pairs ⇒ empty
+    // drop list ⇒ no-op anti-join), and a driver-resident list applies
+    // as a literal filter over the d4a leaf (no broadcast-build job)
     val d4 = clocked("d4_minhash_within")(
-      if (pairsD.isEmpty) d4a
-      else stageLeaf(d4a.join(componentDrop(s, pairsD),
-        Seq("doc_id"), "left_anti")))
+      graft.operators.Graph.componentNonRootsCapped(s, pairsD) match {
+        case Left(drops) if drops.isEmpty => d4a
+        case Left(drops) => stageLeaf(minusDropIds(d4a, drops))
+        case Right(dropDf) =>
+          stageLeaf(d4a.join(dropDf, Seq("doc_id"), "left_anti"))
+      })
 
     // stage 5: semantic — the shared maintained index, store-vs-delta
     // pairs within a cell first, then within-delta keep-min. aD stays
@@ -1082,13 +1179,17 @@ object Curation {
       else store.select(tokCount)
     val base = baseCounts.agg(
       coalesce(sum($"n_tok"), lit(0L)).as("__base"))
+    // attribution rides the pack as keep-columns (the q117 stage-9
+    // discipline): row-identical to the 1:1 join it replaces, one
+    // delta-sized join fewer per ingest
     val packed = Packing.packPlanFromCounts(
-      accepted.select($"doc_id", tokCount), SeqLen)
+      accepted.select($"doc_id", tokCount, $"lang", $"source"), SeqLen,
+      keep = Seq("lang", "source"))
     Packing.withSeqFields(
       packed.crossJoin(broadcast(base))
         .select($"doc_id", $"n_tok",
-          ($"start_tok" + $"__base").as("start_tok")), SeqLen)
-      .join(accepted.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+          ($"start_tok" + $"__base").as("start_tok"), $"lang", $"source"),
+      SeqLen, keep = Seq("lang", "source"))
       .select($"doc_id", $"lang", $"source", $"n_tok", $"start_tok",
         $"start_seq", $"start_off", $"end_seq", $"n_seqs")
   }
@@ -1293,7 +1394,7 @@ object Curation {
         iters = IndexIters, roundTo = IndexRound)
       // n_tok materialized at build time: the ingest's pack base then
       // reads ONE small column instead of re-tokenizing the store
-      curatedSurvivors(s, clS, emb, Some(trained))
+      curatedSurvivors(s, clS, emb, Some(() => trained))
         .withColumn("n_tok",
           coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))
         .write.mode("overwrite").parquet(s"$broot/store")

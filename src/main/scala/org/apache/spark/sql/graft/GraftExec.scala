@@ -5,6 +5,51 @@ import org.apache.spark.sql.DataFrame
 /** Execution helpers that need the sql-package seam. */
 object GraftExec {
 
+  /** Clone of the calling thread's Spark local properties (job group,
+    * description, scheduler pool, SQL execution id) — the package-
+    * private surface `SparkContext.getLocalProperties` clones through
+    * for thread inheritance. [[graft.ext.DriverPool]] uses the pair to
+    * run overlapped driver actions under the submitter's properties.
+    */
+  def cloneLocalProperties(
+      sc: org.apache.spark.SparkContext): java.util.Properties = {
+    val out = new java.util.Properties()
+    val cur = sc.getLocalProperties
+    val it = cur.stringPropertyNames().iterator()
+    while (it.hasNext) { val k = it.next(); out.setProperty(k, cur.getProperty(k)) }
+    out
+  }
+
+  def setLocalProperties(sc: org.apache.spark.SparkContext,
+      props: java.util.Properties): Unit =
+    sc.setLocalProperties(props)
+
+  /** Wrap an RDD of InternalRows as a DataFrame (LogicalRDD leaf) —
+    * the internal twin of `createDataFrame(RDD[Row], schema)` without
+    * the external-Row encode pass (guide §1.4's warned cost: `.rdd`
+    * plus `createDataFrame` pay interpreted Row decode/encode per
+    * field). Rows must be immutable (copied) — the standard
+    * internalCreateDataFrame contract.
+    */
+  def internalRowsToDf(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** The leaf RDD of a checkpointed frame (its analyzed plan is a
+    * LogicalRDD), so stage-boundary checkpoints can be tracked for
+    * EXPLICIT release: `Dataset.unpersist` only consults the cache
+    * manager and never frees checkpoint blocks, which otherwise live
+    * until the RDD is GC'd via ContextCleaner — nondeterministic in a
+    * long-lived session (the round-16 review's accumulation finding).
+    */
+  def leafRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Eager localCheckpoint AND row count in ONE Spark action.
     * `Dataset.localCheckpoint(eager = true)` materializes the
     * checkpoint by running an internal `rdd.count()` and DISCARDS the

@@ -54,13 +54,24 @@ class IndexExportSpec extends AnyFunSuite {
     graft.ext.Dedup.clearSignatureCaches()
 
     // single-query point lookups, unioned — each pays only its own
-    // buckets
+    // buckets. The default route is the driver-local tier; assert BOTH
+    // routes against the independent in-memory serving.
     val viaLookup = queries.map { case (qid, terms) =>
       IndexExport.bm25Lookup(spark, out, Seq(qid -> terms), 5)
         .collect().map(_.toSeq).toSet
     }.reduce(_ ++ _)
     assert(viaLookup === viaMemory)
     assert(viaLookup.nonEmpty)
+    val viaDistributed = {
+      val prev = IndexExport.LocalLookupCap
+      IndexExport.LocalLookupCap = -1L
+      try queries.map { case (qid, terms) =>
+        IndexExport.bm25Lookup(spark, out, Seq(qid -> terms), 5)
+          .collect().map(_.toSeq).toSet
+      }.reduce(_ ++ _)
+      finally IndexExport.LocalLookupCap = prev
+    }
+    assert(viaDistributed === viaMemory)
   }
 
   test("single-query lookup plan equals the indexed serving scores") {
@@ -79,11 +90,18 @@ class IndexExportSpec extends AnyFunSuite {
       .select($"doc_id", $"score").collect().map(_.toSeq).toSet
     assert(viaSingle === viaMem)
     assert(viaSingle.nonEmpty)
-    // the fast plan's whole point: exactly ONE shuffle below the top-k
-    val df = IndexExport.bm25LookupSingle(spark, out, terms, 7)
-    df.collect()
-    val c = graft.PlanShape.count(df.queryExecution.executedPlan)
-    assert(c.cartesians === 0)
+    // the DISTRIBUTED fast plan (forced; the default route above is the
+    // local tier): exactly ONE shuffle below the top-k
+    val prev = IndexExport.LocalLookupCap
+    IndexExport.LocalLookupCap = -1L
+    try {
+      val df = IndexExport.bm25LookupSingle(spark, out, terms, 7)
+      df.collect()
+      assert(df.collect().map(_.toSeq).toSet
+        .map((s: Seq[Any]) => Seq(s(0), s(2))) === viaMem)
+      val c = graft.PlanShape.count(df.queryExecution.executedPlan)
+      assert(c.cartesians === 0)
+    } finally IndexExport.LocalLookupCap = prev
   }
 
   test("bm25 lookup prunes to the query's buckets and pushes the term filter") {
@@ -93,7 +111,13 @@ class IndexExportSpec extends AnyFunSuite {
     IndexExport.exportBm25(idx, out, nBuckets = 16)
     graft.ext.Dedup.clearSignatureCaches()
 
-    val df = IndexExport.bm25Lookup(spark, out, Seq(1L -> Seq("spark")), 5)
+    // force the distributed plan: this test pins ITS scan shape (the
+    // default route is the driver-local tier and plans no file scan)
+    val prevCap = IndexExport.LocalLookupCap
+    IndexExport.LocalLookupCap = -1L
+    val df =
+      try IndexExport.bm25Lookup(spark, out, Seq(1L -> Seq("spark")), 5)
+      finally IndexExport.LocalLookupCap = prevCap
     df.collect()
     val scans = graft.PlanShape.fileScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty)
@@ -124,9 +148,15 @@ class IndexExportSpec extends AnyFunSuite {
     val idxA = Retrieval.bm25Index(docsA)
     val idxB = Retrieval.bm25Index(docsB)
     val terms = Seq("spark", "hash")
-    def answer(dir: String): Set[Seq[Any]] =
-      IndexExport.bm25LookupSingle(spark, dir, terms, 5)
+    // forced distributed: this test pins the SPARK reader-cache epoch
+    // protocol (the local tier's twin lives in LocalLookupSpec)
+    def answer(dir: String): Set[Seq[Any]] = {
+      val prev = IndexExport.LocalLookupCap
+      IndexExport.LocalLookupCap = -1L
+      try IndexExport.bm25LookupSingle(spark, dir, terms, 5)
         .collect().map(_.toSeq).toSet
+      finally IndexExport.LocalLookupCap = prev
+    }
 
     // expected answers from two INDEPENDENT layouts
     val refA = Files.createTempDirectory("bm25_epoch_refA").toString
@@ -301,5 +331,49 @@ class IndexExportSpec extends AnyFunSuite {
         s"nprobe=2 lookup must read <=2 cell dirs, got " +
           s"${f.selectedPartitions.partitionCount}")
     }
+  }
+
+  test("a poisoned write aborts the export fail-fast: error propagated, no pointer move, siblings cancelled") {
+    import spark.implicits._
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_poison").toString
+    // a healthy first export, so the pointer exists and MUST NOT move
+    IndexExport.exportBm25(idx, out, nBuckets = 8)
+    graft.ext.Dedup.clearSignatureCaches()
+    val pointerBefore = IndexExport.resolveEpoch(out)
+
+    // poison the POSTINGS side (throws on evaluation) and make the df
+    // side SLOW (sleeps per row): without fail-fast cancellation the
+    // doomed df job runs its full ~40 s to completion after the
+    // postings failure; with it the export returns in a few seconds
+    val poison = udf((id: Long) => {
+      if (id >= 0L) throw new RuntimeException("poisoned postings write")
+      id
+    })
+    val slow = udf((id: Long) => { Thread.sleep(1000L); id })
+    val poisonedIdx = Retrieval.Bm25Index(
+      idx.postings.withColumn("doc_id", poison($"doc_id")),
+      idx.dfTable.withColumn("df", slow($"df")), idx.n, idx.sumDl)
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable] {
+      IndexExport.exportBm25(poisonedIdx, out, nBuckets = 8)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the ROOT failure surfaces (not a sibling's "job cancelled")
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(causes(e).exists(_.contains("poisoned postings write")),
+      s"expected the poison to propagate, got: $e")
+    // the pointer never moved — readers keep serving the healthy epoch
+    assert(IndexExport.resolveEpoch(out) === pointerBefore)
+    // the slow sibling was CANCELLED, not run to completion: the df
+    // table has ~12 rows x 1 s/row through a 4-core pool; anything
+    // close to that budget means the doomed job survived the failure
+    assert(sec < 20.0,
+      f"export took $sec%.1f s — the slow df write ran to completion " +
+        "instead of being cancelled")
+    graft.ext.Dedup.clearSignatureCaches()
   }
 }

@@ -57,6 +57,17 @@ class LocalLookupSpec extends AnyFunSuite {
     cur
   }
 
+  /** Run `f` with the lookup query paths FORCED onto the distributed
+    * plans (cap −1 declines even a zero-match query): the expected side
+    * of every parity test must be the Spark plan, not the local tier
+    * the routing would otherwise serve it from.
+    */
+  private def forceDistributed[T](f: => T): T = {
+    val prev = IndexExport.LocalLookupCap
+    IndexExport.LocalLookupCap = -1L
+    try f finally IndexExport.LocalLookupCap = prev
+  }
+
   test("local bm25 lookup equals the Spark single-query plan, with zero Spark jobs") {
     import spark.implicits._
     val docs = docsFixture
@@ -72,12 +83,12 @@ class LocalLookupSpec extends AnyFunSuite {
         Seq(Seq("spark", "hash", "cpu"), Seq("scan", "scan", "join"),
           Seq("absent_term"), Seq("spark", "absent_term"),
           Seq(null, "disk"), Seq("net", "ram", "row", "col"))
-    val expected = queries.map { terms =>
+    val expected = forceDistributed(queries.map { terms =>
       IndexExport.bm25LookupSingle(spark, out, terms, 7)
         .collect().map(r => (
           if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
           r.getLong(1), r.getDouble(2))).toSeq
-    }
+    })
 
     val before = stableJobCount()
     val got = queries.map(LocalLookup.bm25Single(out, _, 7))
@@ -164,6 +175,61 @@ class LocalLookupSpec extends AnyFunSuite {
     }
     assert(LocalLookup.bm25Single(out, terms, 5) === expectB,
       "a fresh lookup after the swap must serve the new epoch")
+  }
+
+  test("routed lookups serve from the local tier: batch-twin parity, zero jobs, capped fallback") {
+    import spark.implicits._
+    val docs = docsFixture
+    val idx = Retrieval.bm25Index(docs)
+    val out = Files.createTempDirectory("bm25_routed").toString
+    IndexExport.exportBm25(idx, out, nBuckets = 16)
+    graft.ext.Dedup.clearSignatureCaches()
+    IndexExport.clearReaders()
+    LocalLookup.clearLayouts()
+
+    // the q120 shape: per-query batch lookups — expected rows from the
+    // FORCED distributed plan, got rows from the routed (local) path
+    val queries = Seq(0L -> Seq("spark", "table"), 1L -> Seq("scan"),
+      2L -> Seq("absent_term"), 3L -> Seq("net", "ram", "row", "col"))
+    val expected = forceDistributed(queries.map { case (qid, ts) =>
+      IndexExport.bm25Lookup(spark, out, Seq(qid -> ts), 5)
+        .collect().map(_.toSeq).toSet
+    })
+    // NOTE: "spark" matches the NULL-doc_id row, so its batch twin
+    // declines (primitive-long udaf boxing) and falls back — parity
+    // still holds, the zero-jobs claim is only for declinable-free
+    // queries like 1L/3L below
+    val got = queries.map { case (qid, ts) =>
+      IndexExport.bm25Lookup(spark, out, Seq(qid -> ts), 5)
+        .collect().map(_.toSeq).toSet
+    }
+    queries.lazyZip(expected).lazyZip(got).foreach { (q, exp, act) =>
+      assert(act === exp, s"routed batch divergence for $q")
+    }
+    assert(got.exists(_.nonEmpty))
+
+    // zero Spark jobs for a local-served batch lookup (no null-id match)
+    IndexExport.bm25Lookup(spark, out, Seq(1L -> Seq("scan")), 5) // warm
+    val before = stableJobCount()
+    val rows = LocalLookup.bm25BatchLocal(out, Seq(1L -> Seq("scan")), 5,
+      IndexExport.LocalLookupCap)
+    val after = stableJobCount()
+    assert(after === before, "local batch lookup must run zero Spark jobs")
+    assert(rows.exists(_.nonEmpty))
+
+    // the cap: a query whose matched postings exceed it declines (the
+    // distributed plan serves it — identical rows)
+    assert(LocalLookup.bm25BatchLocal(out, Seq(1L -> Seq("scan")), 5, 0L)
+      === None)
+    assert(LocalLookup.bm25SingleCapped(out, Seq("scan"), 5, 0L) === None)
+    val capped = {
+      val prev = IndexExport.LocalLookupCap
+      IndexExport.LocalLookupCap = 0L
+      try IndexExport.bm25Lookup(spark, out, Seq(1L -> Seq("scan")), 5)
+        .collect().map(_.toSeq).toSet
+      finally IndexExport.LocalLookupCap = prev
+    }
+    assert(capped === expected(1))
   }
 
   test("local bm25 over an empty-corpus export returns empty") {
