@@ -638,6 +638,13 @@ object Dedup {
     // job (identical rows by construction)
     val raw = sigs.select(
       col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    // the cap stays the map-side-combined count + broadcast anti-join
+    // (dropHotBuckets) and NOT a window over the join's exchange: a
+    // window count would ship a flood bucket's m rows through ONE
+    // window task before dropping them (AQE skew-split applies to
+    // joins only, guide §2.5), where the broadcast anti-join drops
+    // them MAP-SIDE before the join exchange — the exact pathology the
+    // cap exists for. The extra aggregation exchange is count-sized.
     val exploded =
       if (capNoop) raw
       else dropHotBuckets(raw, Seq("band", "key"), maxBucket)

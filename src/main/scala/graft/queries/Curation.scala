@@ -211,7 +211,8 @@ object Curation {
     */
   private def curatedSurvivors(s: SparkSession, cl: DataFrame,
       emb: DataFrame,
-      trainedOpt: Option[() => Seq[(Long, Seq[Float])]] = None): DataFrame = {
+      trainedOpt: Option[() => Seq[(Long, Seq[Float])]] = None,
+      cacheFinal: Boolean = true): DataFrame = {
     import s.implicits._
 
     val s2 = qualityFiltered(cl)
@@ -260,7 +261,12 @@ object Curation {
     val holdout = cl.filter(bucketOf($"doc_id") >= HoldoutBucket)
     val train6 = Dedup.cached(s5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationBloom(train6, holdout).select($"doc_id")
-    Dedup.cached(train6.join(cont, Seq("doc_id"), "left_anti"))
+    val s6 = train6.join(cont, Seq("doc_id"), "left_anti")
+    // cacheFinal = false for callers whose NEXT operation is itself a
+    // materialization boundary (the q122 store checkpoint, the
+    // artifact-store parquet write): cache + checkpoint back-to-back
+    // materialized the same rows twice
+    if (cacheFinal) Dedup.cached(s6) else s6
   }
 
   /** The composed pipeline. Returns the final pack-plan manifest:
@@ -286,13 +292,42 @@ object Curation {
         scala.concurrent.duration.Duration.Inf)))
 
     // stage 7: domain mix — q68's uniform-share thresholds computed
-    // from SURVIVOR counts (scalar totals broadcast, q92's form)
-    val cnts = Dedup.cached(
-      s6.groupBy($"source").agg(count(lit(1)).as("n_before")))
-    val tots = cnts.agg(sum($"n_before").as("total"), count(lit(1)).as("k"))
-    val thr = cnts.crossJoin(broadcast(tots))
-      .select($"source",
-        least(lit(1000L), expr("(total * 1000) DIV (k * n_before)")).as("thr"))
+    // from SURVIVOR counts. The per-source count table is
+    // mix-dimension-sized, so it is fetched CAPPED and the thresholds
+    // computed on the driver: the threshold frame becomes a
+    // LocalRelation, whose broadcast build submits NO Spark job, where
+    // the old shape paid a totals aggregation plus two broadcast
+    // builds inside the action (scalar totals crossJoin, q92's form).
+    // `(total * 1000) DIV (k * n_before)` over positive longs is plain
+    // integral division — mirrored exactly. Over the cap (a mix
+    // dimension with ~100k+ values) the distributed form runs
+    // unchanged; rows identical either way (null sources never
+    // equi-match the join in both forms).
+    val cnts = s6.groupBy($"source").agg(count(lit(1)).as("n_before"))
+    val thrRows = cappedFetch(cnts, 100000L)(r =>
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        r.getLong(1)))
+    val thr = thrRows match {
+      case Some(rows) =>
+        // totals over ALL count rows (a null-source group counts into
+        // total/k exactly as the distributed aggregate counted it);
+        // the null source itself gets no threshold row — it could
+        // never equi-match the join in either form
+        val total = rows.iterator.map(_._2).sum
+        val k = rows.length.toLong
+        rows.toIndexedSeq.filter(_._1 != null)
+          .map { case (src, n) =>
+            (src, math.min(1000L, (total * 1000L) / (k * n))) }
+          .toDF("source", "thr")
+      case None =>
+        val cntsC = Dedup.cached(cnts)
+        val tots = cntsC.agg(sum($"n_before").as("total"),
+          count(lit(1)).as("k"))
+        cntsC.crossJoin(broadcast(tots))
+          .select($"source",
+            least(lit(1000L), expr("(total * 1000) DIV (k * n_before)"))
+              .as("thr"))
+    }
     val s7 = s6.join(broadcast(thr), Seq("source"))
       .filter(mixHash($"doc_id") < $"thr")
 
@@ -403,7 +438,8 @@ object Curation {
     // base then reads one small column instead of re-tokenizing the
     // whole store a second time — same sum by the same expression.
     val store = clocked("store_build")(stageLeaf(
-      curatedSurvivors(s, clS, emb, Some(() => awaitTrained()))
+      curatedSurvivors(s, clS, emb, Some(() => awaitTrained()),
+          cacheFinal = false)
         .withColumn("n_tok",
           coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))))
     val holdout = clS.filter(bucketOf($"doc_id") >= HoldoutBucket)
@@ -772,8 +808,12 @@ object Curation {
     val dTrain = stageLeaf(d5.filter(bucketOf($"doc_id") < HoldoutBucket))
     val cont = Dedup.contaminationAgainst(dTrain, side.holdout)
       .select($"doc_id")
+    // no leaf on the RESULT: its one consumer (pack-append, which now
+    // carries attribution through the scan) materializes it exactly
+    // once, and the plan is already O(stage) over the dTrain leaf — a
+    // final checkpoint was a whole materialization round for nothing
     clocked("d6_decontaminate")(
-      stageLeaf(dTrain.join(cont, Seq("doc_id"), "left_anti")))
+      dTrain.join(cont, Seq("doc_id"), "left_anti"))
   }
 
   /** [[acceptDelta]] for the STREAMING hot path: the same stage
@@ -1394,7 +1434,7 @@ object Curation {
         iters = IndexIters, roundTo = IndexRound)
       // n_tok materialized at build time: the ingest's pack base then
       // reads ONE small column instead of re-tokenizing the store
-      curatedSurvivors(s, clS, emb, Some(() => trained))
+      curatedSurvivors(s, clS, emb, Some(() => trained), cacheFinal = false)
         .withColumn("n_tok",
           coalesce(size(TextStats.tokens($"text")), lit(0)).cast("long"))
         .write.mode("overwrite").parquet(s"$broot/store")
