@@ -217,6 +217,16 @@ object Curation {
 
     val s2 = qualityFiltered(cl)
 
+    // the stage-6 holdout artifact (distinct shingle codes, count,
+    // Bloom bytes) depends only on `cl`, not on stages 3–5 — prepare
+    // it OVERLAPPED (guide §2.6) with the stage-4 pair pipeline and
+    // await where stage 6 consumes it. Concurrent first-touch of the
+    // cl cache is safe (the cache manager serializes per-partition
+    // computation).
+    val holdout = cl.filter(bucketOf(col("doc_id")) >= HoldoutBucket)
+    val holdoutF = graft.ext.DriverPool.submit(s)(
+      Dedup.prepareHoldout(holdout))
+
     // stage 3: exact dedup on cleaned text — the shared hash-led
     // keep-min ([[exactKeepMin]]'s shuffle discipline)
     val s3 = Dedup.cached(exactKeepMin(s2))
@@ -257,10 +267,13 @@ object Curation {
 
     // stage 6: decontamination — holdout = the corpus' eval split
     // (q51 hash buckets >= 80); survivors keep only train-bucket docs
-    // with zero 5-gram overlap (q81's Bloom-pruned exact join)
-    val holdout = cl.filter(bucketOf($"doc_id") >= HoldoutBucket)
+    // with zero 5-gram overlap (q81's Bloom-pruned exact join; the
+    // prepared artifact was built overlapped above —
+    // contaminationAgainst(prepareHoldout(…)) IS contaminationBloom)
     val train6 = Dedup.cached(s5.filter(bucketOf($"doc_id") < HoldoutBucket))
-    val cont = Dedup.contaminationBloom(train6, holdout).select($"doc_id")
+    val cont = Dedup.contaminationAgainst(train6,
+      scala.concurrent.Await.result(holdoutF,
+        scala.concurrent.duration.Duration.Inf)).select($"doc_id")
     val s6 = train6.join(cont, Seq("doc_id"), "left_anti")
     // cacheFinal = false for callers whose NEXT operation is itself a
     // materialization boundary (the q122 store checkpoint, the
